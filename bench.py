@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Driver bench contract: run headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
+
+Headline metric: wall seconds for the suite (unit: sec), with the
+flagship extraction throughput (turns/sec) and per-query seconds
+reported alongside. The extraction input is synthesized distributedly
+(ocrflow.synth) — deterministic, seed 42, no external data.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
+  SPARK_GRAFT_CPUS     default 32
+  OCRFLOW_BENCH_TURNS  default 200000 (extraction input size)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src"))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_TURNS = int(os.environ.get("OCRFLOW_BENCH_TURNS", "200000"))
+
+HEADLINE = [
+    "scan_pruned", "project_expr", "agg_hash", "agg_collect_sorted",
+    "join_inner_equi", "join_broadcast", "join_asof", "join_salted_skew",
+    "win_running", "topk_per_group", "str_regexp", "array_higher_order",
+]
+
+
+def main() -> None:
+    from ocrflow.session import build_session
+    from ocrflow.pipeline import extract_df
+    from ocrflow.queries import QUERIES
+    from ocrflow.synth import synth_dataframe
+
+    spark = build_session(master=f"local[{CPUS}]", app="ocrflow-bench",
+                          shuffle_partitions=max(CPUS, 8))
+    sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # flagship: distributed synth → extraction kernel → count (forces kernel)
+    transcripts = synth_dataframe(spark, N_TURNS, seed=42,
+                                  partitions=max(CPUS * 2, 16))
+    transcripts = transcripts.persist()
+    n_in = transcripts.count()  # materialize input outside the timed region
+    t0 = time.perf_counter()
+    n_out = extract_df(spark, transcripts, partitions=max(CPUS * 2, 16)).count()
+    extract_secs = time.perf_counter() - t0
+    transcripts.unpersist()
+    timings["extract_pipeline"] = round(extract_secs, 3)
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "extraction": {
+            "turns_in": n_in,
+            "turns_out": n_out,
+            "secs": round(extract_secs, 3),
+            "turns_per_sec": round(n_out / extract_secs, 1),
+            "cpus": CPUS,
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

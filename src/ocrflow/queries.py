@@ -1,0 +1,736 @@
+"""Relational operator corpus (SURVEY.md §2.B) + DuckDB oracle SQL.
+
+Each entry is one `queries()` key in __spark_entry__.py, checked by the
+driver against `oracle_sql()` via DuckDB at sf0.01 (row-count + schema +
+order-insensitive value-hash). Conventions for oracle parity
+(SURVEY.md §7 hard-part 4, FIXTURES.md gotchas):
+
+- alias EVERY computed column identically on both sides;
+- round float aggregates (ULP-stable across engines);
+- cast integer sums explicitly (DuckDB sum(int) → HUGEINT);
+- session timezone pinned to UTC (timestamps are naive micros);
+- result orderings are irrelevant (driver sorts before hashing).
+
+Scale notes are on each query: what Catalyst pushes down, where the
+shuffles are, what changes at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import Window as W
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql.strip()
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =========================================================================
+# Scans / sources
+# =========================================================================
+
+@q("scan_parquet", """
+SELECT count(*) AS n_rows, count(l_orderkey) AS n_orderkey,
+       CAST(sum(l_linenumber) AS BIGINT) AS sum_linenumber
+FROM lineitem
+""")
+def scan_parquet(spark, sf):
+    # full scan; aggregate pushes into a single stage with partial aggs
+    return (t(spark, sf, "lineitem")
+            .agg(F.count("*").alias("n_rows"),
+                 F.count("l_orderkey").alias("n_orderkey"),
+                 F.sum("l_linenumber").cast("long").alias("sum_linenumber")))
+
+
+@q("scan_pruned", """
+SELECT l_orderkey, l_quantity
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity > 45
+""")
+def scan_pruned(spark, sf):
+    # predicate + projection reach the parquet scan (PushedFilters/ReadSchema)
+    return (t(spark, sf, "lineitem")
+            .select("l_orderkey", "l_quantity", "l_shipdate")
+            .filter((F.col("l_shipdate") >= "1995-01-01") & (F.col("l_quantity") > 45))
+            .select("l_orderkey", "l_quantity"))
+
+
+@q("source_json_props", """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events WHERE props IS NOT NULL
+""")
+def source_json_props(spark, sf):
+    # JSON string column → typed columns; at scale prefer from_json once
+    # over repeated get_json_object (single parse per row)
+    ev = t(spark, sf, "events").filter(F.col("props").isNotNull())
+    parsed = F.from_json("props", "k bigint")
+    return ev.select("event_id", parsed["k"].alias("k"))
+
+
+# =========================================================================
+# Projection / filter / predicates
+# =========================================================================
+
+@q("project_expr", """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+FROM lineitem
+""")
+def project_expr(spark, sf):
+    li = t(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select("l_orderkey", "l_linenumber",
+                     rev.alias("revenue"),
+                     (rev * (1 + F.col("l_tax"))).alias("charged"))
+
+
+@q("filter_conj", """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE (o_orderstatus = 'O' AND o_totalprice BETWEEN 1000 AND 100000)
+   OR (o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_custkey IS NOT NULL
+       AND o_totalprice > 150000)
+""")
+def filter_conj(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "O") & F.col("o_totalprice").between(1000, 100000))
+        | (F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+           & F.col("o_custkey").isNotNull() & (F.col("o_totalprice") > 150000))
+    ).select("o_orderkey", "o_totalprice")
+
+
+@q("filter_like", """
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE p_type LIKE '%BRASS%' OR regexp_matches(p_name, '^[a-f].*(red|blue)')
+""")
+def filter_like(spark, sf):
+    p = t(spark, sf, "part")
+    return (p.filter(F.col("p_type").like("%BRASS%")
+                     | F.col("p_name").rlike("^[a-f].*(red|blue)"))
+            .select("p_partkey", "p_name", "p_type"))
+
+
+@q("case_when", """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 50000 THEN 'mid'
+            ELSE 'small' END AS bucket
+FROM orders
+""")
+def case_when(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+         .when(F.col("o_totalprice") > 50000, "mid")
+         .otherwise("small").alias("bucket"))
+
+
+# =========================================================================
+# Joins
+# =========================================================================
+
+@q("join_inner_equi", """
+SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+""")
+def join_inner_equi(spark, sf):
+    # shuffle join on key; at 100 TB both sides hash-exchange on custkey —
+    # AQE picks SMJ/SHJ; filter pushes below the join on the customer side
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey, "inner")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("o_orderkey", "c_name", "o_totalprice"))
+
+
+@q("join_broadcast", """
+SELECT l.l_orderkey, p.p_brand, l.l_quantity
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 10
+""")
+def join_broadcast(spark, sf):
+    # dimension broadcast: no shuffle of the 100 TB fact side at all
+    li, p = t(spark, sf, "lineitem"), t(spark, sf, "part")
+    return (li.join(F.broadcast(p.filter(F.col("p_size") <= 10)),
+                    li.l_partkey == p.p_partkey)
+            .select("l_orderkey", "p_brand", "l_quantity"))
+
+
+@q("join_left_outer", """
+SELECT c.c_custkey, c.c_name, o.o_orderkey
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+""")
+def join_left_outer(spark, sf):
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .select("c_custkey", "c_name", "o_orderkey"))
+
+
+@q("join_full_outer", """
+SELECT n.n_nationkey, n.n_name, s.s_suppkey
+FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+""")
+def join_full_outer(spark, sf):
+    n, s = t(spark, sf, "nation"), t(spark, sf, "supplier")
+    return (n.join(s, n.n_nationkey == s.s_nationkey, "full")
+            .select("n_nationkey", "n_name", "s_suppkey"))
+
+
+@q("join_left_semi", """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def join_left_semi(spark, sf):
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@q("join_left_anti", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def join_left_anti(spark, sf):
+    # also the resume-delta operator (SURVEY.md §2.A A11)
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q("join_cross_theta", """
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+WHERE r.r_regionkey <> n.n_regionkey AND n.n_nationkey < 10
+""")
+def join_cross_theta(spark, sf):
+    r, n = t(spark, sf, "region"), t(spark, sf, "nation")
+    return (r.crossJoin(n.filter(F.col("n_nationkey") < 10))
+            .filter(F.col("r_regionkey") != F.col("n_regionkey"))
+            .select("r_name", "n_name"))
+
+
+@q("join_range", """
+SELECT o.o_orderkey, e.event_id
+FROM orders o JOIN events e
+  ON o.o_custkey = e.user_id
+ AND e.ts BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 24 HOUR
+""")
+def join_range(spark, sf):
+    # equi-key narrows the shuffle; the range predicate evaluates post-join.
+    # At 100 TB: bucketize ts to turn the band into an equi-join prefix.
+    o, e = t(spark, sf, "orders"), t(spark, sf, "events")
+    return (o.join(e, (o.o_custkey == e.user_id)
+                   & e.ts.between(o.o_orderdate,
+                                  o.o_orderdate + F.expr("INTERVAL 24 HOURS")))
+            .select("o_orderkey", "event_id"))
+
+
+@q("join_asof", """
+SELECT o_orderkey, event_id AS last_event_id FROM (
+  SELECT o.o_orderkey, e.event_id,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY e.ts DESC, e.event_id) AS rn
+  FROM orders o JOIN events e
+    ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+) WHERE rn = 1
+""")
+def join_asof(spark, sf):
+    # as-of join: Spark has no native one — equi-join + ranked window
+    # (documented composition, SURVEY.md §2.B). event_id tiebreak keeps
+    # the result deterministic.
+    o, e = t(spark, sf, "orders"), t(spark, sf, "events")
+    j = o.join(e, (o.o_custkey == e.user_id) & (e.ts <= o.o_orderdate))
+    w = W.partitionBy("o_orderkey").orderBy(F.col("ts").desc(), F.col("event_id"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_orderkey", F.col("event_id").alias("last_event_id")))
+
+
+@q("join_salted_skew", """
+SELECT e.user_id, count(*) AS n_events, CAST(sum(o.o_orderkey) AS BIGINT) AS sum_okey
+FROM events e JOIN orders o ON e.user_id = o.o_custkey
+GROUP BY e.user_id
+""")
+def join_salted_skew(spark, sf):
+    # explicit salting (A10): replicate the small side k ways, salt the
+    # big side with pmod(xxhash64(cols), k) so one hot key spreads over
+    # k tasks. Results identical to the plain join (oracle proves it).
+    k = 4
+    e, o = t(spark, sf, "events"), t(spark, sf, "orders")
+    e_s = e.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(k)))
+    o_s = o.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(k)])))
+    j = e_s.join(o_s, (e_s.user_id == o_s.o_custkey) & (e_s._salt == o_s._salt))
+    return (j.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("o_orderkey").cast("long").alias("sum_okey")))
+
+
+# =========================================================================
+# Aggregations
+# =========================================================================
+
+@q("agg_hash", """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,8))) AS DECIMAL(38,8)) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                * CAST(1 - l_discount AS DECIMAL(12,6))) AS DECIMAL(38,12)) AS sum_disc_price,
+       avg(l_quantity) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def agg_hash(spark, sf):
+    # TPC-H Q1 shape: partial (map-side) + final agg, one shuffle on the
+    # two low-cardinality keys — the canonical 100 TB-safe aggregation
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,8)"))
+                  .cast("decimal(38,8)").alias("sum_base_price"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,6)")
+                       * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)"))
+                  .cast("decimal(38,12)").alias("sum_disc_price"),
+                 F.avg("l_quantity").alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+@q("agg_distinct", """
+SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+       count(*) AS n_customers
+FROM customer GROUP BY c_mktsegment
+""")
+def agg_distinct(spark, sf):
+    c = t(spark, sf, "customer")
+    return (c.groupBy("c_mktsegment")
+            .agg(F.countDistinct("c_nationkey").alias("n_nations"),
+                 F.count("*").alias("n_customers")))
+
+
+@q("agg_rollup", """
+SELECT r_name, n_name, count(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""")
+def agg_rollup(spark, sf):
+    n, r = t(spark, sf, "nation"), t(spark, sf, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.rollup("r_name", "n_name").agg(F.count("*").alias("n"))
+
+
+@q("agg_cube", """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def agg_cube(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum("l_quantity").alias("sum_qty")))
+
+
+@q("agg_grouping_sets", """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""")
+def agg_grouping_sets(spark, sf):
+    t(spark, sf, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+@q("agg_collect_sorted", """
+SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS type_seq
+FROM events GROUP BY user_id
+""")
+def agg_collect_sorted(spark, sf):
+    # the A8 ordered-reassembly operator on the oracle tables: sorted
+    # struct collection → array_join, all JVM-side
+    e = t(spark, sf, "events")
+    return (e.groupBy("user_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"]),
+                "|").alias("type_seq")))
+
+
+@q("agg_percentile", """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95,
+       ROUND(quantile_cont(value, 0.5), 4) AS median
+FROM events GROUP BY event_type
+""")
+def agg_percentile(spark, sf):
+    # exact interpolated percentile (matches quantile_cont); the approx
+    # variant is benchmarked in agg_approx_distinct/rows-only space
+    e = t(spark, sf, "events")
+    return (e.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+                 F.round(F.expr("percentile(value, 0.5)"), 4).alias("median")))
+
+
+@q("agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def agg_approx_distinct(spark, sf):
+    e = t(spark, sf, "events")
+    return (e.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+                 F.countDistinct("user_id").alias("exact_users")))
+
+
+# =========================================================================
+# Window functions
+# =========================================================================
+
+@q("win_rank", """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+       rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk,
+       dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drk
+FROM orders
+""")
+def win_rank(spark, sf):
+    o = t(spark, sf, "orders")
+    w1 = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w2 = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return o.select("o_custkey", "o_orderkey",
+                    F.row_number().over(w1).alias("rn"),
+                    F.rank().over(w2).alias("rk"),
+                    F.dense_rank().over(w2).alias("drk"))
+
+
+@q("win_lag_lead", """
+SELECT user_id, event_id,
+       date_diff('second', lag(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+FROM events
+""")
+def win_lag_lead(spark, sf):
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s"),
+        F.lead("event_id").over(w).alias("next_event"))
+
+
+@q("win_running", """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,8))) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,8)) AS running_rev
+FROM orders
+""")
+def win_running(spark, sf):
+    o = t(spark, sf, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return o.select("o_custkey", "o_orderkey",
+                    F.sum(F.col("o_totalprice").cast("decimal(18,8)")).over(w)
+                     .cast("decimal(38,8)").alias("running_rev"))
+
+
+@q("win_range_frame", """
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,8))) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DECIMAL(38,8)) AS trailing_30d
+FROM events
+""")
+def win_range_frame(spark, sf):
+    e = t(spark, sf, "events")
+    w = (W.partitionBy("user_id").orderBy(F.unix_timestamp("ts"))
+         .rangeBetween(-30 * 86400, 0))
+    return e.select("user_id", "event_id",
+                    F.sum(F.col("value").cast("decimal(18,8)")).over(w)
+                     .cast("decimal(38,8)").alias("trailing_30d"))
+
+
+@q("win_ntile_firstlast", """
+SELECT o_orderkey, o_custkey,
+       ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile,
+       first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+       last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+FROM orders
+""")
+def win_ntile_firstlast(spark, sf):
+    o = t(spark, sf, "orders")
+    wq = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return o.select("o_orderkey", "o_custkey",
+                    F.ntile(4).over(wq).alias("quartile"),
+                    F.first("o_orderkey").over(wf).alias("first_order"),
+                    F.last("o_orderkey").over(wf).alias("last_order"))
+
+
+@q("win_turn_order", """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_rank
+FROM events
+""")
+def win_turn_order(spark, sf):
+    # the A8 stable-ordering window on the oracle tables
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("user_id", "event_id", F.row_number().over(w).alias("turn_rank"))
+
+
+# =========================================================================
+# Sorts / limits / top-k
+# =========================================================================
+
+@q("sort_multi", """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey
+""")
+def sort_multi(spark, sf):
+    # global sort = range-partitioned exchange; at 100 TB reserve for
+    # final presentation only (driver compare is order-insensitive)
+    return (t(spark, sf, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderdate")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(),
+                     "o_orderkey"))
+
+
+@q("limit_topn", """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+def limit_topn(spark, sf):
+    # TakeOrderedAndProject: per-partition top-N then driver merge —
+    # no global sort even at 100 TB
+    return (t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10))
+
+
+@q("topk_per_group", """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""")
+def topk_per_group(spark, sf):
+    o = t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice"))
+
+
+# =========================================================================
+# Set operations
+# =========================================================================
+
+@q("set_union", """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+""")
+def set_union(spark, sf):
+    c = t(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.unionByName(b).distinct()
+
+
+@q("set_intersect", """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+""")
+def set_intersect(spark, sf):
+    c = t(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.intersect(b)
+
+
+@q("set_except", """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+""")
+def set_except(spark, sf):
+    c = t(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.exceptAll(b).distinct()
+
+
+@q("dedup_distinct", """
+SELECT DISTINCT user_id, event_type FROM events
+""")
+def dedup_distinct(spark, sf):
+    # dropDuplicates restricted to its key columns → deterministic
+    return t(spark, sf, "events").select("user_id", "event_type").dropDuplicates()
+
+
+# =========================================================================
+# Scalar functions
+# =========================================================================
+
+@q("str_funcs", """
+SELECT p_partkey,
+       lower(p_name) AS lname,
+       substr(p_name, 1, 5) AS head5,
+       length(p_name) AS name_len,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       translate(p_brand, '#', '_') AS brand_t,
+       trim(p_name) AS trimmed,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4
+FROM part
+""")
+def str_funcs(spark, sf):
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.substring("p_name", 1, 5).alias("head5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.translate("p_brand", "#", "_").alias("brand_t"),
+        F.trim("p_name").alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"))
+
+
+@q("str_regexp", """
+SELECT doc_id,
+       regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+       length(regexp_replace(text, '[aeiou]', '', 'g')) AS no_vowel_len,
+       array_length(regexp_split_to_array(text, '\\s+')) AS n_tokens
+FROM documents WHERE text IS NOT NULL
+""")
+def str_regexp(spark, sf):
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("no_vowel_len"),
+        F.size(F.split("text", r"\s+")).alias("n_tokens"))
+
+
+@q("date_funcs", """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS omonth,
+       CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS oyear,
+       o_orderdate + INTERVAL 3 MONTH AS plus3m,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+""")
+def date_funcs(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("omonth"),
+        F.dayofweek("o_orderdate").alias("dow_spark"),
+        F.year("o_orderdate").alias("oyear"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus3m"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    ).withColumn("dow", F.col("dow_spark") - 1).drop("dow_spark")
+
+
+@q("math_funcs", """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice, 0) AS r0,
+       ABS(l_discount - 0.05) AS absd,
+       ROUND(LN(l_extendedprice + 1), 6) AS lnp,
+       ROUND(POW(l_quantity, 2), 2) AS qty2,
+       ROUND(SQRT(l_quantity), 6) AS qsqrt,
+       CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qdecile
+FROM lineitem
+""")
+def math_funcs(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 0).alias("r0"),
+        F.abs(F.col("l_discount") - 0.05).alias("absd"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("lnp"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty2"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qsqrt"),
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("qdecile"))
+
+
+@q("array_funcs", """
+SELECT doc_id, tok AS token
+FROM (
+  SELECT doc_id, unnest(list_sort(list_distinct(regexp_split_to_array(text, '\\s+')))) AS tok
+  FROM documents WHERE text IS NOT NULL AND n_chars < 200
+) WHERE tok <> ''
+""")
+def array_funcs(spark, sf):
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull() & (F.col("n_chars") < 200))
+    return (d.select("doc_id",
+                     F.explode(F.array_sort(F.array_distinct(
+                         F.split("text", r"\s+")))).alias("token"))
+            .filter(F.col("token") != ""))
+
+
+@q("array_higher_order", """
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm,
+       array_length(embedding) AS dim
+FROM embeddings
+""")
+def array_higher_order(spark, sf):
+    em = t(spark, sf, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x)
+    return em.select("vec_id",
+                     F.round(F.sqrt(sq), 4).alias("l2_norm"),
+                     F.size("embedding").alias("dim"))
+
+
+@q("map_funcs", """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       1 AS n_keys
+FROM events WHERE props IS NOT NULL
+""")
+def map_funcs(spark, sf):
+    # JSON string → MapType → map_keys/element_at
+    e = t(spark, sf, "events").filter(F.col("props").isNotNull())
+    m = F.from_json("props", T.MapType(T.StringType(), T.StringType()))
+    return e.select("event_id",
+                    F.element_at(m, "k").alias("k_str"),
+                    F.size(F.map_keys(m)).alias("n_keys"))
+
+
+@q("json_funcs", """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
+FROM events WHERE props IS NOT NULL
+""")
+def json_funcs(spark, sf):
+    e = t(spark, sf, "events").filter(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select("event_id", k.alias("k"), (k % 10).alias("k_mod"))

@@ -325,11 +325,19 @@ class ExtractResult:
         return len(self.spans)
 
 
-def extract_turn(text: str | None, weights: dict | None = None) -> ExtractResult:
-    """The full A2→A7 loop for one turn — the golden per-turn function."""
-    weights = weights or ct.default_weights()
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+_EMPTY_F64 = np.empty(0, dtype=np.float64)
+
+
+def extract_turn_arrays(text: str | None, weights: dict):
+    """The full A2→A7 loop, flat-array form (the kernel-facing API).
+
+    Returns ``(extracted_text, starts, ends, kind_codes, scores,
+    payload_kind)`` with numpy arrays, so the Arrow kernel can build
+    list<struct> span columns without per-span Python objects.
+    """
     if text is None or text == "":
-        return ExtractResult("", [], PAYLOAD_PLAIN)
+        return "", _EMPTY_I64, _EMPTY_I64, _EMPTY_I64, _EMPTY_F64, PAYLOAD_PLAIN
     kind = detect_payload_kind(text)
     if kind == PAYLOAD_HTML:
         blocks = segment_html(text)
@@ -354,6 +362,13 @@ def extract_turn(text: str | None, weights: dict | None = None) -> ExtractResult
     starts, ends, kcodes = segment_spans(extracted, code_ranges)
     lengths = (ends - starts).astype(np.float64)
     scores = ct.score_spans(kcodes, lengths, _BASE_BY_CODE)
+    return extracted, starts, ends, kcodes, scores, kind
+
+
+def extract_turn(text: str | None, weights: dict | None = None) -> ExtractResult:
+    """The golden per-turn function (object form used by tests/oracle)."""
+    weights = weights or ct.default_weights()
+    extracted, starts, ends, kcodes, scores, kind = extract_turn_arrays(text, weights)
     spans = [(int(s), int(e), SPAN_KINDS[k], float(sc))
              for s, e, k, sc in zip(starts, ends, kcodes, scores)]
     return ExtractResult(extracted, spans, kind)

@@ -1,0 +1,61 @@
+"""SparkSession helpers with the engine's scale-oriented defaults.
+
+Defaults follow the 100 TB design point (SURVEY.md §4): AQE on
+(coalesce + skew-join backstop), shuffle partitions sized to cores (not
+the 200 default), Arrow transfers on with an explicit batch size (the
+classify-kernel saturation knob), UTC session timezone (oracle parity).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Arrow batch size — the "inference batch" of the classify kernel (A6)
+DEFAULT_ARROW_BATCH = 2048
+
+
+def _export_pythonpath() -> str:
+    """Make the ocrflow package importable in executor Python workers.
+
+    Local mode: workers inherit the driver env, so prepending the
+    package dir to PYTHONPATH mirrors what `spark-submit --py-files
+    ocrflow.zip` does on a real cluster (SURVEY.md §7-M5)."""
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cur = os.environ.get("PYTHONPATH", "")
+    if pkg_dir not in cur.split(":"):
+        os.environ["PYTHONPATH"] = f"{pkg_dir}:{cur}" if cur else pkg_dir
+    # one BLAS thread per python worker: N workers × M BLAS threads
+    # oversubscribes cores catastrophically on tiny kernel matvecs
+    # (measured 15× per-turn slowdown at local[32] before pinning)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(var, "1")
+    return pkg_dir
+
+
+def build_session(master: str | None = None, app: str = "ocrflow",
+                  shuffle_partitions: int | None = None,
+                  arrow_batch: int = DEFAULT_ARROW_BATCH,
+                  extra: dict | None = None) -> SparkSession:
+    pkg_dir = _export_pythonpath()
+    cores = os.cpu_count() or 4
+    master = master or f"local[{min(cores, 32)}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1:master.find("]")] if "[" in master else ""
+        shuffle_partitions = cores if n in ("", "*") else max(int(n), 4)
+    b = (SparkSession.builder.master(master).appName(app)
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+         .config("spark.ui.enabled", "false")
+         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+         .config("spark.driver.memory", os.environ.get("OCRFLOW_DRIVER_MEM", "16g")))
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
