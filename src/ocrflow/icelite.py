@@ -1,0 +1,147 @@
+"""icelite — snapshot-isolated parquet tables with an Iceberg-shaped seam.
+
+No Iceberg runtime jar exists in this environment (SURVEY.md §0), so
+snapshot semantics are implemented as a thin layer over partitioned
+Parquet + JSON manifests. What it honestly emulates (SURVEY.md §7
+hard-part 3): an ordered snapshot list, atomic commit (tmp-file +
+rename), time-travel reads by snapshot id, and append-only data files.
+What it does NOT emulate: concurrent writers, the Iceberg format spec,
+schema evolution. The table API mirrors Iceberg's naming so a real
+`spark.read.format("iceberg")` catalog can be swapped in where the jar
+exists.
+
+Layout:
+    <table>/data/<commit_tag>/*.parquet
+    <table>/metadata/snap-<n>.json     one manifest per snapshot
+    <table>/metadata/CURRENT           pointer file (atomic rename)
+
+Manifest: {"snapshot_id", "parent_id", "committed_at", "files":
+[{"path", "rows"}], "props": {...}} — files are table-relative paths;
+the full file list of a snapshot is the manifest's list (each manifest
+is self-contained, parent chain kept for history/audit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+class IceliteTable:
+    def __init__(self, path: str):
+        self.path = os.path.abspath(path)
+        self.meta_dir = os.path.join(self.path, "metadata")
+        self.data_dir = os.path.join(self.path, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- snapshot bookkeeping -------------------------------------------
+
+    def _current_pointer(self) -> str | None:
+        p = os.path.join(self.meta_dir, "CURRENT")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return f.read().strip() or None
+
+    def current_snapshot_id(self) -> int | None:
+        ptr = self._current_pointer()
+        if ptr is None:
+            return None
+        return int(ptr.removeprefix("snap-").removesuffix(".json"))
+
+    def snapshot(self, snapshot_id: int | None = None) -> dict | None:
+        if snapshot_id is None:
+            snapshot_id = self.current_snapshot_id()
+            if snapshot_id is None:
+                return None
+        p = os.path.join(self.meta_dir, f"snap-{snapshot_id}.json")
+        with open(p) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.meta_dir)):
+            if name.startswith("snap-") and name.endswith(".json"):
+                with open(os.path.join(self.meta_dir, name)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda s: s["snapshot_id"])
+
+    def file_list(self, snapshot_id: int | None = None) -> list[str]:
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return []
+        return [os.path.join(self.path, f["path"]) for f in snap["files"]]
+
+    # -- commit ----------------------------------------------------------
+
+    def new_commit_dir(self, tag: str | None = None) -> str:
+        tag = tag or f"commit-{uuid.uuid4().hex[:12]}"
+        d = os.path.join(self.data_dir, tag)
+        return d
+
+    def commit_append(self, new_files: list[str], props: dict | None = None) -> int:
+        """Atomically append data files as a new snapshot.
+
+        Write manifest to a tmp name, fsync, rename into place, then
+        swing the CURRENT pointer (also via rename). A reader holding
+        the old pointer keeps a consistent view — snapshot isolation.
+        """
+        parent = self.current_snapshot_id()
+        parent_files = self.snapshot(parent)["files"] if parent is not None else []
+        sid = (parent or 0) + 1
+        entries = list(parent_files)
+        for f in new_files:
+            rel = os.path.relpath(os.path.abspath(f), self.path)
+            rows = _parquet_rows(f)
+            entries.append({"path": rel, "rows": rows})
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "committed_at": time.time(),
+            "files": entries,
+            "props": props or {},
+        }
+        final = os.path.join(self.meta_dir, f"snap-{sid}.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, final)
+
+        ptr_tmp = os.path.join(self.meta_dir, f"CURRENT.tmp-{uuid.uuid4().hex[:8]}")
+        with open(ptr_tmp, "w") as fh:
+            fh.write(f"snap-{sid}.json")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(ptr_tmp, os.path.join(self.meta_dir, "CURRENT"))
+        return sid
+
+    # -- read ------------------------------------------------------------
+
+    def read(self, spark, snapshot_id: int | None = None):
+        """Snapshot-isolated scan (time travel when snapshot_id given)."""
+        files = self.file_list(snapshot_id)
+        if not files:
+            raise ValueError(f"icelite table {self.path} has no committed snapshot")
+        return spark.read.parquet(*files)
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def write_dataframe_files(df, out_dir: str) -> list[str]:
+    """Write a DataFrame to a fresh directory; return the data files.
+
+    Spark writes task files + _SUCCESS; only the parquet files become
+    manifest entries.
+    """
+    df.write.mode("overwrite").parquet(out_dir)
+    return sorted(
+        os.path.join(out_dir, n) for n in os.listdir(out_dir)
+        if n.endswith(".parquet"))
