@@ -41,10 +41,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import ocrflow.dataops  # noqa: F401 — registers into QUERIES
     from ocrflow.queries import QUERIES
-    return dict(QUERIES)
+    from ocrflow.streaming import STREAM_QUERIES
+    return {**QUERIES, **STREAM_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
+    import ocrflow.dataops  # noqa: F401 — registers into ORACLE
     from ocrflow.queries import ORACLE
     return dict(ORACLE)

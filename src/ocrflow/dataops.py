@@ -1,0 +1,530 @@
+"""Large-scale training-data pipeline operators + the UDF/UDTF surface.
+
+First-class components alongside the relational corpus: deduplication
+(exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine),
+similarity search (brute-force + LSH-bucketed ANN), and text analysis
+(language-ID, quality scoring, token counting, fingerprinting) — each a
+`queries()` entry over the driver testdata, with a DuckDB oracle where
+SQL can express the semantics.
+
+Scale notes (100 TB design point) are on each operator: what shuffles,
+what broadcasts, and why the candidate-generation step is subquadratic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F, types as T
+from pyspark.sql import Window as W
+
+from .queries import ORACLE, QUERIES, q, t
+
+# =========================================================================
+# Deduplication
+# =========================================================================
+
+@q("dedup_exact", """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents WHERE text IS NOT NULL
+GROUP BY md5(text)
+""")
+def dedup_exact(spark, sf):
+    # exact dedup: hash-groupBy — one shuffle on the 128-bit content
+    # hash; at 100 TB hash first so the shuffle moves 16B keys, not docs
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return (d.groupBy(F.md5("text").alias("content_hash"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_dups")))
+
+
+@q("dedup_ngram_jaccard", """
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         list_distinct(regexp_split_to_array(text, '\\s+')) AS tk
+  FROM documents WHERE text IS NOT NULL AND n_chars < 150
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+             (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 6)
+           AS jaccard
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+      (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.5
+""")
+def dedup_ngram_jaccard(spark, sf):
+    # token-set Jaccard over short docs; the small-side is broadcast so
+    # the pairwise step never shuffles the corpus. At 100 TB this exact
+    # variant is the verifier for MinHash candidates, not the scanner.
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.col("n_chars") < 150))
+         .select("doc_id", F.array_distinct(F.split("text", r"\s+")).alias("tk")))
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tk"), F.col("b.tk"))).cast("double")
+    union = (F.size(F.col("a.tk")) + F.size(F.col("b.tk"))
+             - F.size(F.array_intersect(F.col("a.tk"), F.col("b.tk"))))
+    jac = inter / union
+    return (a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= 0.5)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.round("jaccard", 6).alias("jaccard")))
+
+
+N_MINHASH = 16          # permutations
+LSH_BANDS = 4           # bands of 4 rows each
+SHINGLE_K = 3           # word shingles
+
+
+@q("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_minhash_lsh(spark, sf):
+    """MinHash + LSH banding: shingle → per-seed min-hash → band →
+    bucket-join. All built-ins (explode + groupBy + self-join on band
+    bucket): candidate generation is O(docs × shingles), never O(n²).
+    At 100 TB the band-bucket shuffle is the only wide exchange and its
+    keys are 8-byte hashes. Verified downstream by dedup_ngram_jaccard.
+    """
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.col("n_chars") < 300))
+         .select("doc_id", F.split("text", r"\s+").alias("w")))
+    # k-word shingles via higher-order functions (JVM-side)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("w") - SHINGLE_K, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice("w", i + 1, SHINGLE_K)))
+        ).alias("shingle")).filter(F.col("shingle") != "")
+    # 16 hash "permutations": xxhash64(shingle, seed) — min per doc per seed
+    hashes = sh.select(
+        "doc_id",
+        *[F.xxhash64("shingle", F.lit(s)).alias(f"h{s}") for s in range(N_MINHASH)])
+    sig = hashes.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(N_MINHASH)])
+    rows_per_band = N_MINHASH // LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col(f"m{b * rows_per_band + r}")
+                                  for r in range(rows_per_band)]).alias("bucket"))
+            for b in range(LSH_BANDS)])).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    return pairs
+
+
+@q("dedup_simhash")  # rows-only: python-side bit arithmetic
+def dedup_simhash(spark, sf):
+    """64-bit SimHash per doc via an Arrow-vectorized pandas UDF: token
+    hashes vote on bit positions; near-dups share the 16-bit prefix
+    bucket. Hot path is one numpy pass per batch (no per-row Python
+    beyond the tokenizer loop)."""
+    @F.pandas_udf(T.LongType())
+    def simhash64(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            if not txt:
+                continue
+            toks = txt.split()
+            if not toks:
+                continue
+            hs = np.array([hash_str64(tok) for tok in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sh = np.uint64(0)
+            for b in np.flatnonzero(votes > 0):
+                sh |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sh.astype(np.int64))
+        return pd.Series(out)
+
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    sh = d.select("doc_id", simhash64("text").alias("simhash"))
+    return (sh.withColumn("bucket", F.shiftright("simhash", 48))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("min_doc")))
+
+
+def hash_str64(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (process-independent, unlike hash())."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+@q("dedup_embedding_cosine")  # rows-only: float fold order differs per engine
+def dedup_embedding_cosine(spark, sf):
+    """Embedding near-dup pairs: label-blocked cosine ≥ τ. The label
+    acts as the blocking key (the honest 100 TB shape: block or LSH
+    first, exact cosine within the block)."""
+    em = (t(spark, sf, "embeddings")
+          .select("vec_id", "label",
+                  F.transform("embedding", lambda x: x.cast("double")).alias("v")))
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    em = em.withColumn("n", norm).filter(F.col("n") > 0)
+    a, b = em.alias("a"), em.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("a.n") * F.col("b.n"))
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= 0.95)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b")))
+
+
+# =========================================================================
+# Similarity search (ANN)
+# =========================================================================
+
+ANN_K = 5
+ANN_QUERIES = 4
+
+
+@q("ann_bruteforce_cosine", f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), qv AS (
+  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {ANN_QUERIES}
+), scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, v.e) AS cos,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qe, v.e) DESC,
+                                     v.vec_id) AS rn
+  FROM qv q JOIN v ON v.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rn AS rank FROM scored WHERE rn <= {ANN_K}
+""")
+def ann_bruteforce_cosine(spark, sf):
+    # brute-force top-k: broadcast the query set, scan the corpus once,
+    # per-partition top-k via window. The 100 TB baseline ANN.
+    em = (t(spark, sf, "embeddings")
+          .select("vec_id",
+                  F.transform("embedding", lambda x: x.cast("double")).alias("e")))
+    qs = (em.filter(F.col("vec_id") < ANN_QUERIES)
+          .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe")))
+    j = em.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(F.zip_with("qe", "e", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    qn = F.sqrt(F.aggregate("qe", F.lit(0.0), lambda a, x: a + x * x))
+    vn = F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x))
+    scored = j.withColumn("cos", dot / (qn * vn))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= ANN_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank"))
+
+
+@q("ann_lsh_bucketed")  # rows-only: hyperplane seeds have no SQL twin
+def ann_lsh_bucketed(spark, sf):
+    """Random-hyperplane LSH ANN (the scale path): L hash tables of
+    b sign bits each; candidates = union over tables of same-bucket
+    vectors; exact cosine re-rank. Hyperplanes broadcast once (A9).
+    Tuning: more bits → smaller buckets (fewer candidates, lower
+    recall); more tables → higher recall at more shuffle. Recall vs the
+    brute-force twin measured in tests (≥0.6 at these settings on the
+    testdata). At 100 TB, bits scale with log2(corpus/bucket_target).
+    """
+    n_tables, n_bits = 8, 3
+    em = t(spark, sf, "embeddings")
+    dim = len(em.select("embedding").first()["embedding"])
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((n_tables * n_bits, dim))
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets_of(embs: pd.Series) -> pd.Series:
+        p = b_planes.value
+        m = np.vstack([np.asarray(e, dtype=np.float64) for e in embs])
+        bits = (m @ p.T) > 0                       # N × (L*b)
+        bits = bits.reshape(len(m), n_tables, n_bits)
+        weights = 1 << np.arange(n_bits)
+        codes = (bits @ weights).astype(np.int32)  # N × L
+        # table-qualified bucket ids so tables never collide
+        codes = codes + (np.arange(n_tables, dtype=np.int32) << n_bits)
+        return pd.Series(list(codes))
+
+    emb = em.select(
+        "vec_id", buckets_of("embedding").alias("buckets"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    flat = emb.select("vec_id", "e", F.explode("buckets").alias("bucket"))
+    qs = (flat.filter(F.col("vec_id") < ANN_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("bucket").alias("qbucket"), F.col("e").alias("qe")))
+    cand = (flat.join(F.broadcast(qs),
+                      (F.col("bucket") == F.col("qbucket"))
+                      & (F.col("vec_id") != F.col("query_id")))
+            .select("query_id", "qe", "vec_id", "e")
+            .dropDuplicates(["query_id", "vec_id"]))
+    dot = F.aggregate(F.zip_with("qe", "e", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    qn = F.sqrt(F.aggregate("qe", F.lit(0.0), lambda a, x: a + x * x))
+    vn = F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (cand.withColumn("cos", dot / (qn * vn))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= ANN_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "rank", F.round("cos", 4).alias("cos")))
+
+
+# =========================================================================
+# Text analysis
+# =========================================================================
+
+@q("text_lang_id", """
+SELECT doc_id,
+       CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+                 > 0.3 * length(text) THEN 'cjk'
+            WHEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+                 > 0.5 * length(text) THEN 'latin'
+            ELSE 'other' END AS lang_pred,
+       lang
+FROM documents WHERE text IS NOT NULL AND length(text) > 0
+""")
+def text_lang_id(spark, sf):
+    # n-gram-free heuristic language ID: script-class character ratios —
+    # all JVM-side regexps, no Python
+    d = t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0))
+    cjk = F.length(F.regexp_replace("text", "[^一-鿿]", ""))
+    lat = F.length(F.regexp_replace("text", "[^a-zA-Z ]", ""))
+    n = F.length("text")
+    return d.select(
+        "doc_id",
+        F.when(cjk > 0.3 * n, "cjk")
+         .when(lat > 0.5 * n, "latin")
+         .otherwise("other").alias("lang_pred"),
+        "lang")
+
+
+@q("text_quality_score", """
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_char,
+         array_length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word,
+         array_length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         array_length(regexp_extract_all(lower(text),
+             '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS n_stop
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id, n_char, n_word,
+       ROUND(CAST(n_punct AS DOUBLE) / n_char, 6) AS punct_ratio,
+       ROUND(CAST(n_stop AS DOUBLE) / greatest(n_word, 1), 6) AS stopword_ratio,
+       ROUND(CAST(n_char AS DOUBLE) / greatest(n_word, 1), 6) AS avg_word_len
+FROM f
+""")
+def text_quality_score(spark, sf):
+    d = t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0))
+    n_char = F.length("text")
+    n_word = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[.,;:!?]"), 0))
+    n_stop = F.size(F.regexp_extract_all(
+        F.lower("text"), F.lit(r"\b(the|a|an|and|or|of|to|in|is|it)\b"), 0))
+    return d.select(
+        "doc_id", n_char.alias("n_char"), n_word.alias("n_word"),
+        F.round(n_punct.cast("double") / n_char, 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / F.greatest(n_word, F.lit(1)), 6)
+         .alias("stopword_ratio"),
+        F.round(n_char.cast("double") / F.greatest(n_word, F.lit(1)), 6)
+         .alias("avg_word_len"))
+
+
+@q("text_token_count", """
+SELECT doc_id,
+       array_length(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+       array_length(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens
+FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+""")
+def text_token_count(spark, sf):
+    # whitespace tokens + a BPE-ish regex segmentation (letters | digits
+    # | single symbol), both JVM-side
+    d = t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(
+            "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+         .alias("bpe_ish_tokens"))
+
+
+@q("text_fingerprint", """
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents WHERE text IS NOT NULL
+""")
+def text_fingerprint(spark, sf):
+    # canonicalized content fingerprint (whitespace-collapse + casefold
+    # + md5) — the doc-level analog of the extraction content hash
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fingerprint"))
+
+
+# =========================================================================
+# UDF / UDAF / UDTF surface (SURVEY.md §2.B)
+# =========================================================================
+
+@q("udf_scalar_pandas", """
+SELECT doc_id, ROUND(ln(1 + length(text)), 6) AS len_score
+FROM documents WHERE text IS NOT NULL
+""")
+def udf_scalar_pandas(spark, sf):
+    # Series→Series scorer: Arrow-batched, numpy-vectorized
+    @F.pandas_udf(T.DoubleType())
+    def len_score(texts: pd.Series) -> pd.Series:
+        return np.round(np.log1p(texts.str.len().astype("float64")), 6)
+
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return d.select("doc_id", len_score("text").alias("len_score"))
+
+
+@q("udf_iter_pandas", """
+SELECT doc_id,
+       array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+""")
+def udf_iter_pandas(spark, sf):
+    # Iterator[Series]→Iterator[Series]: one-time per-worker init before
+    # the batch loop (the A9 broadcast-state idiom)
+    import re as _re
+
+    @F.pandas_udf(T.IntegerType())
+    def n_tokens(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        tok = _re.compile(r"\s+")  # init once per worker, reused per batch
+        for texts in it:
+            yield texts.str.strip().map(
+                lambda s: len(tok.split(s)) if s else 0).astype("int32")
+
+    d = t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+    return d.select("doc_id", n_tokens("text").alias("n_tokens"))
+
+
+@q("udf_map_arrow")  # rows-only: the extraction kernel itself
+def udf_map_arrow(spark, sf):
+    """RecordBatch→RecordBatch: the full A2–A7 extraction kernel applied
+    to documents re-shaped as transcripts — the flagship as a corpus op."""
+    from .pipeline import extract_df
+
+    d = t(spark, sf, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("text"))
+    out = extract_df(spark, d, partitions=8)
+    return out.select("conv_id", "payload_kind", "n_spans",
+                      F.length("extracted_text").alias("n_chars_out"))
+
+
+@q("udf_grouped_map", """
+SELECT user_id, event_id,
+       ROUND(value - avg(value) OVER (PARTITION BY user_id), 6) AS centered
+FROM events
+""")
+def udf_grouped_map(spark, sf):
+    # per-group pandas repair/normalization (applyInPandas)
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["centered"] = np.round(pdf["value"] - pdf["value"].mean(), 6)
+        return pdf[["user_id", "event_id", "centered"]]
+
+    e = t(spark, sf, "events")
+    return e.groupBy("user_id").applyInPandas(
+        center, schema="user_id long, event_id long, centered double")
+
+
+@q("udf_grouped_agg", """
+SELECT event_type, ROUND(sqrt(avg(value * value)), 6) AS rms
+FROM events GROUP BY event_type
+""")
+def udf_grouped_agg(spark, sf):
+    # grouped-agg pandas UDF (custom UDAF): root-mean-square
+    @F.pandas_udf(T.DoubleType())
+    def rms(v: pd.Series) -> float:
+        return float(np.round(np.sqrt(np.mean(np.square(v.to_numpy()))), 6))
+
+    e = t(spark, sf, "events")
+    return e.groupBy("event_type").agg(rms("value").alias("rms"))
+
+
+@q("udtf_tokens", """
+SELECT doc_id, tok AS token, length(tok) AS token_len
+FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+WHERE tok <> ''
+""")
+def udtf_tokens(spark, sf):
+    # PySpark 4 Python UDTF: one row in → N token rows out (the span
+    # explosion shape); lateral-joined against the documents scan
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, token_len int")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for tok in text.strip().split():
+                if tok:
+                    yield tok, len(tok)
+
+    spark.udtf.register("ocrflow_tokenize", Tokenize)
+    t(spark, sf, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql("""
+        SELECT doc_id, s.token, s.token_len
+        FROM docs_udtf,
+        LATERAL ocrflow_tokenize(text) s
+        WHERE text IS NOT NULL AND length(trim(text)) > 0
+    """)
+
+
+# =========================================================================
+# Sinks / icelite sources (rows-only; exercised further in tests)
+# =========================================================================
+
+@q("sink_partitioned")  # rows-only: writes then reads back
+def sink_partitioned(spark, sf):
+    import tempfile
+    out = tempfile.mkdtemp(prefix="ocrflow_sinkq_")
+    e = t(spark, sf, "events").withColumn(
+        "bucket", F.pmod(F.xxhash64("user_id"), F.lit(8)))
+    e.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    back = spark.read.parquet(out)
+    # partition pruning: only bucket=3 files are scanned
+    return (back.filter(F.col("bucket") == 3)
+            .groupBy("bucket").agg(F.count("*").alias("n")))
+
+
+@q("source_icelite_snapshot")  # rows-only: snapshot-isolated scan
+def source_icelite_snapshot(spark, sf):
+    import tempfile
+    from .icelite import IceliteTable, write_dataframe_files
+    tbl = IceliteTable(tempfile.mkdtemp(prefix="ocrflow_ice_"))
+    e = t(spark, sf, "events")
+    f1 = write_dataframe_files(e.filter(F.col("event_id") % 2 == 0),
+                               tbl.new_commit_dir("c1"))
+    tbl.commit_append(f1)
+    f2 = write_dataframe_files(e.filter(F.col("event_id") % 2 == 1),
+                               tbl.new_commit_dir("c2"))
+    tbl.commit_append(f2)
+    # time-travel: snapshot 1 sees only the even half
+    return (tbl.read(spark, snapshot_id=1)
+            .agg(F.count("*").alias("n_snapshot1"),
+                 F.max("event_id").alias("max_id")))

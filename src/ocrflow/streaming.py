@@ -1,0 +1,156 @@
+"""Structured Streaming operator corpus (SURVEY.md §2.B streaming rows).
+
+All queries read the events table as a file-source stream and run to
+completion with ``trigger(availableNow=True)`` into a memory sink —
+the driver's correctness check is rows-only (DuckDB cannot oracle
+streams); tests/test_streaming.py additionally asserts parity against
+the equivalent batch computation (SURVEY.md §5.7).
+
+Scale notes: at 100 TB-rate ingest the same plans run against a Kafka
+source with a real checkpointLocation on durable storage; watermarks
+bound state, and `availableNow` becomes a real continuous trigger. The
+stateful operator (applyInPandasWithState) keeps per-user state in the
+state store — partitioned by the grouping key, so it scales with
+executors like any keyed shuffle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+STREAM_QUERIES: dict = {}
+
+
+def sq(name: str):
+    def deco(fn):
+        STREAM_QUERIES[name] = fn
+        return fn
+    return deco
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # file-source streams need a directory; glob-filter to the events file
+    return (spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events*.parquet")
+            .parquet(sf_dir))
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Drive the streaming query to completion; return the materialized
+    result as a batch DataFrame (so queries() callables stay uniform)."""
+    name = f"s_{uuid.uuid4().hex[:10]}"
+    q = (stream_df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ocrflow_ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+@sq("stream_tumbling")
+def stream_tumbling(spark, sf):
+    s = _events_stream(spark, sf)
+    agg = (s.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+           .agg(F.count("*").alias("n"))
+           .select(F.col("w.start").alias("w_start"), "event_type", "n"))
+    return _run_to_memory(agg, "complete")
+
+
+@sq("stream_sliding")
+def stream_sliding(spark, sf):
+    s = _events_stream(spark, sf)
+    agg = (s.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+           .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+           .select(F.col("w.start").alias("w_start"), "n",
+                   F.round("v", 4).alias("v")))
+    return _run_to_memory(agg, "complete")
+
+
+@sq("stream_session")
+def stream_session(spark, sf):
+    s = _events_stream(spark, sf)
+    agg = (s.withWatermark("ts", "1 hour")
+           .groupBy(F.session_window("ts", "30 seconds").alias("w"), "user_id")
+           .agg(F.count("*").alias("n"))
+           .select(F.col("w.start").alias("w_start"),
+                   F.col("w.end").alias("w_end"), "user_id", "n"))
+    return _run_to_memory(agg, "append")
+
+
+@sq("stream_watermark_late")
+def stream_watermark_late(spark, sf):
+    # watermark bounds state; with availableNow over one file the final
+    # watermark drops windows older than max(ts) - 10 min from APPEND
+    # emission until closed — rows emitted are the closed windows
+    s = _events_stream(spark, sf)
+    agg = (s.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 minute").alias("w"))
+           .agg(F.count("*").alias("n"))
+           .select(F.col("w.start").alias("w_start"), "n"))
+    return _run_to_memory(agg, "append")
+
+
+@sq("stream_dedup")
+def stream_dedup(spark, sf):
+    s = _events_stream(spark, sf)
+    dd = (s.withWatermark("ts", "10 minutes")
+          .dropDuplicates(["event_id"])
+          .select("event_id", "user_id", "event_type"))
+    return _run_to_memory(dd, "append")
+
+
+@sq("stream_stateful")
+def stream_stateful(spark, sf):
+    """Custom stateful operator: running per-user (count, last_ts) via
+    applyInPandasWithState — the streaming analog of broadcast-state
+    per-glyph classification (state lives in the store, not the kernel)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    s = _events_stream(spark, sf)
+
+    def fn(key, pdfs, state):
+        cnt, last = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            mx = pdf["ts"].max()
+            last = mx if last is None or mx > last else last
+        state.update((cnt, last))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt],
+                            "last_ts": [last]})
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, last_ts timestamp",
+        stateStructType="cnt long, last timestamp",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return _run_to_memory(out, "update")
+
+
+@sq("stream_sink")
+def stream_sink(spark, sf):
+    """Checkpointed file sink: write the stream to parquet with a real
+    checkpointLocation, then read the sink back (exactly-once files)."""
+    out_dir = tempfile.mkdtemp(prefix="ocrflow_sink_")
+    s = _events_stream(spark, sf).select("event_id", "user_id", "value")
+    q = (s.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ocrflow_ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

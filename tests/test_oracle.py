@@ -11,6 +11,7 @@ import os
 import duckdb
 import pytest
 
+import ocrflow.dataops  # noqa: F401 — registers dataops queries
 from ocrflow.queries import ORACLE, QUERIES
 
 SF_DIR = os.environ.get("OCRFLOW_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -1,0 +1,75 @@
+"""Streaming parity vs batch recomputation (SURVEY.md §5.7)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocrflow.streaming import STREAM_QUERIES
+
+SF_DIR = os.environ.get("OCRFLOW_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_tumbling_parity(spark, events):
+    got = STREAM_QUERIES["stream_tumbling"](spark, SF_DIR)
+    batch = (events.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+             .agg(F.count("*").alias("n"))
+             .select(F.col("w.start").alias("w_start"), "event_type", "n"))
+    assert _rows(got, "w_start", "event_type", "n") == \
+        _rows(batch, "w_start", "event_type", "n")
+
+
+def test_stream_sliding_parity(spark, events):
+    got = STREAM_QUERIES["stream_sliding"](spark, SF_DIR)
+    batch = (events.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+             .select(F.col("w.start").alias("w_start"), "n", "v"))
+    assert _rows(got, "w_start", "n") == _rows(batch, "w_start", "n")
+
+
+def test_stream_session_runs(spark):
+    got = STREAM_QUERIES["stream_session"](spark, SF_DIR)
+    rows = got.collect()
+    assert rows, "session windows should close under availableNow"
+    assert all(r["w_end"] > r["w_start"] for r in rows)
+
+
+def test_stream_watermark_late(spark, events):
+    got = STREAM_QUERIES["stream_watermark_late"](spark, SF_DIR)
+    n_windows_batch = (events.groupBy(F.window("ts", "1 minute"))
+                       .count().count())
+    # append mode emits only windows closed by the final watermark:
+    # a suffix of windows near max(ts) stays open → strictly fewer rows
+    assert 0 < got.count() < n_windows_batch
+
+
+def test_stream_dedup_parity(spark, events):
+    got = STREAM_QUERIES["stream_dedup"](spark, SF_DIR)
+    assert got.count() == events.select("event_id").distinct().count()
+
+
+def test_stream_stateful_final_counts(spark, events):
+    got = STREAM_QUERIES["stream_stateful"](spark, SF_DIR)
+    # update-mode memory sink: keep each user's LAST emitted row
+    final = {}
+    for r in got.collect():
+        final[r["user_id"]] = r["n_events"]
+    batch = {r["user_id"]: r["n"] for r in
+             events.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert final == batch
+
+
+def test_stream_sink_exactly_once_rows(spark, events):
+    got = STREAM_QUERIES["stream_sink"](spark, SF_DIR)
+    assert got.count() == events.count()
+    assert set(got.columns) == {"event_id", "user_id", "value"}
