@@ -42,6 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import ocrflow.dataops  # noqa: F401 — registers into QUERIES
+    import ocrflow.multimodal  # noqa: F401 — registers into QUERIES
     from ocrflow.queries import QUERIES
     from ocrflow.streaming import STREAM_QUERIES
     return {**QUERIES, **STREAM_QUERIES}
@@ -49,5 +50,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     import ocrflow.dataops  # noqa: F401 — registers into ORACLE
+    import ocrflow.multimodal  # noqa: F401 — registers into ORACLE
     from ocrflow.queries import ORACLE
     return dict(ORACLE)

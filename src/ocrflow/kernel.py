@@ -23,17 +23,20 @@ import pyarrow as pa
 
 from . import reference as R
 
-#: Spark DDL for the extracted table (SURVEY.md §1.2)
+#: Spark DDL for the extracted table (SURVEY.md §1.2, amended: span kind
+#: ships as a dictionary CODE, not a string — 5.6M per-span UTF8String
+#: materializations in the JVM collapsed 32-core throughput ~6x; decode
+#: lazily with pipeline.decode_spans() / kernel.SPAN_KINDS)
 EXTRACTED_DDL = (
     "conv_id string, turn_idx int, extracted_text string, "
-    "spans array<struct<start:int, end:int, kind:string, score:double>>, "
+    "spans array<struct<start:int, end:int, kind_code:tinyint, score:double>>, "
     "payload_kind string, n_spans int"
 )
 
 _SPAN_STRUCT = pa.struct([
     pa.field("start", pa.int32()),
     pa.field("end", pa.int32()),
-    pa.field("kind", pa.string()),
+    pa.field("kind_code", pa.int8()),
     pa.field("score", pa.float64()),
 ])
 
@@ -46,8 +49,8 @@ _OUT_SCHEMA = pa.schema([
     pa.field("n_spans", pa.int32()),
 ])
 
-#: kind-code → kind-string dictionary for the span struct column
-_KIND_DICT = pa.array(R.SPAN_KINDS, type=pa.string())
+#: kind-code → kind-string dictionary (export for consumers)
+SPAN_KINDS = R.SPAN_KINDS
 
 
 def extract_batch(batch: pa.RecordBatch, weights: dict) -> pa.RecordBatch:
@@ -81,7 +84,7 @@ def extract_batch(batch: pa.RecordBatch, weights: dict) -> pa.RecordBatch:
     span_struct = pa.StructArray.from_arrays(
         [pa.array(starts.astype(np.int32), type=pa.int32()),
          pa.array(ends.astype(np.int32), type=pa.int32()),
-         _KIND_DICT.take(pa.array(kcodes, type=pa.int64())),
+         pa.array(kcodes.astype(np.int8), type=pa.int8()),
          pa.array(scores, type=pa.float64())],
         fields=list(_SPAN_STRUCT))
     spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),

@@ -1,0 +1,161 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real — schemas, Arrow batch shapes,
+mapInPandas iterator signatures, partitioning — while the codec step is
+STUBBED (this container has no cv2/PIL/ffmpeg): ``_decode_image`` and
+``_decode_audio`` produce a deterministic fake decode from the payload
+bytes, and raise ``NotImplementedError`` if a real codec is requested.
+Swapping in a real decoder changes one function, not the pipeline.
+
+Assets are synthesized deterministically from the documents table (no
+external data): payload = the doc's utf-8 bytes repeated/truncated to
+the size the metadata declares, so every byte is reproducible from
+(doc_id). At 100 TB, payloads live in object storage with only
+(pointer, meta) in the table; the same mapInPandas kernels apply — the
+iterator form streams batches so one oversized asset never materializes
+a whole partition in memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .queries import q, t
+
+ASSETS_DDL = ("asset_id bigint, kind string, payload binary, "
+              "width int, height int, sample_rate int, n_frames int")
+
+_KINDS = ("image", "audio", "video")
+
+
+def make_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic binary assets derived from documents (no I/O)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(F.array(*[F.lit(k) for k in _KINDS]),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.col("doc_id") % 64 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 48 + 16).cast("int").alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        (F.col("doc_id") % 30 + 2).cast("int").alias("n_frames"))
+
+
+def _decode_image(payload: bytes, width: int, height: int,
+                  real_codec: bool = False) -> np.ndarray:
+    """STUB decode: deterministic fake image from payload bytes.
+
+    A real implementation would be ``cv2.imdecode(np.frombuffer(payload,
+    np.uint8), cv2.IMREAD_GRAYSCALE)`` — unavailable in this container.
+    """
+    if real_codec:
+        raise NotImplementedError(
+            "real image codecs (cv2/PIL) are not installed in this "
+            "environment; the deterministic fake below exercises the "
+            "identical batch plumbing")
+    n = width * height
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    reps = int(np.ceil(n / max(len(buf), 1))) if len(buf) else 1
+    if len(buf) == 0:
+        return np.zeros((height, width), dtype=np.uint8)
+    return np.tile(buf, reps)[:n].reshape(height, width)
+
+
+def _decode_audio(payload: bytes, sample_rate: int,
+                  real_codec: bool = False) -> np.ndarray:
+    """STUB decode: deterministic fake PCM (int16) from payload bytes."""
+    if real_codec:
+        raise NotImplementedError("real audio codecs are not installed")
+    buf = np.frombuffer(payload[: (len(payload) // 2) * 2], dtype=np.int16)
+    return buf if len(buf) else np.zeros(1, dtype=np.int16)
+
+
+@q("mm_metadata")  # rows-only: binary assets have no DuckDB twin here
+def mm_metadata(spark, sf):
+    """Feature-extract over binary columns: byte size, content hash,
+    and a decoded-shape check — one mapInPandas pass, Arrow-batched."""
+    assets = make_assets(spark, sf)
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            decoded_px = []
+            for p, w, h, k in zip(pdf["payload"], pdf["width"],
+                                  pdf["height"], pdf["kind"]):
+                if k == "image":
+                    decoded_px.append(int(_decode_image(p, w, h).size))
+                elif k == "audio":
+                    decoded_px.append(int(_decode_audio(p, 16000).size))
+                else:
+                    decoded_px.append(-1)
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "sha1": pdf["payload"].map(
+                    lambda b: hashlib.sha1(b).hexdigest()),
+                "decoded_units": pd.Series(decoded_px, dtype="int64"),
+            })
+
+    return assets.mapInPandas(
+        meta, schema=("asset_id bigint, kind string, n_bytes bigint, "
+                      "sha1 string, decoded_units bigint"))
+
+
+@q("mm_resize")  # rows-only
+def mm_resize(spark, sf):
+    """Image resize stub: decode → nearest-neighbor downsample to 16×16
+    → checksum. The batch shape (N×H×W → N×16×16) is the real contract;
+    only the decode is fake."""
+    assets = make_assets(spark, sf).filter(F.col("kind") == "image")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = 16
+        for pdf in batches:
+            sums = np.zeros(len(pdf), dtype=np.int64)
+            for i, (p, w, h) in enumerate(zip(pdf["payload"], pdf["width"],
+                                              pdf["height"])):
+                img = _decode_image(p, w, h)
+                ys = np.linspace(0, h - 1, target).astype(np.intp)
+                xs = np.linspace(0, w - 1, target).astype(np.intp)
+                small = img[np.ix_(ys, xs)]
+                sums[i] = int(small.sum())
+            yield pd.DataFrame({"asset_id": pdf["asset_id"],
+                                "thumb_sum": sums,
+                                "thumb_px": np.full(len(pdf), target * target,
+                                                    dtype=np.int64)})
+
+    return assets.mapInPandas(
+        resize, schema="asset_id bigint, thumb_sum bigint, thumb_px bigint")
+
+
+@q("mm_frame_sample")  # rows-only
+def mm_frame_sample(spark, sf):
+    """Video frame sampling stub: one output row per sampled frame
+    (every k-th), the N→M row-expansion shape of real frame extraction."""
+    assets = make_assets(spark, sf).filter(F.col("kind") == "video")
+    stride = 5
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, checks = [], [], []
+            for aid, p, nf, w, h in zip(pdf["asset_id"], pdf["payload"],
+                                        pdf["n_frames"], pdf["width"],
+                                        pdf["height"]):
+                fake = _decode_image(p, w, h)
+                for fi in range(0, int(nf), stride):
+                    ids.append(aid)
+                    frames.append(fi)
+                    checks.append(int(fake.sum()) + fi)  # per-frame variant
+            yield pd.DataFrame({"asset_id": pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(frames, dtype="int32"),
+                                "frame_checksum": pd.Series(checks, dtype="int64")})
+
+    return assets.mapInPandas(
+        sample, schema="asset_id bigint, frame_idx int, frame_checksum bigint")

@@ -14,9 +14,12 @@ Scale design (BASELINE.json north_rule; SURVEY.md §4):
   over ≤`salt_buckets` partitions. The kernel is stateless per turn, so
   salting cannot change bytes; conversation-level reassembly (A8)
   regroups by *unsalted* conv_id.
-- **One shuffle total**: `sortWithinPartitions` (no global sort) gives
-  per-partition (conv_id, turn_idx) locality for free after the
-  repartition exchange.
+- **One shuffle total**; `sort_within=True` optionally adds a
+  within-partition (conv_id, turn_idx) sort for physically ordered
+  output files. Default off: the kernel is stateless per turn and the
+  ordering CONTRACT is enforced where it is semantic — the A8
+  reassembly window / array_sort — so the pipeline does not pay a sort
+  it does not need (measured ~30% of 32-core wall).
 - **Broadcast model state (A9)**: weights dict broadcast once;
   executors deserialize once per process.
 - **Zero per-row Python at the Spark API level**: the only Python is
@@ -28,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
 from . import chartables as ct
-from .kernel import EXTRACTED_DDL, make_kernel
+from .kernel import EXTRACTED_DDL, SPAN_KINDS, make_kernel
 
 DEFAULT_SALT_BUCKETS = 8
 
@@ -44,7 +47,8 @@ def extract_df(spark: SparkSession, transcripts: DataFrame,
                partitions: int | None = None,
                salt_buckets: int = DEFAULT_SALT_BUCKETS,
                weights: dict | None = None,
-               lineage_acc=None, input_file_col: str | None = None) -> DataFrame:
+               lineage_acc=None, input_file_col: str | None = None,
+               sort_within: bool = False) -> DataFrame:
     """Build the extraction plan over a transcripts DataFrame (lazy)."""
     weights = weights or ct.default_weights()
     b = spark.sparkContext.broadcast(weights)
@@ -57,7 +61,8 @@ def extract_df(spark: SparkSession, transcripts: DataFrame,
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     salted = pruned.repartition(partitions, *salted_key(salt_buckets))
-    ordered = salted.sortWithinPartitions("conv_id", "turn_idx")
+    ordered = (salted.sortWithinPartitions("conv_id", "turn_idx")
+               if sort_within else salted)
 
     kern = make_kernel(b, lineage_acc=lineage_acc, input_file_col=input_file_col)
     return ordered.mapInArrow(kern, EXTRACTED_DDL)
@@ -68,6 +73,23 @@ def extract_parquet(spark: SparkSession, in_path: str, out_path: str,
     """File-to-file convenience: parquet in → extracted parquet out."""
     df = spark.read.parquet(in_path)
     extract_df(spark, df, **kw).write.mode("overwrite").parquet(out_path)
+
+
+def decode_spans(extracted: DataFrame) -> DataFrame:
+    """Add human-readable span kinds (lazy, JVM-side dictionary lookup).
+
+    The hot path ships kind as a tinyint code; this view decodes it only
+    where a consumer actually reads strings — element_at over a constant
+    array costs nothing until evaluated.
+    """
+    kinds = F.array(*[F.lit(k) for k in SPAN_KINDS])
+    return extracted.withColumn(
+        "spans",
+        F.transform("spans", lambda s: F.struct(
+            s["start"].alias("start"),
+            s["end"].alias("end"),
+            F.element_at(kinds, s["kind_code"] + 1).alias("kind"),
+            s["score"].alias("score"))))
 
 
 def assemble_conversations(extracted: DataFrame) -> DataFrame:

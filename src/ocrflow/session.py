@@ -16,6 +16,22 @@ from pyspark.sql import SparkSession
 DEFAULT_ARROW_BATCH = 2048
 
 
+def _local_dir() -> str:
+    """Shuffle/spill dir: prefer the RAM disk in local mode.
+
+    A real cluster puts shuffle on per-executor local SSDs, which scale
+    with the executor count; a single shared container disk does not and
+    was measured to halve 32-core throughput. /dev/shm is the local-mode
+    stand-in. Override with OCRFLOW_LOCAL_DIR (e.g. for inputs larger
+    than RAM)."""
+    override = os.environ.get("OCRFLOW_LOCAL_DIR")
+    if override:
+        return override
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm/ocrflow_local"
+    return "/tmp/ocrflow_local"
+
+
 def _export_pythonpath() -> str:
     """Make the ocrflow package importable in executor Python workers.
 
@@ -55,6 +71,7 @@ def build_session(master: str | None = None, app: str = "ocrflow",
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
          .config("spark.ui.enabled", "false")
          .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+         .config("spark.local.dir", _local_dir())
          .config("spark.driver.memory", os.environ.get("OCRFLOW_DRIVER_MEM", "16g")))
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -78,3 +78,26 @@ def test_text_analysis_sanity(spark):
     assert all(r["n_word"] > 0 for r in qual)
     fp = q["text_fingerprint"](spark, SF_DIR).collect()
     assert all(len(r["fingerprint"]) == 32 for r in fp)
+
+
+def test_multimodal_plumbing(spark):
+    import ocrflow.multimodal as M
+    meta = M.mm_metadata(spark, SF_DIR).collect()
+    assert meta and all(len(r["sha1"]) == 40 for r in meta)
+    imgs = [r for r in meta if r["kind"] == "image"]
+    assert imgs and all(r["decoded_units"] > 0 for r in imgs)
+
+    rz = M.mm_resize(spark, SF_DIR).collect()
+    assert rz and all(r["thumb_px"] == 256 for r in rz)
+
+    fs = M.mm_frame_sample(spark, SF_DIR)
+    rows = fs.collect()
+    assert rows and all(r["frame_idx"] % 5 == 0 for r in rows)
+    # row expansion: more frame rows than video assets
+    n_videos = M.make_assets(spark, SF_DIR).filter("kind = 'video'").count()
+    assert len(rows) >= n_videos
+
+    # the stub is honest: asking for a real codec raises NotImplementedError
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        M._decode_image(b"xx", 4, 4, real_codec=True)

@@ -43,7 +43,8 @@ def test_spark_matches_golden(spark, rows, golden, partitions, salt):
         assert g["extracted_text"] == res.extracted_text, key
         assert g["payload_kind"] == res.payload_kind, key
         assert g["n_spans"] == res.n_spans, key
-        gspans = [(s["start"], s["end"], s["kind"], s["score"]) for s in g["spans"]]
+        gspans = [(s["start"], s["end"], R.SPAN_KINDS[s["kind_code"]],
+                   s["score"]) for s in g["spans"]]
         assert gspans == res.spans, key
 
 
@@ -82,3 +83,14 @@ def test_plan_shape(spark, rows):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_decode_spans_roundtrip(spark, rows, golden):
+    from ocrflow.pipeline import decode_spans
+    out = decode_spans(extract_df(spark, _transcripts_df(spark, rows),
+                                  partitions=4))
+    got = {(r["conv_id"], r["turn_idx"]): r for r in out.collect()}
+    for key, res in list(golden.items())[:50]:
+        gspans = [(s["start"], s["end"], s["kind"], s["score"])
+                  for s in got[key]["spans"]]
+        assert gspans == res.spans, key
