@@ -13,7 +13,10 @@ Scale design (BASELINE.json north_rule; SURVEY.md §4):
   (hash(conv_id), pmod(turn_idx, salt)) spreads a monster conversation
   over ≤`salt_buckets` partitions. The kernel is stateless per turn, so
   salting cannot change bytes; conversation-level reassembly (A8)
-  regroups by *unsalted* conv_id.
+  regroups by *unsalted* conv_id. Size salt_buckets ≥ partitions/2:
+  with salt=8 a 100k-turn conversation made 12.5k-turn cells whose
+  partition collisions produced 50s straggler tasks at 32 cores
+  (measured, 1M-turn bench); salt=64 restores near-uniform cells.
 - **One shuffle total**; `sort_within=True` optionally adds a
   within-partition (conv_id, turn_idx) sort for physically ordered
   output files. Default off: the kernel is stateless per turn and the
@@ -33,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 from . import chartables as ct
 from .kernel import EXTRACTED_DDL, SPAN_KINDS, make_kernel
 
-DEFAULT_SALT_BUCKETS = 8
+DEFAULT_SALT_BUCKETS = 64
 
 
 def salted_key(salt_buckets: int = DEFAULT_SALT_BUCKETS):
