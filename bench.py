@@ -30,10 +30,14 @@ HEADLINE = [
     "scan_pruned", "project_expr", "agg_hash", "agg_collect_sorted",
     "join_inner_equi", "join_broadcast", "join_asof", "join_salted_skew",
     "win_running", "topk_per_group", "str_regexp", "array_higher_order",
+    "tpch_q3_shape", "tpch_q5_shape", "sessionize_batch",
+    "dedup_exact", "dedup_minhash_lsh", "ann_bruteforce_cosine",
+    "text_quality_score",
 ]
 
 
 def main() -> None:
+    import ocrflow.dataops  # noqa: F401 — registers dataops queries
     from ocrflow.session import build_session
     from ocrflow.pipeline import extract_df
     from ocrflow.queries import QUERIES

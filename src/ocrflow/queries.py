@@ -734,3 +734,170 @@ def json_funcs(spark, sf):
     e = t(spark, sf, "events").filter(F.col("props").isNotNull())
     k = F.get_json_object("props", "$.k").cast("long")
     return e.select("event_id", k.alias("k"), (k % 10).alias("k_mod"))
+
+
+# =========================================================================
+# Reshaping / sessionization / classic multi-join shapes
+# =========================================================================
+
+@q("pivot_wide", """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
+FROM events GROUP BY user_id
+""")
+def pivot_wide(spark, sf):
+    # groupBy().pivot() with an explicit value list: one pass, no extra
+    # shuffle vs plain groupBy (values enumerated, not discovered)
+    e = t(spark, sf, "events")
+    out = (e.groupBy("user_id")
+           .pivot("event_type", ["click", "view", "purchase"])
+           .count())
+    for c in ("click", "view", "purchase"):
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out
+
+
+@q("unpivot_long", """
+SELECT o_orderkey, 'total' AS measure, o_totalprice AS value FROM orders
+UNION ALL
+SELECT o_orderkey, 'key10' AS measure, CAST(o_custkey * 10 AS DOUBLE) AS value FROM orders
+""")
+def unpivot_long(spark, sf):
+    # wide→long via stack (unpivot); no shuffle at all
+    o = t(spark, sf, "orders").withColumn(
+        "key10", (F.col("o_custkey") * 10).cast("double"))
+    return o.selectExpr(
+        "o_orderkey",
+        "stack(2, 'total', o_totalprice, 'key10', key10) AS (measure, value)")
+
+
+@q("sessionize_batch", """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(sum(new_session) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+FROM g
+""")
+def sessionize_batch(spark, sf):
+    # batch sessionization: lag-gap flag + running sum (the classic
+    # two-window composition; one shuffle on user_id reused by both)
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flag = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (e.withColumn("new_session", flag)
+            .withColumn("session_id",
+                        F.sum("new_session").over(run).cast("long"))
+            .select("user_id", "event_id", "session_id"))
+
+
+@q("win_distribution", """
+SELECT o_orderkey,
+       ROUND(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 8) AS prk,
+       ROUND(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey), 8) AS cdist
+FROM orders
+""")
+def win_distribution(spark, sf):
+    o = t(spark, sf, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 8).alias("prk"),
+        F.round(F.cume_dist().over(w), 8).alias("cdist"))
+
+
+@q("posexplode_tokens", """
+SELECT doc_id, pos, token FROM (
+  SELECT doc_id,
+         CAST(unnest(range(len(toks))) AS INT) AS pos,
+         unnest(toks) AS token
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+) WHERE token <> ''
+""")
+def posexplode_tokens(spark, sf):
+    d = t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+    return (d.select("doc_id", F.posexplode(F.split(F.trim("text"), r"\s+"))
+                     .alias("pos", "token"))
+            .filter(F.col("token") != ""))
+
+
+@q("tpch_q3_shape", """
+SELECT o.o_orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                * CAST(1 - l.l_discount AS DECIMAL(12,6))) AS DECIMAL(38,12))
+           AS revenue,
+       o.o_orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate
+""")
+def tpch_q3_shape(spark, sf):
+    # the classic 3-way join + agg: dimension filters push below the
+    # joins, the small filtered customer side broadcasts, lineitem (the
+    # 100 TB fact) shuffles once on orderkey
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")
+                       * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)"))
+                 .cast("decimal(38,12)").alias("revenue"))
+            .select("o_orderkey", "revenue", "o_orderdate"))
+
+
+@q("tpch_q5_shape", """
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                * CAST(1 - l.l_discount AS DECIMAL(12,6))) AS DECIMAL(38,12))
+           AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""")
+def tpch_q5_shape(spark, sf):
+    # 6-way star join: region→nation→supplier chain stays broadcast-able
+    # end to end; only the fact tables exchange. AQE + CBO reorder the
+    # rest — declared, not hand-scheduled.
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    dim = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(dim), (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .groupBy("n_name")
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")
+                       * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)"))
+                 .cast("decimal(38,12)").alias("revenue")))

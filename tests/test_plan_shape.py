@@ -1,0 +1,62 @@
+"""Plan-shape golden tests (SURVEY.md §4): the physical plans Catalyst
+produces must keep the properties the 100 TB design depends on —
+predicate pushdown into the parquet scan, column pruning, broadcast
+joins on dimension sides."""
+
+import os
+
+import ocrflow.dataops  # noqa: F401
+from ocrflow.queries import QUERIES
+
+SF_DIR = os.environ.get("OCRFLOW_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pruned_pushdown_and_pruning(spark):
+    plan = _plan(QUERIES["scan_pruned"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThan" in plan
+    # ReadSchema carries only the 3 needed columns, not all 11
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read and "l_quantity" in read and "l_shipdate" in read
+    assert "l_extendedprice" not in read and "l_partkey" not in read
+
+
+def test_broadcast_join_is_broadcast(spark):
+    plan = _plan(QUERIES["join_broadcast"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_tpch_q3_dimension_broadcasts(spark):
+    plan = _plan(QUERIES["tpch_q3_shape"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # dimension filters sit below the joins (pushed into the scans)
+    assert plan.count("PushedFilters: [I") >= 1 or "PushedFilters" in plan
+
+
+def test_left_anti_resume_shape(spark):
+    plan = _plan(QUERIES["join_left_anti"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_extract_pipeline_single_exchange_and_pruned(spark, tmp_path):
+    from ocrflow import synth
+    from ocrflow.pipeline import extract_df
+    rows = synth.gen_rows(50, seed=42, monster_every=0)
+    path = str(tmp_path / "t")
+    spark.createDataFrame(rows, schema=synth.TRANSCRIPTS_DDL).write.parquet(path)
+    plan = _plan(extract_df(spark, spark.read.parquet(path), partitions=4))
+    assert plan.count("Exchange") == 1          # the salted repartition only
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+    # column pruning reaches the parquet scan: 3 columns, not 6
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "conv_id" in read and "turn_idx" in read and "text" in read
+    assert "role" not in read and "tool" not in read and "ts" not in read
+
+
+def test_limit_topn_take_ordered(spark):
+    plan = _plan(QUERIES["limit_topn"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan      # no global sort for top-N
