@@ -528,3 +528,44 @@ def source_icelite_snapshot(spark, sf):
     return (tbl.read(spark, snapshot_id=1)
             .agg(F.count("*").alias("n_snapshot1"),
                  F.max("event_id").alias("max_id")))
+
+
+@q("agg_mad_udaf", """
+SELECT event_type, ROUND(avg(abs(value - m)), 6) AS mad
+FROM (SELECT event_type, value,
+             avg(value) OVER (PARTITION BY event_type) AS m
+      FROM events)
+GROUP BY event_type
+""")
+def agg_mad_udaf(spark, sf):
+    # the §2.B-planned custom UDAF: mean absolute deviation as a
+    # grouped-agg pandas UDF (Arrow-batched per group)
+    @F.pandas_udf(T.DoubleType())
+    def mad(v: pd.Series) -> float:
+        a = v.to_numpy()
+        return float(np.round(np.mean(np.abs(a - a.mean())), 6))
+
+    e = t(spark, sf, "events")
+    return e.groupBy("event_type").agg(mad("value").alias("mad"))
+
+
+@q("join_null_safe_eq", """
+SELECT a.event_id AS id_a, b.event_id AS id_b
+FROM (SELECT event_id, CASE WHEN event_id % 7 = 0 THEN NULL
+                            ELSE event_id % 5 END AS k FROM events) a
+JOIN (SELECT event_id, CASE WHEN event_id % 11 = 0 THEN NULL
+                            ELSE event_id % 5 END AS k FROM events) b
+  ON a.k IS NOT DISTINCT FROM b.k AND a.event_id < b.event_id
+WHERE a.event_id < 60 AND b.event_id < 60
+""")
+def join_null_safe_eq(spark, sf):
+    # null-safe equality (<=>): NULL keys join each other, unlike `=`
+    e = t(spark, sf, "events").filter(F.col("event_id") < 60)
+    a = e.select("event_id", F.when(F.col("event_id") % 7 == 0, None)
+                 .otherwise(F.col("event_id") % 5).alias("k")).alias("a")
+    b = e.select("event_id", F.when(F.col("event_id") % 11 == 0, None)
+                 .otherwise(F.col("event_id") % 5).alias("k")).alias("b")
+    return (a.join(b, F.col("a.k").eqNullSafe(F.col("b.k"))
+                   & (F.col("a.event_id") < F.col("b.event_id")))
+            .select(F.col("a.event_id").alias("id_a"),
+                    F.col("b.event_id").alias("id_b")))
