@@ -437,18 +437,21 @@ def udf_map_arrow(spark, sf):
 
 @q("udf_grouped_map", """
 SELECT user_id, event_id,
-       ROUND(value - avg(value) OVER (PARTITION BY user_id), 6) AS centered
+       value - min(value) OVER (PARTITION BY user_id) AS rebased
 FROM events
 """)
 def udf_grouped_map(spark, sf):
-    # per-group pandas repair/normalization (applyInPandas)
+    # per-group pandas repair/normalization (applyInPandas); rebasing on
+    # the group MIN keeps the arithmetic exact on both engines (a mean
+    # accumulates in engine-specific order — 1-ULP ties broke the
+    # string-exact oracle at round-6)
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf["centered"] = np.round(pdf["value"] - pdf["value"].mean(), 6)
-        return pdf[["user_id", "event_id", "centered"]]
+        pdf["rebased"] = pdf["value"] - pdf["value"].min()
+        return pdf[["user_id", "event_id", "rebased"]]
 
     e = t(spark, sf, "events")
     return e.groupBy("user_id").applyInPandas(
-        center, schema="user_id long, event_id long, centered double")
+        center, schema="user_id long, event_id long, rebased double")
 
 
 @q("udf_grouped_agg", """
