@@ -274,14 +274,29 @@ def segment_plain(text: str) -> list[Block]:
 
 
 def _score_and_keep(blocks: list[Block], weights: dict) -> list[Block]:
-    """A6+A7: batched linear classify, threshold at τ, keep document order."""
+    """A6+A7: batched linear classify, threshold at τ, keep document order.
+
+    The whole block batch is featurized in single numpy passes — one
+    codepoint-class lookup over the concatenated text serves every
+    block's cjk_ratio (reduceat over block offsets)."""
     if not blocks:
         return []
-    lengths = np.array([len(b.text) for b in blocks], dtype=np.float64)
-    ld = np.array([b.link_density for b in blocks], dtype=np.float64)
-    code = np.array([b.is_code for b in blocks], dtype=np.float64)
-    cjk = np.array([ct.cjk_ratio(b.text) for b in blocks], dtype=np.float64)
-    scores = ct.score_blocks(lengths, ld, code, cjk, weights["block_weights"])
+    lengths = np.fromiter((len(b.text) for b in blocks), dtype=np.int64,
+                          count=len(blocks))
+    ld = np.fromiter((b.link_density for b in blocks), dtype=np.float64,
+                     count=len(blocks))
+    code = np.fromiter((b.is_code for b in blocks), dtype=np.float64,
+                       count=len(blocks))
+    # one class-table pass over all block text; per-block CJK counts via
+    # reduceat on the block offsets
+    joined = "".join(b.text for b in blocks)
+    is_cjk = (ct.char_classes(joined) == ct.CLS_CJK).astype(np.int64)
+    offsets = np.zeros(len(blocks), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    counts = np.add.reduceat(is_cjk, offsets) if len(is_cjk) else offsets
+    cjk = counts / np.maximum(lengths, 1)
+    scores = ct.score_blocks(lengths.astype(np.float64), ld, code, cjk,
+                             weights["block_weights"])
     tau = weights["tau"]
     return [b for b, s in zip(blocks, scores) if s >= tau]
 
