@@ -154,3 +154,51 @@ def stream_sink(spark, sf):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def stream_extract(spark: SparkSession, input_dir: str, out_table_path: str,
+                   checkpoint_dir: str | None = None,
+                   partitions: int = 8, salt_buckets: int = 64):
+    """Incremental extraction: transcripts file-stream → Arrow kernel →
+    icelite append per micro-batch (exactly-once via the streaming
+    checkpoint + atomic snapshot commits).
+
+    The streaming twin of runner.run_extract: new transcript files are
+    picked up incrementally, each micro-batch runs the same extract_df
+    plan inside foreachBatch, and every batch commits one icelite
+    snapshot tagged with the epoch. At ingest scale the source is Kafka
+    and the checkpoint lives on durable storage; the plan is identical.
+    Runs with availableNow (drain-everything-then-stop).
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .icelite import IceliteTable, write_dataframe_files
+    from .pipeline import extract_df
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    tbl = IceliteTable(out_table_path)
+
+    def commit_batch(batch_df, epoch_id: int):
+        extracted = extract_df(batch_df.sparkSession, batch_df,
+                               partitions=partitions,
+                               salt_buckets=salt_buckets)
+        d = tbl.new_commit_dir(f"epoch-{epoch_id}")
+        files = write_dataframe_files(extracted, d)
+        tbl.commit_append(files, props={"epoch": epoch_id})
+
+    stream = (spark.readStream.schema(schema).parquet(input_dir))
+    q = (stream.writeStream.foreachBatch(commit_batch)
+         .option("checkpointLocation",
+                 checkpoint_dir or tempfile.mkdtemp(prefix="ocrflow_sx_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return tbl

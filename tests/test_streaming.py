@@ -73,3 +73,39 @@ def test_stream_sink_exactly_once_rows(spark, events):
     got = STREAM_QUERIES["stream_sink"](spark, SF_DIR)
     assert got.count() == events.count()
     assert set(got.columns) == {"event_id", "user_id", "value"}
+
+
+def test_stream_extract_incremental(spark, tmp_path):
+    """Incremental extraction: two file drops → two snapshot commits,
+    union byte-equal to the golden extractor (streaming twin of the
+    resume test)."""
+    from ocrflow import reference as R
+    from ocrflow import synth
+    from ocrflow.streaming import stream_extract
+
+    rows = synth.gen_rows(200, seed=42, monster_every=0)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "extracted")
+
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], schema=synth.TRANSCRIPTS_DDL) \
+        .coalesce(1).write.mode("append").parquet(str(in_dir))
+    tbl = stream_extract(spark, str(in_dir), out, checkpoint_dir=ckpt,
+                         partitions=4)
+    n1 = tbl.read(spark).count()
+    assert n1 == half
+
+    # second drop: only the new file is processed (checkpoint offsets)
+    spark.createDataFrame(rows[half:], schema=synth.TRANSCRIPTS_DDL) \
+        .coalesce(1).write.mode("append").parquet(str(in_dir))
+    tbl = stream_extract(spark, str(in_dir), out, checkpoint_dir=ckpt,
+                         partitions=4)
+    got = {(r["conv_id"], r["turn_idx"]): r["extracted_text"]
+           for r in tbl.read(spark).collect()}
+    assert len(got) == len(rows)
+    for row in rows:
+        assert got[(row["conv_id"], row["turn_idx"])] == \
+            R.extract_turn(row["text"]).extracted_text
+    assert len(tbl.snapshots()) == 2
