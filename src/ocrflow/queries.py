@@ -901,3 +901,36 @@ def tpch_q5_shape(spark, sf):
             .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")
                        * (F.lit(1) - F.col("l_discount")).cast("decimal(12,6)"))
                  .cast("decimal(38,12)").alias("revenue")))
+
+
+@q("agg_stats", """
+SELECT event_type,
+       ROUND(stddev_samp(value), 4) AS sd,
+       ROUND(var_samp(value), 4) AS var,
+       ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_uid,
+       ROUND(min(value), 6) AS vmin,
+       ROUND(max(value), 6) AS vmax
+FROM events GROUP BY event_type
+""")
+def agg_stats(spark, sf):
+    e = t(spark, sf, "events")
+    return (e.groupBy("event_type")
+            .agg(F.round(F.stddev_samp("value"), 4).alias("sd"),
+                 F.round(F.var_samp("value"), 4).alias("var"),
+                 F.round(F.corr("value", F.col("user_id").cast("double")), 4)
+                  .alias("corr_uid"),
+                 F.round(F.min("value"), 6).alias("vmin"),
+                 F.round(F.max("value"), 6).alias("vmax")))
+
+
+@q("set_union_all", """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+""")
+def set_union_all(spark, sf):
+    # bag-semantics union (duplicates preserved) — zero shuffle
+    c = t(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.unionByName(b)
