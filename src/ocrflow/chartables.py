@@ -108,13 +108,20 @@ SPAN_BASE = {"cjk": 0.9, "latin": 0.7, "num": 0.6, "punct": 0.2,
              "code": 0.95, "block": 0.5}
 
 
+#: frozen role prior (A6 feature "role prior"): added to every block
+#: score of a turn. Tool dumps and system boilerplate need more evidence
+#: to be kept; user/assistant prose is neutral.
+ROLE_PRIOR = {"user": 0.0, "assistant": 0.0, "tool": -0.15, "system": -0.3}
+
+
 def default_weights() -> dict:
     """The broadcastable model state (A9): weights + thresholds + span bases.
 
     pipeline.py broadcasts this dict once per executor, mirroring the
     reference's load-model-once-per-process behavior.
     """
-    return {"block_weights": BLOCK_WEIGHTS, "tau": TAU, "span_base": dict(SPAN_BASE)}
+    return {"block_weights": BLOCK_WEIGHTS, "tau": TAU,
+            "span_base": dict(SPAN_BASE), "role_prior": dict(ROLE_PRIOR)}
 
 
 def score_blocks(lengths: np.ndarray, link_density: np.ndarray,

@@ -61,13 +61,16 @@ def extract_batch(batch: pa.RecordBatch, weights: dict) -> pa.RecordBatch:
     and the list offsets close over the whole batch.
     """
     texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+    role_idx = batch.schema.get_field_index("role")
+    roles = (batch.column(role_idx).to_pylist() if role_idx >= 0
+             else [None] * len(texts))
     n = len(texts)
     ex_texts: list[str] = []
     kinds: list[str] = []
     starts_l, ends_l, kc_l, sc_l = [], [], [], []
     offsets = np.zeros(n + 1, dtype=np.int32)
     for i, t in enumerate(texts):
-        ex, st, en, kc, sc, kind = R.extract_turn_arrays(t, weights)
+        ex, st, en, kc, sc, kind = R.extract_turn_arrays(t, weights, roles[i])
         ex_texts.append(ex)
         kinds.append(kind)
         starts_l.append(st)

@@ -4,9 +4,10 @@
 
 Scale design (BASELINE.json north_rule; SURVEY.md §4):
 
-- **Column pruning before the kernel**: only (conv_id, turn_idx, text)
-  reach the Python worker; Catalyst pushes the projection into the
-  Parquet scan (`ReadSchema` carries 3 columns, not 6).
+- **Column pruning before the kernel**: only (conv_id, turn_idx, text,
+  role) reach the Python worker; Catalyst pushes the projection into
+  the Parquet scan (`ReadSchema` carries 4 columns, not 6). role feeds
+  the A6 role prior (tool/system turns need more evidence to keep).
 - **Native prefilters stay ahead of the UDF** — Python kernels are
   pushdown barriers, so anything expressible as a Column goes first.
 - **Explicit skew handling (A10)**: repartition on
@@ -57,6 +58,8 @@ def extract_df(spark: SparkSession, transcripts: DataFrame,
     b = spark.sparkContext.broadcast(weights)
 
     cols = ["conv_id", "turn_idx", "text"]
+    if "role" in transcripts.columns:
+        cols.append("role")  # feeds the A6 role prior
     if input_file_col:
         cols.append(input_file_col)
     pruned = transcripts.select(*cols)

@@ -273,7 +273,8 @@ def segment_plain(text: str) -> list[Block]:
     return blocks
 
 
-def _score_and_keep(blocks: list[Block], weights: dict) -> list[Block]:
+def _score_and_keep(blocks: list[Block], weights: dict,
+                    role: str | None = None) -> list[Block]:
     """A6+A7: batched linear classify, threshold at τ, keep document order.
 
     The whole block batch is featurized in single numpy passes — one
@@ -297,6 +298,8 @@ def _score_and_keep(blocks: list[Block], weights: dict) -> list[Block]:
     cjk = counts / np.maximum(lengths, 1)
     scores = ct.score_blocks(lengths.astype(np.float64), ld, code, cjk,
                              weights["block_weights"])
+    # A6 role prior: a constant per-turn shift of every block score
+    scores = scores + weights.get("role_prior", {}).get(role, 0.0)
     tau = weights["tau"]
     return [b for b, s in zip(blocks, scores) if s >= tau]
 
@@ -372,12 +375,14 @@ _EMPTY_I64 = np.empty(0, dtype=np.int64)
 _EMPTY_F64 = np.empty(0, dtype=np.float64)
 
 
-def extract_turn_arrays(text: str | None, weights: dict):
+def extract_turn_arrays(text: str | None, weights: dict,
+                        role: str | None = None):
     """The full A2→A7 loop, flat-array form (the kernel-facing API).
 
     Returns ``(extracted_text, starts, ends, kind_codes, scores,
     payload_kind)`` with numpy arrays, so the Arrow kernel can build
-    list<struct> span columns without per-span Python objects.
+    list<struct> span columns without per-span Python objects. ``role``
+    feeds the A6 role prior (tool/system turns need more evidence).
     """
     if text is None or text == "":
         return "", _EMPTY_I64, _EMPTY_I64, _EMPTY_I64, _EMPTY_F64, PAYLOAD_PLAIN
@@ -388,7 +393,7 @@ def extract_turn_arrays(text: str | None, weights: dict):
         blocks = segment_pdf(text)
     else:
         blocks = segment_plain(text)
-    kept = _score_and_keep(blocks, weights)
+    kept = _score_and_keep(blocks, weights, role)
 
     # A7 greedy stitch: '\n' separator, document order (frozen)
     pieces, code_ranges = [], []
@@ -408,16 +413,20 @@ def extract_turn_arrays(text: str | None, weights: dict):
     return extracted, starts, ends, kcodes, scores, kind
 
 
-def extract_turn(text: str | None, weights: dict | None = None) -> ExtractResult:
+def extract_turn(text: str | None, weights: dict | None = None,
+                 role: str | None = None) -> ExtractResult:
     """The golden per-turn function (object form used by tests/oracle)."""
     weights = weights or ct.default_weights()
-    extracted, starts, ends, kcodes, scores, kind = extract_turn_arrays(text, weights)
+    extracted, starts, ends, kcodes, scores, kind = extract_turn_arrays(
+        text, weights, role)
     spans = [(int(s), int(e), SPAN_KINDS[k], float(sc))
              for s, e, k, sc in zip(starts, ends, kcodes, scores)]
     return ExtractResult(extracted, spans, kind)
 
 
-def extract_many(texts, weights: dict | None = None) -> list[ExtractResult]:
+def extract_many(texts, weights: dict | None = None,
+                 roles=None) -> list[ExtractResult]:
     """Batch helper used by the Arrow kernel (kernel.py) — same code path."""
     weights = weights or ct.default_weights()
-    return [extract_turn(t, weights) for t in texts]
+    roles = roles or [None] * len(texts)
+    return [extract_turn(t, weights, r) for t, r in zip(texts, roles)]

@@ -23,7 +23,7 @@ def rows():
 def golden(rows):
     out = {}
     for r in rows:
-        res = R.extract_turn(r["text"])
+        res = R.extract_turn(r["text"], role=r["role"])
         out[(r["conv_id"], r["turn_idx"])] = res
     return out
 

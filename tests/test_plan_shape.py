@@ -51,10 +51,12 @@ def test_extract_pipeline_single_exchange_and_pruned(spark, tmp_path):
     plan = _plan(extract_df(spark, spark.read.parquet(path), partitions=4))
     assert plan.count("Exchange") == 1          # the salted repartition only
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan
-    # column pruning reaches the parquet scan: 3 columns, not 6
+    # column pruning reaches the parquet scan: 4 columns (role feeds the
+    # A6 role prior), not 6
     read = plan.split("ReadSchema:")[1].splitlines()[0]
-    assert "conv_id" in read and "turn_idx" in read and "text" in read
-    assert "role" not in read and "tool" not in read and "ts" not in read
+    assert ("conv_id" in read and "turn_idx" in read and "text" in read
+            and "role" in read)
+    assert "tool" not in read and "ts" not in read
 
 
 def test_limit_topn_take_ordered(spark):

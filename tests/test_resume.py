@@ -62,7 +62,7 @@ def test_run_commit_resume_byte_identical(spark, input_dir, tmp_path):
     assert len(got) == len(rows)
     for row in rows:
         assert got[(row["conv_id"], row["turn_idx"])] == \
-            R.extract_turn(row["text"]).extracted_text
+            R.extract_turn(row["text"], role=row["role"]).extracted_text
 
     # snapshot history: 2 data commits
     assert [s["snapshot_id"] for s in tbl.snapshots()] == [1, 2]

@@ -33,7 +33,8 @@ def test_salted_monster_conv(spark):
     # (a) identical bytes regardless of salting
     assert salted_texts == unsalted_texts
     golden = {(r["conv_id"], r["turn_idx"]):
-              R.extract_turn(r["text"]).extracted_text for r in rows}
+              R.extract_turn(r["text"], role=r["role"]).extracted_text
+              for r in rows}
     assert salted_texts == golden
 
     # (b) salting caps the hottest task: unsalted puts the whole monster

@@ -107,5 +107,5 @@ def test_stream_extract_incremental(spark, tmp_path):
     assert len(got) == len(rows)
     for row in rows:
         assert got[(row["conv_id"], row["turn_idx"])] == \
-            R.extract_turn(row["text"]).extracted_text
+            R.extract_turn(row["text"], role=row["role"]).extracted_text
     assert len(tbl.snapshots()) == 2
