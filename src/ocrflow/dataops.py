@@ -572,3 +572,47 @@ def join_null_safe_eq(spark, sf):
                    & (F.col("a.event_id") < F.col("b.event_id")))
             .select(F.col("a.event_id").alias("id_a"),
                     F.col("b.event_id").alias("id_b")))
+
+
+@q("join_bucketed_colocated", """
+SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+""")
+def join_bucketed_colocated(spark, sf):
+    """Bucketed co-located join: both sides written with bucketBy on the
+    join key, so the sort-merge join runs with ZERO exchanges — the
+    100 TB technique for repeated joins on a stable key (bucket once,
+    join forever). Same semantics as join_inner_equi (shared oracle);
+    tests assert the exchange-free plan."""
+    import tempfile
+    wh = tempfile.mkdtemp(prefix="ocrflow_wh_")
+    ot, ct_ = "ocrflow_orders_bkt", "ocrflow_customer_bkt"
+    for name in (ot, ct_):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # external tables (explicit path): no writes under the session's
+    # static warehouse dir
+    (t(spark, sf, "orders").write.bucketBy(8, "o_custkey")
+     .sortBy("o_custkey").option("path", f"{wh}/orders")
+     .mode("overwrite").saveAsTable(ot))
+    (t(spark, sf, "customer").write.bucketBy(8, "c_custkey")
+     .sortBy("c_custkey").option("path", f"{wh}/customer")
+     .mode("overwrite").saveAsTable(ct_))
+    o, c = spark.table(ot), spark.table(ct_)
+    # merge hint (not session conf — plans resolve lazily): SMJ over the
+    # bucketed scans joins with zero exchanges
+    return (o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("o_orderkey", "c_name", "o_totalprice"))
+
+
+@q("conv_reassembly")  # rows-only: synthesized transcripts, no oracle table
+def conv_reassembly(spark, sf):
+    """The A8 flagship reassembly as a corpus op: deterministic synthetic
+    transcripts → extraction → stable-ordered conversation texts
+    (groupBy unsalted conv_id + array_sort; all JVM-side)."""
+    from .pipeline import assemble_conversations, extract_df
+    from .synth import synth_dataframe
+    tr = synth_dataframe(spark, 2000, seed=42, partitions=8,
+                         monster_every=0)
+    return assemble_conversations(extract_df(spark, tr, partitions=8))

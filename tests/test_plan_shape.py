@@ -62,3 +62,14 @@ def test_extract_pipeline_single_exchange_and_pruned(spark, tmp_path):
 def test_limit_topn_take_ordered(spark):
     plan = _plan(QUERIES["limit_topn"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan      # no global sort for top-N
+
+
+def test_bucketed_join_no_exchange(spark):
+    df = QUERIES["join_bucketed_colocated"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # co-located buckets: zero shuffles
+    # and the result matches the shuffle-join twin
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, QUERIES["join_inner_equi"](spark, SF_DIR).collect()))
+    assert a == b
