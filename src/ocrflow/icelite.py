@@ -122,11 +122,21 @@ class IceliteTable:
 
     # -- read ------------------------------------------------------------
 
-    def read(self, spark, snapshot_id: int | None = None):
-        """Snapshot-isolated scan (time travel when snapshot_id given)."""
+    def read(self, spark, snapshot_id: int | None = None,
+             path_filter: str | None = None):
+        """Snapshot-isolated scan (time travel when snapshot_id given).
+
+        ``path_filter`` prunes files whose relative path does not
+        contain the given substring (e.g. "conv_bucket=3/") BEFORE any
+        scan — manifest-level partition pruning, the icelite analog of
+        Iceberg's partition stats.
+        """
         files = self.file_list(snapshot_id)
+        if path_filter is not None:
+            files = [f for f in files if path_filter in f]
         if not files:
-            raise ValueError(f"icelite table {self.path} has no committed snapshot")
+            raise ValueError(f"icelite table {self.path} has no matching "
+                             f"files (snapshot or filter too narrow)")
         return spark.read.parquet(*files)
 
 
@@ -135,13 +145,23 @@ def _parquet_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-def write_dataframe_files(df, out_dir: str) -> list[str]:
+def write_dataframe_files(df, out_dir: str,
+                          partition_by: tuple[str, ...] = ()) -> list[str]:
     """Write a DataFrame to a fresh directory; return the data files.
 
     Spark writes task files + _SUCCESS; only the parquet files become
-    manifest entries.
+    manifest entries. With ``partition_by``, files land under
+    partition=value/ subdirs (hive layout) — the manifest keeps the
+    relative paths, so the partition value is recoverable from the path
+    for file-level pruning (see IceliteTable.read bucket filter).
     """
-    df.write.mode("overwrite").parquet(out_dir)
-    return sorted(
-        os.path.join(out_dir, n) for n in os.listdir(out_dir)
-        if n.endswith(".parquet"))
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(out_dir)
+    out = []
+    for root, _dirs, files in os.walk(out_dir):
+        for n in files:
+            if n.endswith(".parquet"):
+                out.append(os.path.join(root, n))
+    return sorted(out)

@@ -59,9 +59,13 @@ def completed_input_files(spark: SparkSession, lineage_table: IceliteTable) -> s
     return {r["input_file"] for r in rows}
 
 
+N_CONV_BUCKETS = 16
+
+
 def run_extract(spark: SparkSession, input_path: str, out_table_path: str,
                 run_id: str | None = None, partitions: int | None = None,
-                salt_buckets: int = 8, max_files: int | None = None) -> dict:
+                salt_buckets: int = 8, max_files: int | None = None,
+                bucket_output: bool = True) -> dict:
     """One resumable extraction run. Returns a summary dict.
 
     ``max_files`` caps how many pending input files this run processes —
@@ -90,7 +94,22 @@ def run_extract(spark: SparkSession, input_path: str, out_table_path: str,
 
     t0 = time.time()
     commit_dir = out.new_commit_dir(f"{run_id}-{uuid.uuid4().hex[:6]}")
-    files = write_dataframe_files(extracted, commit_dir)
+    if bucket_output:
+        # output layout partitioned by conv_bucket (SURVEY.md §4):
+        # downstream conversation-level reads prune to their buckets at
+        # the manifest level. Kept as a regular column too, so reading
+        # leaf files directly (no basePath) still sees it. Trade-off:
+        # files multiply by (tasks x buckets); at small inputs that is
+        # many tiny files — compact with a pre-write repartition("_cb")
+        # when commit sizes warrant it.
+        extracted = extracted.withColumn(
+            "conv_bucket",
+            F.pmod(F.xxhash64("conv_id"), F.lit(N_CONV_BUCKETS)).cast("int"))
+        files = write_dataframe_files(
+            extracted.withColumn("_cb", F.col("conv_bucket")),
+            commit_dir, partition_by=("_cb",))
+    else:
+        files = write_dataframe_files(extracted, commit_dir)
     wall_s = time.time() - t0
 
     sid_guess = (out.current_snapshot_id() or 0) + 1

@@ -97,3 +97,19 @@ def test_failed_write_leaves_table_untouched(spark, input_dir, tmp_path):
     write_dataframe_files(spark.range(5).toDF("x"), orphan)
     assert tbl.current_snapshot_id() == sid
     assert tbl.file_list() == files_before  # reader view unchanged
+
+
+def test_bucketed_output_layout_and_pruning(spark, input_dir, tmp_path):
+    out = str(tmp_path / "extracted")
+    run_extract(spark, input_dir, out, run_id="run-b", partitions=4)
+    tbl = IceliteTable(out)
+    files = tbl.file_list()
+    assert any("_cb=" in f for f in files)  # hive-partitioned layout
+    full = tbl.read(spark)
+    assert "conv_bucket" in full.columns    # recoverable without basePath
+    assert full.count() == 300
+    # manifest-level pruning: one bucket reads strictly fewer files
+    some = full.select("conv_bucket").first()["conv_bucket"]
+    pruned = tbl.read(spark, path_filter=f"_cb={some}/")
+    assert 0 < pruned.count() < 300
+    assert pruned.select("conv_bucket").distinct().count() == 1
