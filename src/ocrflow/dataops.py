@@ -616,3 +616,46 @@ def conv_reassembly(spark, sf):
     tr = synth_dataframe(spark, 2000, seed=42, partitions=8,
                          monster_every=0)
     return assemble_conversations(extract_df(spark, tr, partitions=8))
+
+
+@q("iter_pagerank")  # rows-only: iterative algorithm, not SQL-expressible
+def iter_pagerank(spark, sf):
+    """Iterative algorithm on DataFrames: 10 PageRank iterations over a
+    deterministic user-interaction graph derived from events
+    (src=user_id, dst=hash-derived peer).
+
+    Scale notes: each iteration is one join + one aggregation (two
+    shuffles) on the same key — at 100 TB you pre-partition ranks and
+    edges on the key so iterations reuse the exchange. localCheckpoint
+    every 4 iterations truncates the lineage/plan, which otherwise
+    grows linearly and blows up the optimizer (the classic iterative-
+    on-Spark trap).
+    """
+    e = t(spark, sf, "events")
+    n_users = e.select("user_id").distinct().count()
+    edges = (e.select(
+        F.col("user_id").alias("src"),
+        F.pmod(F.xxhash64("user_id", "event_id"), F.lit(n_users)).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct().persist())
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = (edges.select(F.col("src").alias("user_id")).distinct()
+             .unionByName(edges.select(F.col("dst").alias("user_id")).distinct())
+             .distinct().withColumn("rank", F.lit(1.0)))
+    d = 0.85
+    for i in range(10):
+        contribs = (edges.join(out_deg, "src")
+                    .join(ranks, edges.src == ranks.user_id)
+                    .select(F.col("dst").alias("user_id"),
+                            (F.col("rank") / F.col("deg")).alias("c")))
+        ranks = (ranks.select("user_id").join(
+            contribs.groupBy("user_id").agg(F.sum("c").alias("s")),
+            "user_id", "left")
+            .select("user_id",
+                    (F.lit(1 - d) + F.lit(d) * F.coalesce("s", F.lit(0.0)))
+                    .alias("rank")))
+        if (i + 1) % 4 == 0:
+            ranks = ranks.localCheckpoint()  # truncate the growing plan
+    edges.unpersist()
+    return (ranks.orderBy(F.col("rank").desc(), "user_id").limit(20)
+            .select("user_id", F.round("rank", 6).alias("rank")))

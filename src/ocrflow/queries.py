@@ -934,3 +934,96 @@ def set_union_all(spark, sf):
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
     return a.unionByName(b)
+
+
+@q("win_nth_ignore_nulls", """
+SELECT user_id, event_id,
+       nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_v,
+       lag(event_id, 2, -1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS lag2_or_default
+FROM events
+""")
+def win_nth_ignore_nulls(spark, sf):
+    e = t(spark, sf, "events")
+    wf = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id",
+        F.nth_value("value", 2).over(wf).alias("second_v"),
+        F.lag("event_id", 2, -1).over(wl).alias("lag2_or_default"))
+
+
+@q("scalar_misc", """
+SELECT p_partkey,
+       upper(substr(p_name, 1, 1)) || substr(lower(p_name), 2) AS capped,
+       reverse(p_brand) AS rbrand,
+       repeat('*', p_size % 5) AS stars,
+       strpos(p_type, 'BRASS') AS brass_at,
+       coalesce(nullif(p_brand, p_brand), p_type) AS coalesced
+FROM part
+""")
+def scalar_misc(spark, sf):
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.upper(F.substring("p_name", 1, 1)),
+                 F.expr("substr(lower(p_name), 2)")).alias("capped"),
+        F.reverse("p_brand").alias("rbrand"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+        F.instr("p_type", "BRASS").alias("brass_at"),
+        F.coalesce(F.nullif("p_brand", "p_brand"), F.col("p_type"))
+         .alias("coalesced"))
+
+
+@q("agg_conditional", """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+       CAST(sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+           AS qty_discounted,
+       count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04) AS n_taxed_supp
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_conditional(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+                 F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_quantity")))
+                  .alias("qty_discounted"),
+                 F.countDistinct(F.when(F.col("l_tax") > 0.04,
+                                        F.col("l_suppkey")))
+                  .alias("n_taxed_supp")))
+
+
+@q("date_trunc_variants", """
+SELECT o_orderkey,
+       CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS oweek,
+       CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS oquarter,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(EXTRACT(doy FROM o_orderdate) AS INT) AS doy
+FROM orders
+""")
+def date_trunc_variants(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("week", "o_orderdate").alias("oweek"),
+        F.date_trunc("quarter", "o_orderdate").alias("oquarter"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.dayofyear("o_orderdate").alias("doy"))
+
+
+@q("struct_nested", """
+SELECT o_orderkey,
+       {'cust': o_custkey, 'price': o_totalprice}.cust AS cust_from_struct,
+       ROUND({'cust': o_custkey, 'price': o_totalprice}.price, 2) AS price_from_struct
+FROM orders
+""")
+def struct_nested(spark, sf):
+    o = t(spark, sf, "orders")
+    st = F.struct(F.col("o_custkey").alias("cust"),
+                  F.col("o_totalprice").alias("price"))
+    return o.select("o_orderkey",
+                    st["cust"].alias("cust_from_struct"),
+                    F.round(st["price"], 2).alias("price_from_struct"))

@@ -101,3 +101,14 @@ def test_multimodal_plumbing(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         M._decode_image(b"xx", 4, 4, real_codec=True)
+
+
+def test_iter_pagerank_converges(spark):
+    import ocrflow.dataops as D
+    rows = D.QUERIES["iter_pagerank"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r > 0 for r in ranks)
+    # rank mass conservation-ish: top ranks exceed the teleport floor
+    assert ranks[0] > 0.15
