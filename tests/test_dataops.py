@@ -49,23 +49,86 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
 
 
 def test_simhash_near_dup_same_bucket(spark):
-    # a doc and its 1-word variant land in the same 16-bit prefix bucket
-    from ocrflow.dataops import hash_str64
-    import numpy as np
+    # a doc and its 1-word variant land in the same 16-bit prefix
+    # bucket — computed by the JVM-side kernel itself (no Python twin)
+    from ocrflow.dataops import simhash_df
 
-    def simhash(text):
-        toks = text.split()
-        hs = np.array([hash_str64(tok) for tok in toks], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        sh = np.uint64(0)
-        for b in np.flatnonzero(votes > 0):
-            sh |= np.uint64(1) << np.uint64(b)
-        return int(sh >> np.uint64(48))
+    base = ("the quick brown fox jumps over the lazy dog " * 5).strip()
+    w = base.split()
+    w[4] = "leaps"  # one token changed out of 45
+    variant = " ".join(w)
+    df = spark.createDataFrame([(1, base), (2, variant), (3, "zq xj vv kk")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: (r["simhash"], r["bucket"])
+            for r in simhash_df(df).collect()}
+    assert rows[1][1] == rows[2][1]          # near-dups share the bucket
+    assert rows[3][0] != rows[1][0]          # unrelated text differs
 
-    base = "the quick brown fox jumps over the lazy dog again and again ok"
-    variant = base.replace("fox", "cat")
-    assert simhash(base) == simhash(variant)
+
+def test_connected_components_chain_and_convergence(spark):
+    # two chains + a singleton edge: min label must propagate 4 hops
+    from ocrflow.dataops import connected_components
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14),   # chain → comp 10
+         (50, 51),                                  # pair  → comp 50
+         (7, 8), (8, 9)],                           # chain → comp 7
+        "src long, dst long")
+    comp = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert {comp[v] for v in (10, 11, 12, 13, 14)} == {10}
+    assert {comp[v] for v in (50, 51)} == {50}
+    assert {comp[v] for v in (7, 8, 9)} == {7}
+
+
+def test_dedup_materialize_seeded_corpus(spark):
+    # plant exact copies; the materialized corpus keeps only min-id
+    # winners and every non-dup row
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = src.filter("doc_id = 3").first()
+    copies = spark.createDataFrame(
+        [(90001, one["text"], one["lang"], one["source"], one["n_chars"]),
+         (90002, one["text"], one["lang"], one["source"], one["n_chars"])],
+        src.schema)
+    tmp = tempfile.mkdtemp(prefix="ocrflow_dmat_")
+    src.unionByName(copies).write.parquet(os.path.join(tmp, "documents.parquet"))
+    kept = {r["doc_id"] for r in D.QUERIES["dedup_materialize"](spark, tmp).collect()}
+    assert 3 in kept and 90001 not in kept and 90002 not in kept
+    # winners only: no two kept docs share a fingerprint
+    from ocrflow.dataops import _doc_fingerprints
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in _doc_fingerprints(spark, tmp).collect()}
+    kept_fps = [fp[d] for d in kept]
+    assert len(kept_fps) == len(set(kept_fps))
+    # completeness: every fingerprint group is represented by exactly one doc
+    assert len(kept) == len(set(fp.values()))
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    # degenerate corpus: 200 identical docs → one hot bucket per band.
+    # Uncapped, the self-join yields ~200²/2 pairs; the cap drops the
+    # hot buckets so candidate output stays bounded (here: zero).
+    from ocrflow.dataops import minhash_lsh_pairs
+    docs = spark.createDataFrame(
+        [(i, ["alpha", "beta", "gamma", "delta", "epsilon"]) for i in range(200)],
+        "doc_id long, w array<string>")
+    capped = minhash_lsh_pairs(docs, max_bucket=64).count()
+    assert capped == 0
+    uncapped = minhash_lsh_pairs(docs, max_bucket=None).count()
+    assert uncapped == 200 * 199 // 2
+
+
+def test_lsh_verified_finds_planted_near_dup(spark):
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = src.filter("doc_id = 7").first()
+    words = one["text"].split()
+    words[3] = "REPLACED"
+    planted = spark.createDataFrame(
+        [(99995, " ".join(words), one["lang"], one["source"],
+          len(one["text"]))], src.schema)
+    tmp = tempfile.mkdtemp(prefix="ocrflow_lshv_")
+    src.unionByName(planted).write.parquet(os.path.join(tmp, "documents.parquet"))
+    rows = D.QUERIES["dedup_lsh_verified"](spark, tmp).collect()
+    hits = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert (7, 99995) in hits and hits[(7, 99995)] >= 0.5
 
 
 def test_text_analysis_sanity(spark):
