@@ -30,7 +30,9 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="output icelite table dir")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--partitions", type=int, default=None)
-    ap.add_argument("--salt-buckets", type=int, default=8)
+    ap.add_argument("--salt-buckets", type=int, default=64,
+                    help="match pipeline.DEFAULT_SALT_BUCKETS; salt 8 "
+                         "measured 50s straggler cells on monster convs")
     ap.add_argument("--max-files", type=int, default=None,
                     help="cap pending input files per commit (resume granularity)")
     ap.add_argument("--master", default=None)

@@ -82,43 +82,104 @@ class IceliteTable:
         d = os.path.join(self.data_dir, tag)
         return d
 
-    def commit_append(self, new_files: list[str], props: dict | None = None) -> int:
-        """Atomically append data files as a new snapshot.
+    def _atomic_write(self, path: str, content: str) -> None:
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(content)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, path)
 
-        Write manifest to a tmp name, fsync, rename into place, then
+    def _commit(self, entries: list[dict], props: dict) -> int:
+        """Write manifest to a tmp name, fsync, rename into place, then
         swing the CURRENT pointer (also via rename). A reader holding
         the old pointer keeps a consistent view — snapshot isolation.
         """
         parent = self.current_snapshot_id()
-        parent_files = self.snapshot(parent)["files"] if parent is not None else []
         sid = (parent or 0) + 1
-        entries = list(parent_files)
-        for f in new_files:
-            rel = os.path.relpath(os.path.abspath(f), self.path)
-            rows = _parquet_rows(f)
-            entries.append({"path": rel, "rows": rows})
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent,
             "committed_at": time.time(),
             "files": entries,
-            "props": props or {},
+            "props": props,
         }
-        final = os.path.join(self.meta_dir, f"snap-{sid}.json")
-        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, indent=1)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.rename(tmp, final)
-
-        ptr_tmp = os.path.join(self.meta_dir, f"CURRENT.tmp-{uuid.uuid4().hex[:8]}")
-        with open(ptr_tmp, "w") as fh:
-            fh.write(f"snap-{sid}.json")
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.rename(ptr_tmp, os.path.join(self.meta_dir, "CURRENT"))
+        self._atomic_write(os.path.join(self.meta_dir, f"snap-{sid}.json"),
+                           json.dumps(manifest, indent=1))
+        self._atomic_write(os.path.join(self.meta_dir, "CURRENT"),
+                           f"snap-{sid}.json")
         return sid
+
+    def _entries_for(self, files: list[str]) -> list[dict]:
+        return [{"path": os.path.relpath(os.path.abspath(f), self.path),
+                 "rows": _parquet_rows(f)} for f in files]
+
+    def commit_append(self, new_files: list[str], props: dict | None = None) -> int:
+        """Atomically append data files as a new snapshot."""
+        parent = self.current_snapshot_id()
+        parent_files = self.snapshot(parent)["files"] if parent is not None else []
+        return self._commit(list(parent_files) + self._entries_for(new_files),
+                            props or {})
+
+    def commit_replace(self, new_files: list[str], props: dict | None = None) -> int:
+        """Commit a snapshot whose file list is EXACTLY ``new_files``
+        (no parent-union) — the rewrite primitive behind compaction,
+        the icelite analog of Iceberg's rewrite_data_files result
+        snapshot. Older snapshots keep referencing the old data files
+        (still on disk), so time travel across the rewrite still works.
+        """
+        return self._commit(self._entries_for(new_files),
+                            {**(props or {}), "operation": "replace"})
+
+    def expire_head(self) -> int | None:
+        """Roll CURRENT back to the head snapshot's parent (crash
+        recovery: expire a data commit whose paired lineage commit
+        never landed). The manifest is renamed to ``*.expired-*`` —
+        kept for audit, and the snapshot-id slot is freed so the redo
+        commit can reuse it. Returns the new current snapshot id.
+        """
+        sid = self.current_snapshot_id()
+        if sid is None:
+            return None
+        parent = self.snapshot(sid).get("parent_id")
+        manifest = os.path.join(self.meta_dir, f"snap-{sid}.json")
+        os.rename(manifest, manifest + f".expired-{uuid.uuid4().hex[:8]}")
+        self._atomic_write(os.path.join(self.meta_dir, "CURRENT"),
+                           f"snap-{parent}.json" if parent is not None else "")
+        return parent
+
+    def compact(self, spark, target_file_bytes: int = 128 << 20,
+                partition_by: tuple[str, ...] = (),
+                derive: dict | None = None) -> int:
+        """Rewrite the current snapshot's files into ~target-sized files
+        (icelite's rewrite_data_files). Bucketed commit layouts multiply
+        files by (tasks × buckets) per commit (runner.py documents the
+        blowup) — at 100 TB with thousands of commits this is the first
+        operational wall; compaction periodically collapses them. Old
+        snapshots remain time-travelable (commit_replace keeps them).
+
+        With ``partition_by`` the hive layout (and manifest path
+        pruning over it) is preserved — sizing is then per output task
+        within each partition value. Hive partition columns live in
+        the directory names, not the data files, so a leaf-file read
+        doesn't see them — pass ``derive`` to rebuild them (e.g.
+        ``{"_cb": F.col("conv_bucket")}`` for the runner's bucketed
+        layout, which keeps the bucket as a regular column too).
+        """
+        files = self.file_list()
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, -(-total // max(1, target_file_bytes)))  # ceil
+        df = self.read(spark)
+        for col_name, expr in (derive or {}).items():
+            df = df.withColumn(col_name, expr)
+        out_dir = self.new_commit_dir(f"compact-{uuid.uuid4().hex[:8]}")
+        shuffled = (df.repartition(n_out, *partition_by) if partition_by
+                    else df.repartition(n_out))
+        new_files = write_dataframe_files(shuffled, out_dir,
+                                          partition_by=partition_by)
+        return self.commit_replace(new_files, props={
+            "compaction_of": self.current_snapshot_id(),
+            "files_before": len(files), "files_after": len(new_files)})
 
     # -- read ------------------------------------------------------------
 

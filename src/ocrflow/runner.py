@@ -5,7 +5,10 @@ not yet recorded as completed, commits output + lineage atomically as a
 new snapshot, and a re-run after a crash picks up exactly the pending
 remainder (resume = anti-join on completed input files). Idempotent:
 commit happens only after the chunk's output is fully written, so a
-failed run leaves the table at its previous snapshot.
+failed run leaves the table at its previous snapshot; a crash BETWEEN
+the data commit and the lineage commit leaves an orphan data head that
+the next run expires before reprocessing (expire_orphan_data_commits),
+so readers never see duplicated rows.
 
 Lineage rows (BASELINE.json north_star: "per-partition lineage rows
 (partition id, input file, turn-range, rows-in/out, wall-time) written
@@ -24,7 +27,7 @@ from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import SparkSession, functions as F
 
 from .icelite import IceliteTable, write_dataframe_files
-from .pipeline import extract_df
+from .pipeline import DEFAULT_SALT_BUCKETS, extract_df
 
 LINEAGE_DDL = ("run_id string, snapshot_id bigint, partition_id int, "
                "input_file string, turn_lo bigint, turn_hi bigint, "
@@ -62,9 +65,54 @@ def completed_input_files(spark: SparkSession, lineage_table: IceliteTable) -> s
 N_CONV_BUCKETS = 16
 
 
+def _lineage_confirmed_snapshots(lineage: IceliteTable) -> set[int]:
+    """Data snapshot ids that have a paired lineage commit (read from
+    lineage snapshot props — pure metadata, no Spark scan)."""
+    return {s["props"]["snapshot_id"] for s in lineage.snapshots()
+            if "snapshot_id" in s.get("props", {})}
+
+
+def expire_orphan_data_commits(out: IceliteTable, lineage: IceliteTable) -> int:
+    """Crash recovery for the commit protocol (data snapshot first,
+    lineage second): a crash between the two leaves a HEAD data
+    snapshot with no lineage commit. Readers following CURRENT would
+    see its rows, and resume (keyed off lineage) would reprocess the
+    same input files and append them AGAIN — duplicates. Expire such
+    orphan heads (roll CURRENT back) before resuming; the redo commit
+    reuses the freed snapshot-id slot. Only run_extract commits (those
+    tagged with run_id) are candidates — streaming epoch commits have
+    their own idempotency key. Returns how many heads were expired.
+    """
+    confirmed = _lineage_confirmed_snapshots(lineage)
+    n = 0
+    while True:
+        sid = out.current_snapshot_id()
+        if sid is None or sid in confirmed:
+            return n
+        if "run_id" not in out.snapshot(sid).get("props", {}):
+            return n
+        out.expire_head()
+        n += 1
+
+
+def _dedup_lineage_rows(rows: list) -> list:
+    """Accumulator updates from inside mapInArrow (a transformation)
+    are re-applied on task retry/speculation — the same partition can
+    deliver its lineage row more than once on a flaky cluster. The
+    kernel emits exactly one row per partition, so keying by
+    partition_id and keeping the first delivery restores exactly-once
+    lineage (attempts are deterministic — duplicates are identical).
+    """
+    seen = {}
+    for row in rows:
+        seen.setdefault(row[0], row)
+    return list(seen.values())
+
+
 def run_extract(spark: SparkSession, input_path: str, out_table_path: str,
                 run_id: str | None = None, partitions: int | None = None,
-                salt_buckets: int = 8, max_files: int | None = None,
+                salt_buckets: int = DEFAULT_SALT_BUCKETS,
+                max_files: int | None = None,
                 bucket_output: bool = True) -> dict:
     """One resumable extraction run. Returns a summary dict.
 
@@ -75,6 +123,7 @@ def run_extract(spark: SparkSession, input_path: str, out_table_path: str,
     run_id = run_id or f"run-{uuid.uuid4().hex[:12]}"
     out = IceliteTable(out_table_path)
     lineage = IceliteTable(os.path.join(out_table_path, "lineage"))
+    expire_orphan_data_commits(out, lineage)
 
     all_files = list_input_files(input_path)
     done = completed_input_files(spark, lineage)
@@ -113,14 +162,16 @@ def run_extract(spark: SparkSession, input_path: str, out_table_path: str,
     wall_s = time.time() - t0
 
     sid_guess = (out.current_snapshot_id() or 0) + 1
-    # per-task lineage from the accumulator (partition id, rows, turn range, wall)
+    # per-task lineage from the accumulator (partition id, rows, turn
+    # range, wall), deduped by partition id against task-retry replays
     ddl = ("run_id string, snapshot_id bigint, partition_id int, "
            "input_file string, turn_lo bigint, turn_hi bigint, "
            "rows_in bigint, rows_out bigint, wall_ms double")
+    task_rows = _dedup_lineage_rows(acc.value)
     lineage_rows = [
         (run_id, sid_guess, int(pid), in_files, int(lo), int(hi),
          int(rin), int(rout), float(ms))
-        for (pid, in_files, rin, rout, lo, hi, ms) in acc.value]
+        for (pid, in_files, rin, rout, lo, hi, ms) in task_rows]
     ldf = (spark.createDataFrame(lineage_rows, ddl)
            .withColumn("ts", F.current_timestamp()))
     # exact per-input-file completion markers (partition_id = -1): resume
@@ -133,15 +184,16 @@ def run_extract(spark: SparkSession, input_path: str, out_table_path: str,
     lfiles = write_dataframe_files(ldf.unionByName(fdf).coalesce(1),
                                    lineage_commit_dir)
 
-    # atomic commit order: data snapshot first, then lineage (resume keys
-    # off lineage, so a crash between the two re-processes — idempotent
-    # because the new data commit replaces nothing and readers follow
-    # the lineage-confirmed snapshot)
+    # commit order: data snapshot first, then lineage. A crash between
+    # the two leaves an orphan data head that the NEXT run expires
+    # (expire_orphan_data_commits above) before reprocessing — so
+    # default readers never accumulate duplicate rows, and resume
+    # stays exactly-once end to end.
     sid = out.commit_append(files, props={"run_id": run_id,
                                           "input_files": len(pending)})
     lineage.commit_append(lfiles, props={"run_id": run_id, "snapshot_id": sid})
 
-    rows_out = sum(int(r[3]) for r in acc.value if r[3] >= 0)
+    rows_out = sum(int(r[3]) for r in task_rows if r[3] >= 0)
     return {"run_id": run_id, "snapshot_id": sid,
             "files_processed": len(pending), "rows_out": rows_out,
             "wall_s": round(wall_s, 3), "skipped": len(done)}

