@@ -59,6 +59,25 @@ def test_extract_pipeline_single_exchange_and_pruned(spark, tmp_path):
     assert "tool" not in read and "ts" not in read
 
 
+def test_join_asof_union_merge_no_join_no_blowup(spark):
+    """The as-of operator must be the union-merge shape: ONE exchange
+    (the window partition on user_id), a Window, and NO join operator —
+    the equi-join + rank composition it replaced materialized every
+    (purchase, prior-click) pair before ranking (per-user quadratic at
+    100 TB)."""
+    plan = _plan(QUERIES["join_asof"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "Join" not in plan                    # no pair materialization
+    # union of the two tagged scans + single hash exchange on user_id
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dedup_materialize_no_cartesian(spark):
+    plan = _plan(QUERIES["dedup_materialize"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_limit_topn_take_ordered(spark):
     plan = _plan(QUERIES["limit_topn"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan      # no global sort for top-N
