@@ -32,7 +32,7 @@ HEADLINE = [
     "win_running", "topk_per_group", "str_regexp", "array_higher_order",
     "tpch_q3_shape", "tpch_q5_shape", "sessionize_batch",
     "dedup_exact", "dedup_minhash_lsh", "ann_bruteforce_cosine",
-    "text_quality_score",
+    "text_quality_score", "dedup_materialize",
 ]
 
 
@@ -71,10 +71,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # apples-to-apples continuity vs BENCH_r01: the r01 suite had 20
+    # keys; dedup_materialize joined the suite in round 2, so the r01
+    # subtotal is reported alongside the full total (BENCH/BASELINE.md)
+    r02_new = {"dedup_materialize"}
+    r01_subtotal = round(sum(v for k, v in timings.items()
+                             if k not in r02_new), 3)
     print(json.dumps({
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
+        "suite_r01_keys_subtotal": r01_subtotal,
         "queries": timings,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "extraction": {

@@ -123,13 +123,13 @@ def minhash_lsh_pairs(docs, max_bucket: int = LSH_MAX_BUCKET):
             for b in range(LSH_BANDS)])).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     if max_bucket is not None:
-        # map-side-combinable count per (band, bucket); the filtered set
-        # broadcasts back onto the bands relation (small: hot keys only)
-        hot = (bands.groupBy("band", "bucket")
-               .agg(F.count("*").alias("n"))
-               .filter(F.col("n") > max_bucket)
-               .select("band", "bucket"))
-        bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        # bucket-size window over the SAME (band, bucket) partitioning
+        # the self-join shuffles on anyway — one pass, no second scan of
+        # the shingle→minhash pipeline (a separate count+anti-join
+        # recomputed it and measured 3.7× slower at sf0.1)
+        wsz = W.partitionBy("band", "bucket")
+        bands = (bands.withColumn("_bsz", F.count("*").over(wsz))
+                 .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
@@ -438,6 +438,80 @@ def text_fingerprint(spark, sf):
         F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fingerprint"))
 
 
+@q("corpus_quality_filter", """
+WITH f AS (
+  SELECT doc_id, lang, n_chars,
+         array_length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word,
+         array_length(regexp_extract_all(lower(text),
+             '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS n_stop
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id, lang, n_chars FROM f
+WHERE n_word >= 5
+  AND CAST(n_chars AS DOUBLE) / greatest(n_word, 1) BETWEEN 3 AND 15
+  AND (lang <> 'en' OR n_stop > 0)
+""")
+def corpus_quality_filter(spark, sf):
+    # the quality GATE a pretraining pipeline runs after scoring:
+    # min length, sane chars-per-word band, stopword evidence for
+    # English — all JVM regexps, the filter composes with the parquet
+    # scan (no materialized score table needed)
+    d = t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0))
+    n_word = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0))
+    n_stop = F.size(F.regexp_extract_all(
+        F.lower("text"), F.lit(r"\b(the|a|an|and|or|of|to|in|is|it)\b"), 0))
+    cpw = F.col("n_chars").cast("double") / F.greatest(n_word, F.lit(1))
+    return (d.withColumn("n_word", n_word).withColumn("n_stop", n_stop)
+            .filter((F.col("n_word") >= 5) & cpw.between(3, 15)
+                    & ((F.col("lang") != "en") | (F.col("n_stop") > 0)))
+            .select("doc_id", "lang", "n_chars"))
+
+
+@q("sample_deterministic", """
+SELECT doc_id, lang FROM documents
+WHERE text IS NOT NULL AND doc_id % 10 < 3
+""")
+def sample_deterministic(spark, sf):
+    # reproducible corpus sampling: modulo on a stable id (the
+    # hash-mod idiom — at 100 TB use pmod(xxhash64(id), 100) < rate so
+    # clustered id ranges can't bias the sample; id%k keeps the oracle
+    # engine-portable here). Deterministic across runs/partitions,
+    # unlike df.sample().
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return (d.filter(F.col("doc_id") % 10 < 3)
+            .select("doc_id", "lang"))
+
+
+@q("corpus_stats", """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(array_length(regexp_split_to_array(trim(text), '\\s+')))
+            AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       ROUND(quantile_cont(n_chars, 0.5), 1) AS median_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+GROUP BY lang
+""")
+def corpus_stats(spark, sf):
+    # the corpus report card (docs / tokens / chars / size percentiles
+    # per language): one scan, one partial-agg shuffle on the tiny lang
+    # key — the shape that stays cheap at 100 TB (swap the exact
+    # percentile for percentile_approx there; the exact one keeps the
+    # oracle string-identical at test scale).
+    d = t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(toks).cast("long").alias("total_tokens"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.round(F.expr("percentile(n_chars, 0.5)"), 1)
+                  .alias("median_chars"),
+                 F.max("n_chars").cast("long").alias("max_chars")))
+
+
 # =========================================================================
 # UDF / UDAF / UDTF surface (SURVEY.md §2.B)
 # =========================================================================
@@ -737,15 +811,17 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
     reachable from ``id``; vertices not in any edge are absent (their
     component is themselves — callers left-join and coalesce).
 
-    Scale notes: each round is one join + one min-aggregation on the
-    vertex key (two shuffles). Rounds needed = graph diameter with
-    plain neighbor-min propagation — fine for dedup graphs (near-dup
-    clusters are shallow); for adversarial diameters swap the body for
-    large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce"), which converges in O(log n) rounds on the same seam.
-    localCheckpoint after every round truncates the plan (the iterative
-    lineage trap, same pattern as iter_pagerank) and materializes the
-    labels the convergence check reuses.
+    Scale notes: each round is a neighbor-min step (join + min-agg on
+    the vertex key) followed by a POINTER-JUMPING step (comp ←
+    comp[comp]) that halves the remaining label depth — convergence in
+    O(log diameter) rounds rather than O(diameter), the property that
+    makes iterative CC viable on deep chains (same effect as
+    large-star/small-star, Kiveris et al., "Connected Components in
+    MapReduce and Beyond"). Without the jump, a 16-deep chain took 15
+    rounds (~1s of fixed job cost each at sf0.1); with it, 4.
+    localCheckpoint after every round truncates the plan (the
+    iterative lineage trap, same pattern as iter_pagerank) and
+    materializes the labels the convergence check reuses.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     und = (e.unionByName(e.select(F.col("dst").alias("src"),
@@ -755,10 +831,19 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
               .withColumn("comp", F.col("id"))
               .localCheckpoint())
     for _ in range(max_iter):
+        # neighbor-min: every vertex absorbs the smallest label adjacent
         msgs = (und.join(labels, und.src == labels.id)
                 .select(F.col("dst").alias("id"), "comp"))
-        new_labels = (labels.unionByName(msgs)
-                      .groupBy("id").agg(F.min("comp").alias("comp"))
+        stepped = (labels.unionByName(msgs)
+                   .groupBy("id").agg(F.min("comp").alias("comp")))
+        # pointer jump: follow my label's own label (labels only ever
+        # decrease, so the parent's label is ≤ mine; every comp value
+        # is itself a vertex id, hence the left join always resolves)
+        parent = stepped.select(F.col("id").alias("comp"),
+                                F.col("comp").alias("pcomp"))
+        new_labels = (stepped.join(parent, "comp", "left")
+                      .select("id", F.coalesce(F.least("comp", "pcomp"),
+                                               F.col("comp")).alias("comp"))
                       .localCheckpoint())
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
