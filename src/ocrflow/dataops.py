@@ -341,6 +341,52 @@ def ann_lsh_bucketed(spark, sf):
     return ann_lsh_bucketed_with(spark, sf)
 
 
+@q("dedup_embedding_lsh")  # rows-only: hyperplane seeds have no SQL twin
+def dedup_embedding_lsh(spark, sf, n_tables: int = 6, n_bits: int = 4,
+                        seed: int = 7, tau: float = 0.95):
+    """Embedding near-dup SCANNER at scale: sign-LSH buckets (same
+    hyperplane machinery as ann_lsh_bucketed) → within-bucket pairs →
+    exact cosine ≥ τ re-check. Subquadratic where
+    dedup_embedding_cosine (the label-blocked exact verifier) is not:
+    the only wide exchange is the bucket shuffle, and pair candidates
+    are bounded by bucket sizes, not corpus². Bits scale with
+    log2(corpus / bucket_target) exactly as the ANN twin documents.
+    """
+    em = t(spark, sf, "embeddings")
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets_of(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        dim = len(embs.iloc[0])
+        p = np.random.default_rng(seed).standard_normal((n_tables * n_bits, dim))
+        m = np.vstack([np.asarray(e, dtype=np.float64) for e in embs])
+        bits = (m @ p.T) > 0
+        bits = bits.reshape(len(m), n_tables, n_bits)
+        codes = (bits @ (1 << np.arange(n_bits))).astype(np.int32)
+        codes = codes + (np.arange(n_tables, dtype=np.int32) << n_bits)
+        return pd.Series(list(codes))
+
+    emb = em.select("vec_id",
+                    buckets_of("embedding").alias("buckets"),
+                    F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    emb = emb.withColumn("n", norm).filter(F.col("n") > 0)
+    flat = emb.select("vec_id", "v", "n", F.explode("buckets").alias("bucket"))
+    a = flat.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                    F.col("n").alias("na"), "bucket")
+    b = flat.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                    F.col("n").alias("nb"), "bucket")
+    pairs = (a.join(b, ["bucket"])
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .dropDuplicates(["vec_a", "vec_b"]))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (pairs.withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+            .filter(F.col("cosine") >= tau)
+            .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine")))
+
+
 # =========================================================================
 # Text analysis
 # =========================================================================

@@ -181,6 +181,55 @@ class IceliteTable:
             "compaction_of": self.current_snapshot_id(),
             "files_before": len(files), "files_after": len(new_files)})
 
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshot manifests
+        (Iceberg's expire_snapshots). Time travel to expired ids stops
+        working — by design, that is what releases their files for
+        remove_orphan_files(). The CURRENT pointer is never expired.
+        Returns the expired snapshot ids.
+        """
+        snaps = self.snapshots()
+        current = self.current_snapshot_id()
+        keep = {s["snapshot_id"] for s in snaps[-max(keep_last, 1):]}
+        keep.add(current)
+        expired = []
+        for s in snaps:
+            sid = s["snapshot_id"]
+            if sid in keep:
+                continue
+            m = os.path.join(self.meta_dir, f"snap-{sid}.json")
+            os.rename(m, m + f".expired-{uuid.uuid4().hex[:8]}")
+            expired.append(sid)
+        return expired
+
+    def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
+        """Delete data files referenced by NO live snapshot manifest
+        (Iceberg's remove_orphan_files): after compaction +
+        expire_snapshots, the pre-compaction files become unreferenced
+        and this reclaims the space — without it, every compaction
+        doubles storage forever. Also sweeps crash-orphaned commit dirs
+        that never reached a manifest. Returns the deleted (or, with
+        dry_run, would-be-deleted) absolute paths.
+        """
+        live: set[str] = set()
+        for s in self.snapshots():
+            for f in s["files"]:
+                live.add(os.path.normpath(os.path.join(self.path, f["path"])))
+        doomed = []
+        for root, _dirs, files in os.walk(self.data_dir):
+            for n in files:
+                p = os.path.normpath(os.path.join(root, n))
+                if p not in live:
+                    doomed.append(p)
+        if not dry_run:
+            for p in doomed:
+                os.remove(p)
+            # prune now-empty commit dirs
+            for root, dirs, files in os.walk(self.data_dir, topdown=False):
+                if root != self.data_dir and not dirs and not files:
+                    os.rmdir(root)
+        return sorted(doomed)
+
     # -- read ------------------------------------------------------------
 
     def read(self, spark, snapshot_id: int | None = None,

@@ -113,6 +113,21 @@ def stream_dedup(spark, sf):
     return _run_to_memory(dd, "append")
 
 
+@sq("stream_join_static")
+def stream_join_static(spark, sf):
+    """Stream-static enrichment join: the events stream joined to the
+    static customer dimension (user_id → c_custkey). Static side is a
+    plain batch DataFrame re-resolved per micro-batch — at scale it
+    broadcasts per batch, no state store involved (unlike
+    stream-stream joins, which need watermarked state both sides)."""
+    s = _events_stream(spark, sf)
+    cust = (spark.read.parquet(f"{sf}/customer.parquet")
+            .select("c_custkey", "c_mktsegment"))
+    j = (s.join(cust, s.user_id == cust.c_custkey, "inner")
+         .select("event_id", "user_id", "c_mktsegment"))
+    return _run_to_memory(j, "append")
+
+
 @sq("stream_stateful")
 def stream_stateful(spark, sf):
     """Custom stateful operator: running per-user (count, last_ts) via

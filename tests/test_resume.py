@@ -187,6 +187,41 @@ def test_compaction_reduces_files_keeps_rows_and_history(spark, tmp_path):
     assert tbl.read(spark).count() == 60
 
 
+def test_expire_and_gc_reclaim_precompaction_files(spark, tmp_path):
+    """compact → expire_snapshots → remove_orphan_files reclaims the
+    pre-compaction storage; the live snapshot is untouched."""
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    for i in range(4):
+        d = tbl.new_commit_dir(f"c{i}")
+        f = write_dataframe_files(
+            spark.range(i * 10, (i + 1) * 10).toDF("id").repartition(3), d)
+        tbl.commit_append(f)
+    # plus a crash-orphaned dir that never reached a manifest
+    write_dataframe_files(spark.range(3).toDF("id"),
+                          tbl.new_commit_dir("crashed"))
+
+    tbl.compact(spark, target_file_bytes=1 << 30)
+    def on_disk():
+        return [os.path.join(r, n) for r, _d, fs in
+                os.walk(os.path.join(tbl.path, "data")) for n in fs
+                if n.endswith(".parquet")]
+    disk_before = len(on_disk())
+
+    expired = tbl.expire_snapshots(keep_last=1)
+    assert expired == [1, 2, 3, 4]
+    assert [s["snapshot_id"] for s in tbl.snapshots()] == [5]
+
+    doomed = tbl.remove_orphan_files(dry_run=True)
+    assert doomed  # pre-compaction + crashed files are now orphans
+    tbl.remove_orphan_files()
+    disk_after = len(on_disk())
+    assert disk_after < disk_before
+    assert disk_after == len(tbl.file_list())     # exactly the live set
+    assert {r["id"] for r in tbl.read(spark).collect()} == set(range(40))
+    with pytest.raises(FileNotFoundError):
+        tbl.snapshot(2)                            # time travel released
+
+
 def test_compaction_preserves_bucketed_layout(spark, input_dir, tmp_path):
     out = str(tmp_path / "extracted")
     run_extract(spark, input_dir, out, run_id="r1", partitions=4, max_files=2)

@@ -53,6 +53,16 @@ def test_stream_watermark_late(spark, events):
     assert 0 < got.count() < n_windows_batch
 
 
+def test_stream_join_static_parity(spark, events):
+    got = STREAM_QUERIES["stream_join_static"](spark, SF_DIR)
+    cust = (spark.read.parquet(f"{SF_DIR}/customer.parquet")
+            .select("c_custkey", "c_mktsegment"))
+    batch = (events.join(cust, events.user_id == cust.c_custkey)
+             .select("event_id", "user_id", "c_mktsegment"))
+    assert _rows(got, "event_id", "user_id", "c_mktsegment") == \
+        _rows(batch, "event_id", "user_id", "c_mktsegment")
+
+
 def test_stream_dedup_parity(spark, events):
     got = STREAM_QUERIES["stream_dedup"](spark, SF_DIR)
     assert got.count() == events.select("event_id").distinct().count()
