@@ -948,7 +948,33 @@ def dedup_materialize(spark, sf):
     edges = (fp.withColumn("prev", F.lag("doc_id").over(w))
              .filter(F.col("prev").isNotNull())
              .select(F.col("prev").alias("src"), F.col("doc_id").alias("dst")))
-    labels = connected_components(edges)
-    return (fp.join(labels, fp.doc_id == labels.id, "left")
-            .filter(F.col("comp").isNull() | (F.col("comp") == F.col("doc_id")))
+    return materialize_kept(fp, edges, "doc_id").select("doc_id", "n_chars")
+
+
+def materialize_kept(rows, dup_pairs, id_col: str):
+    """The CC → keep-winner tail shared by every dedup materialization:
+    connected components over ``dup_pairs(src, dst)``, keep each row
+    whose id is its component's minimum (or that appears in no pair).
+    One left join against the (components-sized, small) label table —
+    at 100 TB the labels broadcast and the corpus never reshuffles.
+    """
+    labels = connected_components(dup_pairs)
+    return (rows.join(labels, rows[id_col] == labels.id, "left")
+            .filter(F.col("comp").isNull() | (F.col("comp") == rows[id_col]))
+            .drop("id", "comp"))
+
+
+@q("dedup_materialize_lsh")  # rows-only: pairs come from xxhash64 LSH
+def dedup_materialize_lsh(spark, sf):
+    """The PRODUCTION near-dup materialization end to end: MinHash LSH
+    candidates (hot-bucket capped) → exact Jaccard ≥ 0.5 verification →
+    connected components → kept corpus. Composes dedup_lsh_verified and
+    materialize_kept unchanged — the pair source is the only thing that
+    differs from the oracled dedup_materialize twin.
+    """
+    d = t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.col("n_chars") < 300))
+    pairs = (dedup_lsh_verified(spark, sf)
+             .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
+    return (materialize_kept(d.select("doc_id", "n_chars"), pairs, "doc_id")
             .select("doc_id", "n_chars"))

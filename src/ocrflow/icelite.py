@@ -233,13 +233,20 @@ class IceliteTable:
     # -- read ------------------------------------------------------------
 
     def read(self, spark, snapshot_id: int | None = None,
-             path_filter: str | None = None):
+             path_filter: str | None = None, merge_schema: bool = False):
         """Snapshot-isolated scan (time travel when snapshot_id given).
 
         ``path_filter`` prunes files whose relative path does not
         contain the given substring (e.g. "conv_bucket=3/") BEFORE any
         scan — manifest-level partition pruning, the icelite analog of
         Iceberg's partition stats.
+
+        ``merge_schema=True`` supports additive schema evolution: a
+        snapshot whose commits carry different (column-added) schemas
+        reads as the union schema, older files null-filling the new
+        columns — Iceberg's add-column semantics via parquet
+        mergeSchema. Off by default: schema merging footer-reads every
+        file, which matters at manifest sizes of 10^5 files.
         """
         files = self.file_list(snapshot_id)
         if path_filter is not None:
@@ -247,7 +254,10 @@ class IceliteTable:
         if not files:
             raise ValueError(f"icelite table {self.path} has no matching "
                              f"files (snapshot or filter too narrow)")
-        return spark.read.parquet(*files)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
 
 def _parquet_rows(path: str) -> int:

@@ -116,6 +116,75 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     assert uncapped == 200 * 199 // 2
 
 
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Property: CC labels equal a plain union-find oracle on random
+    graphs (deterministic seeds; chains, stars, cycles arise freely)."""
+    import random
+    from ocrflow.dataops import connected_components
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n, m = 60, 45
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # union-by-min keeps the smaller root, so find(v) IS the
+        # component's minimum vertex id
+        expected = {v: find(v) for v in {v for e in edges for v in e}}
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["id"]: r["comp"]
+               for r in connected_components(df).collect()}
+        assert got == expected, f"seed {seed}"
+
+
+def test_dedup_materialize_lsh_end_to_end(spark):
+    # plant two near-identical copies of doc 7; the production path
+    # keeps the original and drops both variants
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = src.filter("doc_id = 7").first()
+    w1 = one["text"].split(); w1[2] = "VARIANTA"
+    w2 = one["text"].split(); w2[5] = "VARIANTB"
+    planted = spark.createDataFrame(
+        [(99996, " ".join(w1), one["lang"], one["source"], one["n_chars"]),
+         (99997, " ".join(w2), one["lang"], one["source"], one["n_chars"])],
+        src.schema)
+    tmp = tempfile.mkdtemp(prefix="ocrflow_dml_")
+    src.unionByName(planted).write.parquet(os.path.join(tmp, "documents.parquet"))
+    kept = {r["doc_id"]
+            for r in D.QUERIES["dedup_materialize_lsh"](spark, tmp).collect()}
+    assert 7 in kept and 99996 not in kept and 99997 not in kept
+    # exact expectation: union-find over the verified pair list (the
+    # corpus has organic near-dups too — min of each component is kept)
+    pairs = [(r["doc_a"], r["doc_b"])
+             for r in D.QUERIES["dedup_lsh_verified"](spark, tmp).collect()]
+    all_ids = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(tmp, "documents.parquet"))
+        .filter("text IS NOT NULL AND n_chars < 300").collect()}
+    parent = {v: v for v in all_ids}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v for v in all_ids if find(v) == v}
+    assert kept == expected
+
+
 def test_lsh_verified_finds_planted_near_dup(spark):
     src = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     one = src.filter("doc_id = 7").first()

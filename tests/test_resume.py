@@ -187,6 +187,27 @@ def test_compaction_reduces_files_keeps_rows_and_history(spark, tmp_path):
     assert tbl.read(spark).count() == 60
 
 
+def test_schema_evolution_additive_column(spark, tmp_path):
+    """Additive schema evolution: commit 2 adds a column; merge_schema
+    reads see the union schema with nulls for the old files, and
+    time travel to snapshot 1 still sees the old schema."""
+    from pyspark.sql import functions as F
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    f1 = write_dataframe_files(spark.range(5).toDF("id"),
+                               tbl.new_commit_dir("c1"))
+    tbl.commit_append(f1)
+    evolved = spark.range(5, 8).toDF("id").withColumn("score", F.lit(0.5))
+    f2 = write_dataframe_files(evolved, tbl.new_commit_dir("c2"))
+    tbl.commit_append(f2)
+
+    merged = tbl.read(spark, merge_schema=True)
+    assert set(merged.columns) == {"id", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert len(rows) == 8
+    assert rows[1] is None and rows[6] == 0.5   # old files null-fill
+    assert set(tbl.read(spark, snapshot_id=1).columns) == {"id"}
+
+
 def test_expire_and_gc_reclaim_precompaction_files(spark, tmp_path):
     """compact → expire_snapshots → remove_orphan_files reclaims the
     pre-compaction storage; the live snapshot is untouched."""
