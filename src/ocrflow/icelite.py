@@ -4,9 +4,14 @@ No Iceberg runtime jar exists in this environment (SURVEY.md §0), so
 snapshot semantics are implemented as a thin layer over partitioned
 Parquet + JSON manifests. What it honestly emulates (SURVEY.md §7
 hard-part 3): an ordered snapshot list, atomic commit (tmp-file +
-rename), time-travel reads by snapshot id, and append-only data files.
-What it does NOT emulate: concurrent writers, the Iceberg format spec,
-schema evolution. The table API mirrors Iceberg's naming so a real
+hard-link claim), time-travel reads by snapshot id, append-only data
+files, optimistic concurrent writers (link-claim CAS + rebase-retry,
+single host — a real deployment swaps the claim seam for the catalog's
+CAS), compaction/expiry/GC (commit_replace, expire_snapshots,
+remove_orphan_files), and additive schema evolution on read
+(merge_schema). What it does NOT emulate: the Iceberg format spec
+itself, multi-host commit coordination, column-level deletes. The
+table API mirrors Iceberg's naming so a real
 `spark.read.format("iceberg")` catalog can be swapped in where the jar
 exists.
 
@@ -90,36 +95,69 @@ class IceliteTable:
             os.fsync(fh.fileno())
         os.rename(tmp, path)
 
-    def _commit(self, entries: list[dict], props: dict) -> int:
-        """Write manifest to a tmp name, fsync, rename into place, then
-        swing the CURRENT pointer (also via rename). A reader holding
-        the old pointer keeps a consistent view — snapshot isolation.
+    def _commit(self, entries_for_parent, props: dict,
+                max_retries: int = 20) -> int:
+        """Optimistic-concurrency commit (Iceberg's commit protocol in
+        miniature): compute the manifest against the CURRENT parent,
+        then CLAIM the snapshot-id slot with os.link (hard-link fails
+        with EEXIST if another writer took the id first — the atomic
+        compare-and-swap this filesystem gives us). A loser re-reads
+        the new parent, REBASES its entry list, and retries — so
+        concurrent appenders serialize without locks and neither's
+        files are lost. The CURRENT pointer only ever advances
+        (monotonic guard) since ids are claimed in order.
+
+        A reader holding the old pointer keeps a consistent view —
+        snapshot isolation. On a real object store the link-claim seam
+        is replaced by the catalog's CAS; the rebase logic is
+        unchanged.
         """
-        parent = self.current_snapshot_id()
-        sid = (parent or 0) + 1
-        manifest = {
-            "snapshot_id": sid,
-            "parent_id": parent,
-            "committed_at": time.time(),
-            "files": entries,
-            "props": props,
-        }
-        self._atomic_write(os.path.join(self.meta_dir, f"snap-{sid}.json"),
-                           json.dumps(manifest, indent=1))
-        self._atomic_write(os.path.join(self.meta_dir, "CURRENT"),
-                           f"snap-{sid}.json")
-        return sid
+        for _ in range(max_retries):
+            parent = self.current_snapshot_id()
+            sid = (parent or 0) + 1
+            manifest = {
+                "snapshot_id": sid,
+                "parent_id": parent,
+                "committed_at": time.time(),
+                "files": entries_for_parent(parent),
+                "props": props,
+            }
+            final = os.path.join(self.meta_dir, f"snap-{sid}.json")
+            tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, indent=1)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, final)        # atomic claim of the sid slot
+            except FileExistsError:
+                os.remove(tmp)             # lost the race: rebase + retry
+                continue
+            os.remove(tmp)
+            # advance CURRENT monotonically (a slower winner of an
+            # earlier sid must not move the pointer backwards)
+            if (self.current_snapshot_id() or 0) < sid:
+                self._atomic_write(os.path.join(self.meta_dir, "CURRENT"),
+                                   f"snap-{sid}.json")
+            return sid
+        raise RuntimeError(
+            f"icelite commit on {self.path}: lost {max_retries} "
+            f"optimistic-commit races, giving up")
 
     def _entries_for(self, files: list[str]) -> list[dict]:
         return [{"path": os.path.relpath(os.path.abspath(f), self.path),
                  "rows": _parquet_rows(f)} for f in files]
 
     def commit_append(self, new_files: list[str], props: dict | None = None) -> int:
-        """Atomically append data files as a new snapshot."""
-        parent = self.current_snapshot_id()
-        parent_files = self.snapshot(parent)["files"] if parent is not None else []
-        return self._commit(list(parent_files) + self._entries_for(new_files),
-                            props or {})
+        """Atomically append data files as a new snapshot (concurrent
+        appenders rebase onto each other, see _commit)."""
+        new_entries = self._entries_for(new_files)
+
+        def entries(parent):
+            parent_files = (self.snapshot(parent)["files"]
+                            if parent is not None else [])
+            return list(parent_files) + new_entries
+        return self._commit(entries, props or {})
 
     def commit_replace(self, new_files: list[str], props: dict | None = None) -> int:
         """Commit a snapshot whose file list is EXACTLY ``new_files``
@@ -128,7 +166,8 @@ class IceliteTable:
         snapshot. Older snapshots keep referencing the old data files
         (still on disk), so time travel across the rewrite still works.
         """
-        return self._commit(self._entries_for(new_files),
+        new_entries = self._entries_for(new_files)
+        return self._commit(lambda parent: new_entries,
                             {**(props or {}), "operation": "replace"})
 
     def expire_head(self) -> int | None:

@@ -128,6 +128,33 @@ def stream_join_static(spark, sf):
     return _run_to_memory(j, "append")
 
 
+@sq("stream_stream_join")
+def stream_stream_join(spark, sf):
+    """Stream-stream interval join: purchases joined to the same user's
+    clicks within the preceding hour, both sides watermarked — the
+    state-store shape (each side buffers rows until its watermark
+    passes the join window; the interval condition is what lets Spark
+    expire state instead of keeping both streams forever)."""
+    base = _events_stream(spark, sf)
+    clicks = (base.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "30 minutes"))
+    purchases = (_events_stream(spark, sf)
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"))
+                 .withWatermark("p_ts", "30 minutes"))
+    j = purchases.join(
+        clicks,
+        F.expr("""c_user = p_user AND
+                  c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"""),
+        "inner").select("purchase_id", "click_id")
+    return _run_to_memory(j, "append")
+
+
 @sq("stream_stateful")
 def stream_stateful(spark, sf):
     """Custom stateful operator: running per-user (count, last_ts) via

@@ -187,6 +187,44 @@ def test_compaction_reduces_files_keeps_rows_and_history(spark, tmp_path):
     assert tbl.read(spark).count() == 60
 
 
+def test_concurrent_appenders_never_lose_updates(spark, tmp_path):
+    """Optimistic commits: 8 threads append concurrently; losers of the
+    snapshot-id race rebase and retry, so every dataset lands and the
+    snapshot chain is contiguous."""
+    import threading
+
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    file_sets = []
+    for i in range(8):
+        d = tbl.new_commit_dir(f"w{i}")
+        file_sets.append(write_dataframe_files(
+            spark.range(i * 100, i * 100 + 10).toDF("id"), d))
+
+    barrier = threading.Barrier(8)
+    errors = []
+
+    def worker(i):
+        try:
+            barrier.wait()
+            tbl.commit_append(file_sets[i], props={"writer": i})
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert [s["snapshot_id"] for s in tbl.snapshots()] == list(range(1, 9))
+    got = {r["id"] for r in tbl.read(spark).collect()}
+    assert got == {i * 100 + j for i in range(8) for j in range(10)}
+    # every snapshot strictly grows its parent's file list (rebase, not
+    # overwrite)
+    sizes = [len(s["files"]) for s in tbl.snapshots()]
+    assert sizes == sorted(sizes) and sizes[-1] == sum(len(f) for f in file_sets)
+
+
 def test_schema_evolution_additive_column(spark, tmp_path):
     """Additive schema evolution: commit 2 adds a column; merge_schema
     reads see the union schema with nulls for the old files, and

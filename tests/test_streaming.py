@@ -63,6 +63,22 @@ def test_stream_join_static_parity(spark, events):
         _rows(batch, "event_id", "user_id", "c_mktsegment")
 
 
+def test_stream_stream_join_parity(spark, events):
+    got = STREAM_QUERIES["stream_stream_join"](spark, SF_DIR)
+    c = (events.filter("event_type = 'click'")
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")))
+    p = (events.filter("event_type = 'purchase'")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")))
+    batch = p.join(c, F.expr(
+        "c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+    )).select("purchase_id", "click_id")
+    assert _rows(got, "purchase_id", "click_id") == \
+        _rows(batch, "purchase_id", "click_id")
+    assert got.count() > 0
+
+
 def test_stream_dedup_parity(spark, events):
     got = STREAM_QUERIES["stream_dedup"](spark, SF_DIR)
     assert got.count() == events.select("event_id").distinct().count()
