@@ -64,11 +64,16 @@ def main() -> None:
     transcripts.unpersist()
     timings["extract_pipeline"] = round(extract_secs, 3)
 
+    # best-of-2 per query (like the extraction): single-shot timings on
+    # this host swing 3×+ with invisible neighbor load (BENCH/r02_notes.md)
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     # apples-to-apples continuity vs BENCH_r01: the r01 suite had 20
@@ -81,6 +86,7 @@ def main() -> None:
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
+        "timing": "best_of_2",
         "suite_r01_keys_subtotal": r01_subtotal,
         "queries": timings,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
