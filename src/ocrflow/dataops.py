@@ -631,6 +631,34 @@ def udf_grouped_map(spark, sf):
         center, schema="user_id long, event_id long, rebased double")
 
 
+@q("udf_grouped_arrow", """
+SELECT user_id, event_id,
+       ROUND(max(value) OVER (PARTITION BY user_id) - value, 6) AS headroom
+FROM events
+""")
+def udf_grouped_arrow(spark, sf):
+    # per-group Arrow-native transform (PySpark 4 applyInArrow): the
+    # zero-pandas grouped-map path — pyarrow.compute end to end, no
+    # Series materialization. Rebasing on the group MAX keeps the
+    # arithmetic a single exact double op on both engines.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def headroom(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value")
+        hr = pc.subtract(pc.max(v), v)
+        return pa.table({"user_id": tbl.column("user_id"),
+                         "event_id": tbl.column("event_id"),
+                         "headroom": hr})
+
+    e = t(spark, sf, "events")
+    out = e.groupBy("user_id").applyInArrow(
+        headroom, schema="user_id long, event_id long, headroom double")
+    # final rounding JVM-side: pyarrow's pc.round lands 1 ULP away from
+    # Spark/DuckDB ROUND on some values (scale-multiply rounding)
+    return out.withColumn("headroom", F.round("headroom", 6))
+
+
 @q("udf_grouped_agg", """
 SELECT event_type, ROUND(sqrt(avg(value * value)), 6) AS rms
 FROM events GROUP BY event_type

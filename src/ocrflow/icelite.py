@@ -144,14 +144,31 @@ class IceliteTable:
             f"icelite commit on {self.path}: lost {max_retries} "
             f"optimistic-commit races, giving up")
 
-    def _entries_for(self, files: list[str]) -> list[dict]:
-        return [{"path": os.path.relpath(os.path.abspath(f), self.path),
-                 "rows": _parquet_rows(f)} for f in files]
+    def _entries_for(self, files: list[str],
+                     stats_cols: tuple[str, ...] = ()) -> list[dict]:
+        out = []
+        for f in files:
+            entry = {"path": os.path.relpath(os.path.abspath(f), self.path),
+                     "rows": _parquet_rows(f)}
+            if stats_cols:
+                stats = _parquet_column_stats(f, stats_cols)
+                if stats:
+                    entry["stats"] = stats
+            out.append(entry)
+        return out
 
-    def commit_append(self, new_files: list[str], props: dict | None = None) -> int:
+    def commit_append(self, new_files: list[str], props: dict | None = None,
+                      stats_cols: tuple[str, ...] = ()) -> int:
         """Atomically append data files as a new snapshot (concurrent
-        appenders rebase onto each other, see _commit)."""
-        new_entries = self._entries_for(new_files)
+        appenders rebase onto each other, see _commit).
+
+        ``stats_cols`` records per-file min/max for those columns in
+        the manifest (Iceberg's data-file stats) — read(stats_filter=)
+        then skips files whose range can't match, BEFORE any Spark
+        scan. The footers are already open for row counts, so the
+        stats are nearly free at commit time.
+        """
+        new_entries = self._entries_for(new_files, stats_cols)
 
         def entries(parent):
             parent_files = (self.snapshot(parent)["files"]
@@ -159,14 +176,15 @@ class IceliteTable:
             return list(parent_files) + new_entries
         return self._commit(entries, props or {})
 
-    def commit_replace(self, new_files: list[str], props: dict | None = None) -> int:
+    def commit_replace(self, new_files: list[str], props: dict | None = None,
+                       stats_cols: tuple[str, ...] = ()) -> int:
         """Commit a snapshot whose file list is EXACTLY ``new_files``
         (no parent-union) — the rewrite primitive behind compaction,
         the icelite analog of Iceberg's rewrite_data_files result
         snapshot. Older snapshots keep referencing the old data files
         (still on disk), so time travel across the rewrite still works.
         """
-        new_entries = self._entries_for(new_files)
+        new_entries = self._entries_for(new_files, stats_cols)
         return self._commit(lambda parent: new_entries,
                             {**(props or {}), "operation": "replace"})
 
@@ -272,13 +290,22 @@ class IceliteTable:
     # -- read ------------------------------------------------------------
 
     def read(self, spark, snapshot_id: int | None = None,
-             path_filter: str | None = None, merge_schema: bool = False):
+             path_filter: str | None = None, merge_schema: bool = False,
+             stats_filter: dict | None = None):
         """Snapshot-isolated scan (time travel when snapshot_id given).
 
         ``path_filter`` prunes files whose relative path does not
         contain the given substring (e.g. "conv_bucket=3/") BEFORE any
         scan — manifest-level partition pruning, the icelite analog of
         Iceberg's partition stats.
+
+        ``stats_filter`` = {col: (lo, hi)} skips files whose recorded
+        min/max range (commit_append stats_cols) cannot intersect
+        [lo, hi] — Iceberg's data-file skipping. Files without stats
+        for the column are conservatively kept, so the filter is a
+        pure pruning hint, never a correctness dependency (the caller
+        still applies the real predicate; parquet row-group stats
+        prune again inside each file Spark does scan).
 
         ``merge_schema=True`` supports additive schema evolution: a
         snapshot whose commits carry different (column-added) schemas
@@ -287,9 +314,18 @@ class IceliteTable:
         mergeSchema. Off by default: schema merging footer-reads every
         file, which matters at manifest sizes of 10^5 files.
         """
-        files = self.file_list(snapshot_id)
+        snap = self.snapshot(snapshot_id)
+        entries = snap["files"] if snap is not None else []
         if path_filter is not None:
-            files = [f for f in files if path_filter in f]
+            entries = [e for e in entries if path_filter in e["path"]]
+        if stats_filter:
+            for col, (lo, hi) in stats_filter.items():
+                entries = [
+                    e for e in entries
+                    if col not in e.get("stats", {})
+                    or not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
+                ]
+        files = [os.path.join(self.path, e["path"]) for e in entries]
         if not files:
             raise ValueError(f"icelite table {self.path} has no matching "
                              f"files (snapshot or filter too narrow)")
@@ -302,6 +338,49 @@ class IceliteTable:
 def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def _parquet_column_stats(path: str, cols: tuple[str, ...]) -> dict:
+    """Per-file [min, max] for the requested columns, aggregated over
+    row groups from the parquet footer (no data read). Only
+    JSON-representable stats are kept (numbers, strings; timestamps
+    via isoformat) — anything else is silently omitted, and readers
+    treat missing stats as "keep the file"."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    agg: dict[str, list] = {}
+    invalid: set[str] = set()  # any row group without stats voids the column
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for i in range(row_group.num_columns):
+            col = row_group.column(i)
+            name = col.path_in_schema
+            if name not in cols or name in invalid:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                invalid.add(name)
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    invalid.add(name)
+                    continue
+            if isinstance(lo, (datetime.datetime, datetime.date)):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            if not isinstance(lo, (int, float, str)):
+                invalid.add(name)
+                continue
+            if name in agg:
+                agg[name] = [min(agg[name][0], lo), max(agg[name][1], hi)]
+            else:
+                agg[name] = [lo, hi]
+    return {k: v for k, v in agg.items() if k not in invalid}
 
 
 def write_dataframe_files(df, out_dir: str,

@@ -250,6 +250,34 @@ def join_range(spark, sf):
             .select("o_orderkey", "l_linenumber", "l_shipdate"))
 
 
+@q("join_range_bucketed", """
+SELECT o.o_orderkey, l.l_linenumber, l.l_shipdate
+FROM orders o JOIN lineitem l
+  ON o.o_orderkey = l.l_orderkey
+ AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 60 DAY
+""")
+def join_range_bucketed(spark, sf):
+    # the SCALE path for band joins (same semantics and oracle as
+    # join_range — the driver proves the rewrite's equivalence): add a
+    # coarse time bucket to the equi-key so the shuffle key becomes
+    # (orderkey, 60d-bucket). Each probe row can match two buckets, so
+    # the build side explodes to {bucket, bucket+1} — rows pair up only
+    # within one bucket of each other instead of across the whole key
+    # group, and the residual BETWEEN evaluates on that reduced set.
+    # For keys with long histories (the skew case for plain join_range)
+    # this bounds the per-key pair blowup by the bucket width.
+    bucket_s = 60 * 86400
+    o, li = t(spark, sf, "orders"), t(spark, sf, "lineitem")
+    lb = li.withColumn("_b", F.floor(F.unix_timestamp("l_shipdate") / bucket_s))
+    ob = (o.withColumn("_b0", F.floor(F.unix_timestamp("o_orderdate") / bucket_s))
+          .withColumn("_b", F.explode(F.array(F.col("_b0"), F.col("_b0") + 1))))
+    return (ob.join(lb, (ob.o_orderkey == lb.l_orderkey) & (ob._b == lb._b)
+                    & lb.l_shipdate.between(
+                        ob.o_orderdate,
+                        ob.o_orderdate + F.expr("INTERVAL 60 DAYS")))
+            .select("o_orderkey", "l_linenumber", "l_shipdate"))
+
+
 @q("join_asof", """
 SELECT event_id AS purchase_id, click_id AS last_click_id FROM (
   SELECT p.event_id, c.event_id AS click_id,

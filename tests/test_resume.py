@@ -187,6 +187,35 @@ def test_compaction_reduces_files_keeps_rows_and_history(spark, tmp_path):
     assert tbl.read(spark).count() == 60
 
 
+def test_manifest_column_stats_skip_files(spark, tmp_path):
+    """Data-file skipping from manifest min/max stats (Iceberg's
+    file-level pruning): commits with disjoint id ranges, a stats
+    filter reads only the intersecting files."""
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    for i in range(4):
+        d = tbl.new_commit_dir(f"c{i}")
+        f = write_dataframe_files(
+            spark.range(i * 100, i * 100 + 50).toDF("id").coalesce(1), d)
+        tbl.commit_append(f, stats_cols=("id",))
+    snap = tbl.snapshot()
+    assert all("stats" in e and e["stats"]["id"] == [i * 100, i * 100 + 49]
+               for i, e in enumerate(snap["files"]))
+
+    # range [120, 130] lives only in commit 1's file
+    pruned = tbl.read(spark, stats_filter={"id": (120, 130)})
+    assert pruned.count() == 50                       # one file scanned
+    assert pruned.filter("id BETWEEN 120 AND 130").count() == 11
+    # caller still applies the real predicate; the filter only prunes
+    full = tbl.read(spark, stats_filter={"id": (0, 1000)})
+    assert full.count() == 200
+    # files without stats are conservatively kept
+    f = write_dataframe_files(spark.range(900, 910).toDF("id"),
+                              tbl.new_commit_dir("nostats"))
+    tbl.commit_append(f)  # no stats_cols
+    kept = tbl.read(spark, stats_filter={"id": (120, 130)})
+    assert kept.count() == 60                         # pruned file + no-stats file
+
+
 def test_concurrent_appenders_never_lose_updates(spark, tmp_path):
     """Optimistic commits: 8 threads append concurrently; losers of the
     snapshot-id race rebase and retry, so every dataset lands and the
