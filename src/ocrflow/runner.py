@@ -109,6 +109,21 @@ def _dedup_lineage_rows(rows: list) -> list:
     return list(seen.values())
 
 
+def compact_output(spark: SparkSession, out_table_path: str,
+                   target_file_bytes: int = 128 << 20) -> int:
+    """One-call compaction for run_extract's bucketed output layout:
+    rewrites the (tasks × buckets) small files into ~target-sized files
+    per conv_bucket, preserving the hive layout (and manifest path
+    pruning) by re-deriving the _cb partition column from the
+    conv_bucket data column. Run it every N commits; follow with
+    expire_snapshots + remove_orphan_files to reclaim the old files.
+    """
+    tbl = IceliteTable(out_table_path)
+    return tbl.compact(spark, target_file_bytes=target_file_bytes,
+                       partition_by=("_cb",),
+                       derive={"_cb": F.col("conv_bucket")})
+
+
 def run_extract(spark: SparkSession, input_path: str, out_table_path: str,
                 run_id: str | None = None, partitions: int | None = None,
                 salt_buckets: int = DEFAULT_SALT_BUCKETS,

@@ -316,9 +316,8 @@ def test_compaction_preserves_bucketed_layout(spark, input_dir, tmp_path):
     run_extract(spark, input_dir, out, run_id="r2", partitions=4)
     tbl = IceliteTable(out)
     files_before = len(tbl.file_list())
-    from pyspark.sql import functions as F
-    tbl.compact(spark, target_file_bytes=1 << 30, partition_by=("_cb",),
-                derive={"_cb": F.col("conv_bucket")})
+    from ocrflow.runner import compact_output
+    compact_output(spark, out, target_file_bytes=1 << 30)
     files_after = tbl.file_list()
     assert len(files_after) < files_before
     assert all("_cb=" in f for f in files_after)   # hive layout preserved
