@@ -336,6 +336,46 @@ def salted_join(big: DataFrame, small: DataFrame, big_key, small_key,
                   & (b["_salt"] == s["_salt"])).drop("_salt")
 
 
+@q("join_asof_tolerance", """
+SELECT event_id AS purchase_id, click_id AS last_click_id FROM (
+  SELECT p.event_id, c.event_id AS click_id,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM events p LEFT JOIN events c
+    ON c.user_id = p.user_id AND c.event_type = 'click'
+   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+  WHERE p.event_type = 'purchase'
+) WHERE rn = 1
+""")
+def join_asof_tolerance(spark, sf):
+    # as-of with a tolerance bound (match only within the trailing
+    # hour — kdb's `aj` tolerance / pandas merge_asof(tolerance=...)):
+    # the same union-merge as join_asof, carrying the click ts so the
+    # bound is a post-window filter that NULLs out stale matches.
+    # Still one shuffle + one window; no pair materialization.
+    e = t(spark, sf, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id",
+                      F.lit(0).alias("side"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "event_id",
+                     F.lit(1).alias("side"),
+                     F.lit(None).cast("long").alias("click_id"),
+                     F.lit(None).cast("timestamp").alias("click_ts")))
+    u = clicks.unionByName(purch)
+    w = (W.partitionBy("user_id").orderBy("ts", "side", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    within = (F.col("_ts").isNotNull()
+              & (F.unix_timestamp("ts") - F.unix_timestamp("_ts") <= 3600))
+    return (u.withColumn("_id", F.last("click_id", ignorenulls=True).over(w))
+            .withColumn("_ts", F.last("click_ts", ignorenulls=True).over(w))
+            .filter(F.col("side") == 1)
+            .select(F.col("event_id").alias("purchase_id"),
+                    F.when(within, F.col("_id")).alias("last_click_id")))
+
+
 @q("join_salted_skew", """
 SELECT e.user_id, count(*) AS n_events, CAST(sum(o.o_orderkey) AS BIGINT) AS sum_okey
 FROM events e JOIN orders o ON e.user_id = o.o_custkey

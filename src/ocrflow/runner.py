@@ -204,8 +204,12 @@ def run_extract(spark: SparkSession, input_path: str, out_table_path: str,
     # (expire_orphan_data_commits above) before reprocessing — so
     # default readers never accumulate duplicate rows, and resume
     # stays exactly-once end to end.
+    # conv_id min/max per file ride the manifest (read(stats_filter=)
+    # then skips files at the manifest level for conv-range reads —
+    # complements the conv_bucket hive pruning)
     sid = out.commit_append(files, props={"run_id": run_id,
-                                          "input_files": len(pending)})
+                                          "input_files": len(pending)},
+                            stats_cols=("conv_id",))
     lineage.commit_append(lfiles, props={"run_id": run_id, "snapshot_id": sid})
 
     rows_out = sum(int(r[3]) for r in task_rows if r[3] >= 0)
