@@ -87,18 +87,20 @@ def minhash_lsh_pairs(docs, max_bucket: int = LSH_MAX_BUCKET):
     """Candidate near-dup pairs via MinHash + LSH banding over
     ``docs(doc_id, w: array<string>)``.
 
-    All built-ins (explode + groupBy + self-join on band bucket):
+    All built-ins (explode + groupBy + per-bucket pair expansion):
     candidate generation is O(docs × shingles), never O(n²). At 100 TB
     the band-bucket shuffle is the only wide exchange and its keys are
     8-byte hashes.
 
     ``max_bucket`` caps degenerate buckets: a boilerplate-heavy corpus
-    puts millions of docs in one band bucket, and the bucket self-join
-    re-creates the all-pairs blowup (size² rows from a single key). Any
-    bucket larger than the cap is dropped BEFORE the self-join — those
-    docs are near-identical to so many others that exact-hash dedup or
-    a per-bucket sample handles them; the cap bounds the join output by
-    buckets × max_bucket². Pass max_bucket=None to disable.
+    puts millions of docs in one band bucket, re-creating the
+    all-pairs blowup (size² pairs from a single key). Buckets larger
+    than the cap are dropped BEFORE pair expansion — those docs are
+    near-identical to so many others that exact-hash dedup or a
+    per-bucket sample handles them; the cap bounds both the gathered
+    bucket arrays and the pair output (≤ buckets × max_bucket²/2).
+    Pass max_bucket=None to disable (unbounded buckets then gather
+    unbounded arrays — only safe on corpora known not to degenerate).
     """
     # k-word shingles via higher-order functions (JVM-side)
     sh = docs.select(
@@ -122,20 +124,26 @@ def minhash_lsh_pairs(docs, max_bucket: int = LSH_MAX_BUCKET):
                                   for r in range(rows_per_band)]).alias("bucket"))
             for b in range(LSH_BANDS)])).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # pair generation WITHOUT a self-join: gather each bucket's doc ids
+    # (bucket sizes are capped, so collect_list is bounded) and emit the
+    # i<j combinations JVM-side with higher-order functions. One
+    # computation of the shingle→minhash pipeline and one exchange —
+    # the plan-identical self-join computed the whole pipeline TWICE
+    # (ReuseExchange does not fire under AQE here) plus a join shuffle.
+    grouped = (bands.groupBy("band", "bucket")
+               .agg(F.collect_list("doc_id").alias("ids"))
+               .filter(F.size("ids") >= 2))
     if max_bucket is not None:
-        # bucket-size window over the SAME (band, bucket) partitioning
-        # the self-join shuffles on anyway — one pass, no second scan of
-        # the shingle→minhash pipeline (a separate count+anti-join
-        # recomputed it and measured 3.7× slower at sf0.1)
-        wsz = W.partitionBy("band", "bucket")
-        bands = (bands.withColumn("_bsz", F.count("*").over(wsz))
-                 .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
-    a, b = bands.alias("a"), bands.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
+        # the hot-bucket cap is now just a size filter on the gathered
+        # bucket — no extra pass, no second scan
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    pair_expr = F.expr("""
+        flatten(transform(ids, (x, i) ->
+            transform(slice(ids, i + 2, size(ids)),
+                      y -> struct(least(x, y) AS a, greatest(x, y) AS b))))
+    """)
+    return (grouped.select(F.explode(pair_expr).alias("p"))
+            .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
             .distinct())
 
 
