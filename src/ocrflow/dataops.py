@@ -375,22 +375,35 @@ def dedup_embedding_lsh(spark, sf, n_tables: int = 6, n_bits: int = 4,
         codes = codes + (np.arange(n_tables, dtype=np.int32) << n_bits)
         return pd.Series(list(codes))
 
-    emb = em.select("vec_id",
-                    buckets_of("embedding").alias("buckets"),
-                    F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
-    emb = emb.withColumn("n", norm).filter(F.col("n") > 0)
-    flat = emb.select("vec_id", "v", "n", F.explode("buckets").alias("bucket"))
-    a = flat.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-                    F.col("n").alias("na"), "bucket")
-    b = flat.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-                    F.col("n").alias("nb"), "bucket")
-    pairs = (a.join(b, ["bucket"])
-             .filter(F.col("vec_a") < F.col("vec_b"))
-             .dropDuplicates(["vec_a", "vec_b"]))
+    # candidate ids WITHOUT a bucket self-join: the self-join would run
+    # the hyperplane UDF pipeline once per side — gather ids per bucket
+    # (8-byte ids only, never the vectors) and expand i<j combinations
+    # JVM-side, then join the small pair list back to the PLAIN vector
+    # scan (no UDF) for the exact re-rank.
+    flat = (em.select("vec_id", F.explode(buckets_of("embedding")).alias("bucket")))
+    grouped = (flat.groupBy("bucket").agg(F.collect_list("vec_id").alias("ids"))
+               .filter(F.size("ids") >= 2))
+    pair_expr = F.expr("""
+        flatten(transform(ids, (x, i) ->
+            transform(slice(ids, i + 2, size(ids)),
+                      y -> struct(least(x, y) AS a, greatest(x, y) AS b))))
+    """)
+    pairs = (grouped.select(F.explode(pair_expr).alias("p"))
+             .select(F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b"))
+             .distinct())
+    vec = (em.select("vec_id",
+                     F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+           .withColumn("n", F.sqrt(F.aggregate("v", F.lit(0.0),
+                                               lambda a, x: a + x * x)))
+           .filter(F.col("n") > 0))
+    j = (pairs
+         .join(vec.select(F.col("vec_id").alias("vec_a"),
+                          F.col("v").alias("va"), F.col("n").alias("na")), "vec_a")
+         .join(vec.select(F.col("vec_id").alias("vec_b"),
+                          F.col("v").alias("vb"), F.col("n").alias("nb")), "vec_b"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    return (pairs.withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+    return (j.withColumn("cosine", dot / (F.col("na") * F.col("nb")))
             .filter(F.col("cosine") >= tau)
             .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine")))
 
