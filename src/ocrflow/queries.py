@@ -1139,6 +1139,55 @@ def date_trunc_variants(spark, sf):
         F.dayofyear("o_orderdate").alias("doy"))
 
 
+@q("recursive_cte", """
+WITH RECURSIVE chain(user_id, anc, depth) AS (
+  SELECT DISTINCT user_id, user_id AS anc, 0 AS depth
+  FROM events WHERE user_id < 64
+  UNION ALL
+  SELECT user_id, CAST(floor(anc / 2) AS BIGINT) AS anc, depth + 1 AS depth
+  FROM chain WHERE anc > 0
+)
+SELECT user_id, max(depth) AS chain_len FROM chain GROUP BY user_id
+""")
+def recursive_cte(spark, sf):
+    # WITH RECURSIVE (Spark 4): ancestor chain via successive halving
+    # of the user id — each iteration is one self-referencing UNION ALL
+    # step the engine unrolls until the working set is empty, the SQL
+    # analog of the iter_pagerank loop. Identical text runs on DuckDB
+    # (CAST(x/2 AS BIGINT) keeps integer halving engine-portable).
+    t(spark, sf, "events").createOrReplaceTempView("events_rcte")
+    return spark.sql("""
+        WITH RECURSIVE chain(user_id, anc, depth) AS (
+          SELECT DISTINCT user_id, user_id AS anc, 0 AS depth
+          FROM events_rcte WHERE user_id < 64
+          UNION ALL
+          SELECT user_id, CAST(floor(anc / 2) AS BIGINT) AS anc, depth + 1 AS depth
+          FROM chain WHERE anc > 0
+        )
+        SELECT user_id, max(depth) AS chain_len FROM chain GROUP BY user_id
+    """)
+
+
+@q("json_variant", """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       json_extract_string(props, '$.k') IS NOT NULL AS has_k
+FROM events WHERE props IS NOT NULL
+""")
+def json_variant(spark, sf):
+    # the VARIANT type (Spark 4): parse once into the binary
+    # semi-structured encoding, then typed variant_get extraction —
+    # the modern replacement for repeated get_json_object string
+    # parsing (one parse, shredded access). Oracle reads the same
+    # values through DuckDB's JSON functions.
+    e = t(spark, sf, "events").filter(F.col("props").isNotNull())
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+        F.expr("variant_get(parse_json(props), '$.k', 'string') IS NOT NULL")
+         .alias("has_k"))
+
+
 @q("struct_nested", """
 SELECT o_orderkey,
        {'cust': o_custkey, 'price': o_totalprice}.cust AS cust_from_struct,
