@@ -186,27 +186,43 @@ def dedup_lsh_verified(spark, sf):
 
 
 def simhash_df(docs, text_col: str = "text"):
-    """64-bit SimHash per doc, 100% JVM-side (zero Python, zero shuffle):
-    tokenize → xxhash64 per token → per-bit votes via aggregate/zip_with
-    → sign bits assembled into the hash with bitwise OR (overflow-safe
-    under ANSI mode). Returns (doc_id, simhash, bucket) where bucket is
-    the 16-bit prefix. Replaces the round-1 pandas-UDF kernel whose
-    per-token Python FNV loop was the hot path.
+    """64-bit SimHash per doc: tokenize + xxhash64 JVM-side (codegen'd),
+    then bit votes + sign packing in ONE vectorized numpy pass over the
+    Arrow-delivered hash arrays — no per-token Python loop anywhere.
+
+    Why hybrid: a pure-SQL vote loop (aggregate/zip_with over
+    sequence(0,63)) is interpreted per token×bit and measured 19.5 s
+    for 5k docs on 8 cores; the numpy segmented-reduce below does the
+    same 64-bit vote matrix as flat array ops. The round-1 version's
+    sin was a per-token Python FNV loop — hashing stays JVM.
+    Returns (doc_id, simhash, bucket) where bucket is the 16-bit prefix.
     """
+    @F.pandas_udf(T.LongType())
+    def pack_votes(hash_arrays: pd.Series) -> pd.Series:
+        lengths = hash_arrays.map(len).to_numpy(dtype=np.int64)
+        out = np.zeros(len(hash_arrays), dtype=np.int64)
+        nonempty = lengths > 0
+        if not nonempty.any():
+            return pd.Series(out)
+        all_h = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in hash_arrays[nonempty]]
+        ).astype(np.uint64)
+        bits = ((all_h[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+                ).astype(np.uint8)                      # tokens × 64
+        offsets = np.concatenate(([0], np.cumsum(lengths[nonempty])[:-1]))
+        ones = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)
+        votes = 2 * ones - lengths[nonempty][:, None]   # sum of (2b-1)
+        packed = ((votes > 0).astype(np.uint64)
+                  << np.arange(64, dtype=np.uint64)).sum(axis=1)
+        out[nonempty] = packed.astype(np.int64)
+        return pd.Series(out)
+
     toks = f"filter(split(trim({text_col}), '\\\\s+'), x -> x <> '')"
-    hs = f"transform({toks}, x -> xxhash64(x))"
-    votes = (f"aggregate({hs}, array_repeat(0, 64), "
-             f"(acc, h) -> zip_with(acc, "
-             f"transform(sequence(0, 63), b -> IF(((h >> b) & 1) = 1, 1, -1)), "
-             f"(a, v) -> a + v))")
-    sim = ("aggregate(sequence(0, 63), CAST(0 AS BIGINT), "
-           "(acc, b) -> IF(element_at(_votes, b + 1) > 0, "
-           "acc | shiftleft(CAST(1 AS BIGINT), b), acc))")
     return (docs
-            .withColumn("_votes", F.expr(votes))   # own column: computed once
-            .withColumn("simhash", F.expr(sim))
+            .withColumn("_hs", F.expr(f"transform({toks}, x -> xxhash64(x))"))
+            .withColumn("simhash", pack_votes("_hs"))
             .withColumn("bucket", F.shiftright("simhash", 48))
-            .drop("_votes"))
+            .drop("_hs"))
 
 
 @q("dedup_simhash")  # rows-only: xxhash64 bit arithmetic has no SQL twin

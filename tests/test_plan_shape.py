@@ -72,6 +72,15 @@ def test_join_asof_union_merge_no_join_no_blowup(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_minhash_lsh_single_scan_no_join(spark):
+    """Candidate generation is one pass: per-bucket collect_list + JVM
+    pair expansion. A regression to the bucket self-join doubles the
+    shingle→minhash pipeline (2 FileScans) and adds a join shuffle."""
+    plan = _plan(QUERIES["dedup_minhash_lsh"](spark, SF_DIR))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
 def test_dedup_materialize_no_cartesian(spark):
     plan = _plan(QUERIES["dedup_materialize"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
