@@ -135,6 +135,43 @@ def mm_resize(spark, sf):
         resize, schema="asset_id bigint, thumb_sum bigint, thumb_px bigint")
 
 
+@q("mm_dedup_phash")  # rows-only
+def mm_dedup_phash(spark, sf):
+    """Multimodal dedup: average-hash (aHash) over decoded images —
+    decode → 8×8 downsample → mean-threshold bit signature → 64-bit
+    hash; exact-duplicate images share the hash, near-dups share the
+    16-bit prefix bucket. The decode is the documented fake; the
+    signature math (vectorized numpy over the batch) and the
+    hash-groupBy dedup tail are the real 100 TB shape — identical to
+    dedup_exact but keyed on perceptual content, not bytes.
+    """
+    assets = make_assets(spark, sf).filter(F.col("kind") == "image")
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = 8
+        for pdf in batches:
+            hashes = np.zeros(len(pdf), dtype=np.int64)
+            for i, (p, w, h) in enumerate(zip(pdf["payload"], pdf["width"],
+                                              pdf["height"])):
+                img = _decode_image(p, w, h)
+                ys = np.linspace(0, h - 1, g).astype(np.intp)
+                xs = np.linspace(0, w - 1, g).astype(np.intp)
+                small = img[np.ix_(ys, xs)].astype(np.float64)
+                bits = (small > small.mean()).flatten()
+                hashes[i] = np.int64(
+                    (bits.astype(np.uint64)
+                     << np.arange(g * g, dtype=np.uint64)).sum()
+                    .astype(np.int64))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"],
+                                "phash": hashes})
+
+    sigs = assets.mapInPandas(phash, schema="asset_id bigint, phash bigint")
+    return (sigs.groupBy("phash")
+            .agg(F.min("asset_id").alias("keep_id"),
+                 F.count("*").alias("n_dups"),
+                 F.shiftright(F.min("phash"), 48).alias("near_bucket")))
+
+
 @q("mm_frame_sample")  # rows-only
 def mm_frame_sample(spark, sf):
     """Video frame sampling stub: one output row per sampled frame

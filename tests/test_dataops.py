@@ -251,6 +251,24 @@ def test_multimodal_plumbing(spark):
         M._decode_image(b"xx", 4, 4, real_codec=True)
 
 
+def test_mm_phash_dedup_planted_copy(spark):
+    # two docs with identical text → identical image payloads → one
+    # phash group of size ≥ 2 keeping the min asset id
+    import ocrflow.multimodal as M
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = src.filter("doc_id = 9").first()  # 9 % 3 == 0 → image kind
+    # 96009 = 9 + 192*500: same doc_id mod 3 (kind), mod 64 (width) and
+    # mod 48 (height), so the identical payload decodes identically
+    planted = spark.createDataFrame(
+        [(96009, one["text"], one["lang"], one["source"], one["n_chars"])],
+        src.schema)
+    tmp = tempfile.mkdtemp(prefix="ocrflow_phash_")
+    src.unionByName(planted).write.parquet(os.path.join(tmp, "documents.parquet"))
+    groups = {r["keep_id"]: r["n_dups"]
+              for r in M.mm_dedup_phash(spark, tmp).collect()}
+    assert groups.get(9, 0) >= 2  # original kept, copy counted
+
+
 def test_iter_pagerank_converges(spark):
     import ocrflow.dataops as D
     rows = D.QUERIES["iter_pagerank"](spark, SF_DIR).collect()
