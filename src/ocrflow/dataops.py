@@ -767,6 +767,22 @@ def sink_partitioned(spark, sf):
             .groupBy("bucket").agg(F.count("*").alias("n")))
 
 
+@q("source_python_datasource")  # rows-only: synthetic source, no oracle table
+def source_python_datasource(spark, sf):
+    """The PySpark 4 Python DataSource API as an ingest seam:
+    spark.read.format("ocrflow_synth") — partition planning source-side,
+    per-executor slice generation, zero driver materialization
+    (ocrflow.sources; content equality vs gen_rows tested)."""
+    from .sources import register
+    register(spark)
+    df = (spark.read.format("ocrflow_synth")
+          .option("turns", 2000).option("seed", 42)
+          .option("partitions", 8).load())
+    return (df.groupBy("role")
+            .agg(F.count("*").alias("n_turns"),
+                 F.min("conv_id").alias("first_conv")))
+
+
 @q("source_icelite_snapshot")  # rows-only: snapshot-isolated scan
 def source_icelite_snapshot(spark, sf):
     from .icelite import IceliteTable, write_dataframe_files

@@ -251,6 +251,23 @@ def test_multimodal_plumbing(spark):
         M._decode_image(b"xx", 4, 4, real_codec=True)
 
 
+def test_python_datasource_matches_gen_rows(spark):
+    # the custom DataSource yields exactly the rows the reference
+    # generator produces for the same (turns, seed) — per-partition
+    # slice generation loses/duplicates nothing
+    from ocrflow.sources import register
+    from ocrflow.synth import gen_rows
+    register(spark)
+    df = (spark.read.format("ocrflow_synth")
+          .option("turns", 500).option("seed", 42)
+          .option("partitions", 4).load())
+    got = {(r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+           for r in df.collect()}
+    exp = {(r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+           for r in gen_rows(500, seed=42, monster_every=1000)}
+    assert got == exp
+
+
 def test_mm_phash_dedup_planted_copy(spark):
     # two docs with identical text → identical image payloads → one
     # phash group of size ≥ 2 keeping the min asset id
