@@ -186,7 +186,7 @@ class IceliteTable:
         """
         new_entries = self._entries_for(new_files, stats_cols)
         return self._commit(lambda parent: new_entries,
-                            {**(props or {}), "operation": "replace"})
+                            {"operation": "replace", **(props or {})})
 
     def expire_head(self) -> int | None:
         """Roll CURRENT back to the head snapshot's parent (crash
@@ -205,9 +205,41 @@ class IceliteTable:
                            f"snap-{parent}.json" if parent is not None else "")
         return parent
 
+    def merge_upsert(self, spark, updates, key_cols: tuple[str, ...],
+                     order_col: str, stats_cols: tuple[str, ...] = ()) -> int:
+        """MERGE INTO semantics (latest-wins upsert): union the current
+        snapshot with ``updates``, keep one row per key (max
+        ``order_col`` wins, updates tagged newer on ties), commit the
+        result as a replace snapshot. Old snapshots still time-travel
+        to the pre-merge state.
+
+        Scale notes: this is copy-on-write MERGE (Iceberg's COW mode) —
+        one shuffle on the key for the latest-wins window, then a full
+        rewrite. At 100 TB you restrict the rewrite to the partitions
+        the updates touch (read(path_filter=bucket) per touched bucket,
+        merge, replace those files only) — the per-bucket loop composes
+        from these same primitives.
+        """
+        from pyspark.sql import Window as W, functions as F
+
+        cur = self.read(spark) if self.current_snapshot_id() is not None else None
+        tagged_new = updates.withColumn("_src", F.lit(1))
+        both = (cur.withColumn("_src", F.lit(0)).unionByName(tagged_new)
+                if cur is not None else tagged_new)
+        w = W.partitionBy(*key_cols).orderBy(F.col(order_col).desc(),
+                                             F.col("_src").desc())
+        merged = (both.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn", "_src"))
+        out_dir = self.new_commit_dir(f"merge-{uuid.uuid4().hex[:8]}")
+        files = write_dataframe_files(merged, out_dir)
+        return self.commit_replace(files, props={"operation": "merge"},
+                                   stats_cols=stats_cols)
+
     def compact(self, spark, target_file_bytes: int = 128 << 20,
                 partition_by: tuple[str, ...] = (),
-                derive: dict | None = None) -> int:
+                derive: dict | None = None,
+                sort_by: tuple[str, ...] = (),
+                stats_cols: tuple[str, ...] = ()) -> int:
         """Rewrite the current snapshot's files into ~target-sized files
         (icelite's rewrite_data_files). Bucketed commit layouts multiply
         files by (tasks × buckets) per commit (runner.py documents the
@@ -222,6 +254,12 @@ class IceliteTable:
         doesn't see them — pass ``derive`` to rebuild them (e.g.
         ``{"_cb": F.col("conv_bucket")}`` for the runner's bucketed
         layout, which keeps the bucket as a regular column too).
+
+        ``sort_by`` clusters the rewrite (range-partition + sort within
+        files — Iceberg's rewrite sort strategy): each output file then
+        covers a tight ``sort_by`` value range, which is what makes
+        ``stats_cols`` min/max skipping effective (random placement
+        gives every file the full range and skips nothing).
         """
         files = self.file_list()
         total = sum(os.path.getsize(f) for f in files)
@@ -230,13 +268,19 @@ class IceliteTable:
         for col_name, expr in (derive or {}).items():
             df = df.withColumn(col_name, expr)
         out_dir = self.new_commit_dir(f"compact-{uuid.uuid4().hex[:8]}")
-        shuffled = (df.repartition(n_out, *partition_by) if partition_by
-                    else df.repartition(n_out))
+        if sort_by:
+            shuffled = (df.repartitionByRange(n_out, *sort_by)
+                        .sortWithinPartitions(*sort_by))
+        elif partition_by:
+            shuffled = df.repartition(n_out, *partition_by)
+        else:
+            shuffled = df.repartition(n_out)
         new_files = write_dataframe_files(shuffled, out_dir,
                                           partition_by=partition_by)
         return self.commit_replace(new_files, props={
             "compaction_of": self.current_snapshot_id(),
-            "files_before": len(files), "files_after": len(new_files)})
+            "files_before": len(files), "files_after": len(new_files)},
+            stats_cols=stats_cols)
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshot manifests

@@ -187,6 +187,62 @@ def test_compaction_reduces_files_keeps_rows_and_history(spark, tmp_path):
     assert tbl.read(spark).count() == 60
 
 
+def test_merge_upsert_latest_wins(spark, tmp_path):
+    """MERGE INTO semantics: updates overwrite matched keys (latest
+    order_col wins, update wins ties), unmatched keys insert, history
+    time-travels to the pre-merge state."""
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "k long, v string, ver long")
+    tbl.commit_append(write_dataframe_files(base, tbl.new_commit_dir("c0")))
+
+    updates = spark.createDataFrame(
+        [(2, "B2", 20),    # newer → replaces
+         (3, "stale", 5),  # older → loses to current
+         (4, "d", 20)],    # new key → inserts
+        "k long, v string, ver long")
+    sid = tbl.merge_upsert(spark, updates, key_cols=("k",), order_col="ver")
+    got = {r["k"]: (r["v"], r["ver"]) for r in tbl.read(spark).collect()}
+    assert got == {1: ("a", 10), 2: ("B2", 20), 3: ("c", 10), 4: ("d", 20)}
+    assert tbl.snapshot(sid)["props"]["operation"] == "merge"
+    # pre-merge state still time-travelable
+    assert {r["k"] for r in tbl.read(spark, snapshot_id=1).collect()} == {1, 2, 3}
+    # tie on ver: the update wins
+    tbl.merge_upsert(spark, spark.createDataFrame(
+        [(1, "A-tie", 10)], "k long, v string, ver long"),
+        key_cols=("k",), order_col="ver")
+    assert {r["v"] for r in tbl.read(spark).filter("k = 1").collect()} == {"A-tie"}
+
+
+def test_sorted_compaction_tightens_stats_ranges(spark, tmp_path):
+    """compact(sort_by=...) range-clusters the rewrite so per-file
+    min/max become disjoint and stats skipping actually skips."""
+    import random
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    ids = list(range(400))
+    random.Random(7).shuffle(ids)
+    for c in range(4):  # 4 commits of interleaved ids → full-range files
+        chunk = spark.createDataFrame([(i,) for i in ids[c*100:(c+1)*100]],
+                                      "id long")
+        tbl.commit_append(write_dataframe_files(chunk.coalesce(1),
+                                                tbl.new_commit_dir(f"c{c}")),
+                          stats_cols=("id",))
+    # before: every file spans ~the whole id range → nothing skips
+    pre = tbl.snapshot()["files"]
+    assert all(e["stats"]["id"][0] < 100 < e["stats"]["id"][1] for e in pre)
+
+    tbl.compact(spark, target_file_bytes=1, sort_by=("id",),
+                stats_cols=("id",))  # tiny target → several sorted files
+    post = tbl.snapshot()["files"]
+    assert len(post) > 1
+    ranges = sorted(tuple(e["stats"]["id"]) for e in post)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2                 # disjoint, clustered ranges
+    narrow = tbl.read(spark, stats_filter={"id": (0, 50)})
+    assert narrow.count() < 400          # skipping now prunes files
+    assert narrow.filter("id <= 50").count() == 51
+
+
 def test_manifest_column_stats_skip_files(spark, tmp_path):
     """Data-file skipping from manifest min/max stats (Iceberg's
     file-level pruning): commits with disjoint id ranges, a stats
