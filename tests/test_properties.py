@@ -66,3 +66,46 @@ def test_no_control_chars_in_output(payload):
     out = R.extract_turn(payload).extracted_text
     assert not any(ord(c) < 0x20 and c not in "\n\t" for c in out)
     assert not any(0xD800 <= ord(c) < 0xE000 for c in out)
+
+
+def test_asof_union_merge_matches_naive_oracle(spark):
+    """Randomized as-of check incl. ties: the union-merge join_asof
+    must match a naive per-purchase scan (latest click with
+    ts <= p.ts, max event_id on equal ts) on random event sets where
+    identical timestamps across users/types are common."""
+    import datetime
+    import random
+
+    from ocrflow.queries import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    for seed in (11, 22, 33):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for _ in range(300):
+            eid += 1
+            rows.append((eid,
+                         base + datetime.timedelta(seconds=rng.randrange(40)),
+                         rng.randrange(6),
+                         rng.choice(["click", "purchase", "view"]),
+                         0.0, None))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        import tempfile, os
+        d = tempfile.mkdtemp(prefix=f"ocrflow_asof_{seed}_")
+        df.write.parquet(os.path.join(d, "events.parquet"))
+
+        got = {r["purchase_id"]: r["last_click_id"]
+               for r in QUERIES["join_asof"](spark, d).collect()}
+
+        clicks = [(e, t, u) for (e, t, u, k, _v, _p) in rows if k == "click"]
+        expected = {}
+        for (e, t, u, k, _v, _p) in rows:
+            if k != "purchase":
+                continue
+            cands = [(ct, ce) for (ce, ct, cu) in clicks
+                     if cu == u and ct <= t]
+            expected[e] = max(cands)[1] if cands else None
+        assert got == expected, f"seed {seed}"
