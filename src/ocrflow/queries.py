@@ -611,6 +611,50 @@ def win_ntile_firstlast(spark, sf):
                     F.last("o_orderkey").over(wf).alias("last_order"))
 
 
+@q("win_sliding_rows", """
+SELECT user_id, event_id,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,8)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE), 4)
+           AS centered_5,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS n_in_frame
+FROM events
+""")
+def win_sliding_rows(spark, sf):
+    # bounded sliding ROWS frame (centered 5-row smoothing window) —
+    # the moving-average shape; frames clip at partition edges, which
+    # n_in_frame makes observable (3..5)
+    e = t(spark, sf, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 2))
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,8)")).over(w)
+                .cast("double"), 4).alias("centered_5"),
+        F.count("*").over(w).cast("long").alias("n_in_frame"))
+
+
+@q("filter_correlated_agg", """
+SELECT c_custkey, c_name FROM customer c
+WHERE (SELECT ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,8)))
+                    AS DOUBLE), 2)
+       FROM orders o WHERE o.o_custkey = c.c_custkey) > 800000
+""")
+def filter_correlated_agg(spark, sf):
+    # correlated scalar aggregate subquery in a filter — Catalyst
+    # decorrelates it into an aggregate + join, which is exactly how
+    # we declare it (the decorrelated form IS the scale plan: one
+    # shuffle on custkey, then a semi-join)
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    spend = (o.groupBy("o_custkey")
+             .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,8)"))
+                          .cast("double"), 2).alias("spend"))
+             .filter(F.col("spend") > 800000))
+    return (c.join(spend, c.c_custkey == spend.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
 @q("win_turn_order", """
 SELECT user_id, event_id,
        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_rank
