@@ -94,13 +94,22 @@ def minhash_lsh_pairs(docs, max_bucket: int = LSH_MAX_BUCKET):
 
     ``max_bucket`` caps degenerate buckets: a boilerplate-heavy corpus
     puts millions of docs in one band bucket, re-creating the
-    all-pairs blowup (size² pairs from a single key). Buckets larger
-    than the cap are dropped BEFORE pair expansion — those docs are
+    all-pairs blowup (size² pairs from a single key). The cap is
+    applied BEFORE the gather: a window ``count(*)`` over
+    (band, bucket) tags every row with its bucket size on the same
+    exchange the gather needs (WindowExec buffers a partition in a
+    spillable row buffer — a mega-bucket goes to disk, never into a
+    single aggregation buffer), the filter drops hot-bucket rows, and
+    only then does ``collect_list`` run — its per-group buffer is
+    therefore ≤ max_bucket ids by construction. One shuffle total: the
+    window's hashpartitioning(band, bucket) satisfies the groupBy's
+    required distribution, so no second exchange and no recompute of
+    the shingle→minhash pipeline. Docs in dropped buckets are
     near-identical to so many others that exact-hash dedup or a
-    per-bucket sample handles them; the cap bounds both the gathered
-    bucket arrays and the pair output (≤ buckets × max_bucket²/2).
-    Pass max_bucket=None to disable (unbounded buckets then gather
-    unbounded arrays — only safe on corpora known not to degenerate).
+    per-bucket sample handles them; the cap bounds the pair output
+    (≤ buckets × max_bucket²/2). Pass max_bucket=None to disable
+    (collect_list then gathers unbounded arrays — only safe on corpora
+    known not to degenerate).
     """
     # k-word shingles via higher-order functions (JVM-side)
     sh = docs.select(
@@ -125,18 +134,19 @@ def minhash_lsh_pairs(docs, max_bucket: int = LSH_MAX_BUCKET):
             for b in range(LSH_BANDS)])).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # pair generation WITHOUT a self-join: gather each bucket's doc ids
-    # (bucket sizes are capped, so collect_list is bounded) and emit the
-    # i<j combinations JVM-side with higher-order functions. One
-    # computation of the shingle→minhash pipeline and one exchange —
-    # the plan-identical self-join computed the whole pipeline TWICE
-    # (ReuseExchange does not fire under AQE here) plus a join shuffle.
-    grouped = (bands.groupBy("band", "bucket")
-               .agg(F.collect_list("doc_id").alias("ids"))
-               .filter(F.size("ids") >= 2))
+    # and emit the i<j combinations JVM-side with higher-order
+    # functions. One computation of the shingle→minhash pipeline and
+    # one exchange — the plan-identical self-join computed the whole
+    # pipeline TWICE (ReuseExchange does not fire under AQE) plus a
+    # join shuffle. The hot-bucket cap acts BEFORE collect_list: the
+    # window count shares the gather's exchange, its partition buffer
+    # spills, and hot-bucket rows never reach an aggregation buffer.
+    wn = F.count("*").over(W.partitionBy("band", "bucket"))
+    bands = bands.withColumn("bsz", wn).filter(F.col("bsz") >= 2)
     if max_bucket is not None:
-        # the hot-bucket cap is now just a size filter on the gathered
-        # bucket — no extra pass, no second scan
-        grouped = grouped.filter(F.size("ids") <= max_bucket)
+        bands = bands.filter(F.col("bsz") <= max_bucket)
+    grouped = (bands.groupBy("band", "bucket")
+               .agg(F.collect_list("doc_id").alias("ids")))
     pair_expr = F.expr("""
         flatten(transform(ids, (x, i) ->
             transform(slice(ids, i + 2, size(ids)),
@@ -367,7 +377,8 @@ def ann_lsh_bucketed(spark, sf):
 
 @q("dedup_embedding_lsh")  # rows-only: hyperplane seeds have no SQL twin
 def dedup_embedding_lsh(spark, sf, n_tables: int = 6, n_bits: int = 4,
-                        seed: int = 7, tau: float = 0.95):
+                        seed: int = 7, tau: float = 0.95,
+                        max_bucket: int | None = LSH_MAX_BUCKET):
     """Embedding near-dup SCANNER at scale: sign-LSH buckets (same
     hyperplane machinery as ann_lsh_bucketed) → within-bucket pairs →
     exact cosine ≥ τ re-check. Subquadratic where
@@ -375,6 +386,15 @@ def dedup_embedding_lsh(spark, sf, n_tables: int = 6, n_bits: int = 4,
     the only wide exchange is the bucket shuffle, and pair candidates
     are bounded by bucket sizes, not corpus². Bits scale with
     log2(corpus / bucket_target) exactly as the ANN twin documents.
+
+    ``max_bucket`` bounds the gather the same way minhash_lsh_pairs
+    does: a window count over the bucket key (spillable partition
+    buffer, same exchange) drops hot-bucket rows BEFORE collect_list,
+    so one dense embedding cluster (e.g. a near-constant-vector
+    corpus) can never accumulate an unbounded id array in a single
+    aggregation buffer. Dropped buckets mean "this vector is near-dup
+    to huge numbers of others" — exact-hash dedup or per-bucket
+    sampling is the right tool there, not pair expansion.
     """
     em = t(spark, sf, "embeddings")
 
@@ -397,8 +417,14 @@ def dedup_embedding_lsh(spark, sf, n_tables: int = 6, n_bits: int = 4,
     # JVM-side, then join the small pair list back to the PLAIN vector
     # scan (no UDF) for the exact re-rank.
     flat = (em.select("vec_id", F.explode(buckets_of("embedding")).alias("bucket")))
-    grouped = (flat.groupBy("bucket").agg(F.collect_list("vec_id").alias("ids"))
-               .filter(F.size("ids") >= 2))
+    # cap BEFORE the gather (see docstring): window count over the
+    # bucket key shares the gather's exchange and spills, collect_list
+    # buffers are ≤ max_bucket by construction
+    flat = flat.withColumn("bsz", F.count("*").over(W.partitionBy("bucket")))
+    flat = flat.filter(F.col("bsz") >= 2)
+    if max_bucket is not None:
+        flat = flat.filter(F.col("bsz") <= max_bucket)
+    grouped = flat.groupBy("bucket").agg(F.collect_list("vec_id").alias("ids"))
     pair_expr = F.expr("""
         flatten(transform(ids, (x, i) ->
             transform(slice(ids, i + 2, size(ids)),

@@ -34,6 +34,14 @@ import time
 import uuid
 
 
+class CommitConflictError(RuntimeError):
+    """A validated commit found the table changed under it (Iceberg's
+    ValidationException): the rewrite's source snapshot is no longer
+    the head, so replacing the file list would silently drop the
+    concurrent commit's files. The caller re-reads and retries the
+    whole rewrite — icelite never resolves this by guessing."""
+
+
 class IceliteTable:
     def __init__(self, path: str):
         self.path = os.path.abspath(path)
@@ -56,6 +64,17 @@ class IceliteTable:
         if ptr is None:
             return None
         return int(ptr.removeprefix("snap-").removesuffix(".json"))
+
+    def _max_committed_id(self) -> int | None:
+        """Highest snapshot id with a live manifest on disk. A winner's
+        manifest exists (fully written + fsynced) the instant its link
+        claim lands, BEFORE it advances CURRENT — so losers rebase onto
+        this, not onto the (possibly lagging) pointer. Expired
+        manifests are renamed ``*.expired-*`` and don't count."""
+        ids = [int(n.removeprefix("snap-").removesuffix(".json"))
+               for n in os.listdir(self.meta_dir)
+               if n.startswith("snap-") and n.endswith(".json")]
+        return max(ids) if ids else None
 
     def snapshot(self, snapshot_id: int | None = None) -> dict | None:
         if snapshot_id is None:
@@ -101,11 +120,19 @@ class IceliteTable:
         miniature): compute the manifest against the CURRENT parent,
         then CLAIM the snapshot-id slot with os.link (hard-link fails
         with EEXIST if another writer took the id first — the atomic
-        compare-and-swap this filesystem gives us). A loser re-reads
-        the new parent, REBASES its entry list, and retries — so
-        concurrent appenders serialize without locks and neither's
-        files are lost. The CURRENT pointer only ever advances
-        (monotonic guard) since ids are claimed in order.
+        compare-and-swap this filesystem gives us). A loser re-derives
+        the parent from the max committed MANIFEST (not from CURRENT,
+        which the winner advances only after its claim — rebasing off
+        CURRENT could spin a loser through every retry inside that
+        window with no real conflict), REBASES its entry list, and
+        retries — so concurrent appenders serialize without locks and
+        neither's files are lost. The CURRENT pointer only ever
+        advances, and the advance itself is serialized by a hard-link
+        mutex so two winners can't interleave the read-then-write.
+
+        ``entries_for(parent)`` may raise CommitConflictError to abort
+        a commit whose validation fails against the rebased parent
+        (see commit_replace validate_from).
 
         A reader holding the old pointer keeps a consistent view —
         snapshot isolation. On a real object store the link-claim seam
@@ -113,7 +140,7 @@ class IceliteTable:
         unchanged.
         """
         for _ in range(max_retries):
-            parent = self.current_snapshot_id()
+            parent = self._max_committed_id()
             sid = (parent or 0) + 1
             manifest = {
                 "snapshot_id": sid,
@@ -134,15 +161,40 @@ class IceliteTable:
                 os.remove(tmp)             # lost the race: rebase + retry
                 continue
             os.remove(tmp)
-            # advance CURRENT monotonically (a slower winner of an
-            # earlier sid must not move the pointer backwards)
-            if (self.current_snapshot_id() or 0) < sid:
-                self._atomic_write(os.path.join(self.meta_dir, "CURRENT"),
-                                   f"snap-{sid}.json")
+            self._advance_current(sid)
             return sid
         raise RuntimeError(
             f"icelite commit on {self.path}: lost {max_retries} "
             f"optimistic-commit races, giving up")
+
+    def _advance_current(self, sid: int) -> None:
+        """Monotonic CURRENT advance under a hard-link mutex: winners
+        of adjacent sids can race here, and an unserialized
+        read-then-write would let a slower earlier winner clobber a
+        later pointer after its staleness check. The lock holder window
+        is microseconds; if a crashed holder leaves the lock behind we
+        fall through unlocked after ~2s (worst case is the original
+        benign monotonicity race, never a lost manifest)."""
+        lock = os.path.join(self.meta_dir, "CURRENT.lock")
+        tmp = lock + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(str(sid))
+        acquired = False
+        try:
+            for _ in range(2000):
+                try:
+                    os.link(tmp, lock)
+                    acquired = True
+                    break
+                except FileExistsError:
+                    time.sleep(0.001)
+            if (self.current_snapshot_id() or 0) < sid:
+                self._atomic_write(os.path.join(self.meta_dir, "CURRENT"),
+                                   f"snap-{sid}.json")
+        finally:
+            os.remove(tmp)
+            if acquired:
+                os.remove(lock)
 
     def _entries_for(self, files: list[str],
                      stats_cols: tuple[str, ...] = ()) -> list[dict]:
@@ -177,16 +229,35 @@ class IceliteTable:
         return self._commit(entries, props or {})
 
     def commit_replace(self, new_files: list[str], props: dict | None = None,
-                       stats_cols: tuple[str, ...] = ()) -> int:
+                       stats_cols: tuple[str, ...] = (),
+                       validate_from: int | None = None) -> int:
         """Commit a snapshot whose file list is EXACTLY ``new_files``
         (no parent-union) — the rewrite primitive behind compaction,
         the icelite analog of Iceberg's rewrite_data_files result
         snapshot. Older snapshots keep referencing the old data files
         (still on disk), so time travel across the rewrite still works.
+
+        ``validate_from`` is the snapshot id the rewrite READ from.
+        When given, the commit aborts with CommitConflictError if the
+        table head moved past it — otherwise a concurrent append that
+        won the race would be silently dropped from the new table head
+        (data loss; Iceberg fails such commits via validation). A plain
+        rebase-retry is wrong here because the rewrite's output no
+        longer reflects the parent's contents; the caller must re-read
+        and redo the rewrite.
         """
         new_entries = self._entries_for(new_files, stats_cols)
-        return self._commit(lambda parent: new_entries,
-                            {"operation": "replace", **(props or {})})
+
+        def entries(parent):
+            if validate_from is not None and (parent or 0) != validate_from:
+                raise CommitConflictError(
+                    f"icelite replace on {self.path}: table advanced from "
+                    f"snapshot {validate_from} to {parent} since the rewrite "
+                    f"was read; committing would drop the concurrent "
+                    f"commit's files — re-read and retry the rewrite")
+            return new_entries
+        return self._commit(entries, {"operation": "replace",
+                                      **(props or {})})
 
     def expire_head(self) -> int | None:
         """Roll CURRENT back to the head snapshot's parent (crash
@@ -222,7 +293,8 @@ class IceliteTable:
         """
         from pyspark.sql import Window as W, functions as F
 
-        cur = self.read(spark) if self.current_snapshot_id() is not None else None
+        src = self.current_snapshot_id()
+        cur = self.read(spark) if src is not None else None
         tagged_new = updates.withColumn("_src", F.lit(1))
         both = (cur.withColumn("_src", F.lit(0)).unionByName(tagged_new)
                 if cur is not None else tagged_new)
@@ -233,7 +305,71 @@ class IceliteTable:
         out_dir = self.new_commit_dir(f"merge-{uuid.uuid4().hex[:8]}")
         files = write_dataframe_files(merged, out_dir)
         return self.commit_replace(files, props={"operation": "merge"},
-                                   stats_cols=stats_cols)
+                                   stats_cols=stats_cols,
+                                   validate_from=src or 0)
+
+    def delete_where(self, spark, predicate, stats_hint: dict | None = None,
+                     stats_cols: tuple[str, ...] = ()) -> int:
+        """Row-level DELETE as copy-on-write (Iceberg's COW
+        ``DELETE FROM ... WHERE``): rewrite ONLY the data files that
+        may contain matching rows, carry every other file into the new
+        snapshot untouched (stats and all), and validate at commit time
+        that the head didn't move — a concurrent append aborts the
+        delete (CommitConflictError) instead of being silently dropped.
+
+        History is preserved: the pre-delete snapshot still reads the
+        deleted rows (time travel), so a GDPR-style erasure completes
+        only when expire_snapshots + remove_orphan_files reclaim the
+        rewritten files — retention policy decides when.
+
+        ``predicate`` is a Column or SQL string; rows where it is TRUE
+        are deleted, rows where it is NULL are KEPT (SQL DELETE
+        semantics — ``~pred`` alone would wrongly drop null rows).
+        ``stats_hint`` = {col: (lo, hi)}: files whose manifest min/max
+        cannot intersect the range are provably untouched and are
+        neither scanned nor rewritten — at 100 TB this is the
+        difference between rewriting one day's partition and rewriting
+        the table. Files without stats are conservatively rewritten.
+        Returns the new snapshot id (or the current one unchanged when
+        every file was provably untouched).
+        """
+        from pyspark.sql import functions as F
+
+        src = self.current_snapshot_id()
+        snap = self.snapshot(src)
+        if snap is None:
+            raise ValueError(
+                f"icelite table {self.path}: nothing to delete from")
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        touched, kept = [], []
+        for e in snap["files"]:
+            may_match = True
+            for col, (lo, hi) in (stats_hint or {}).items():
+                st = e.get("stats", {}).get(col)
+                if st is not None and (st[1] < lo or st[0] > hi):
+                    may_match = False
+                    break
+            (touched if may_match else kept).append(e)
+        if not touched:
+            return src
+        df = spark.read.parquet(
+            *[os.path.join(self.path, e["path"]) for e in touched])
+        remaining = df.filter(~F.coalesce(pred, F.lit(False)))
+        out_dir = self.new_commit_dir(f"delete-{uuid.uuid4().hex[:8]}")
+        new_entries = self._entries_for(
+            write_dataframe_files(remaining, out_dir), stats_cols)
+        kept_entries = list(kept)
+
+        def entries(parent):
+            if (parent or 0) != (src or 0):
+                raise CommitConflictError(
+                    f"icelite delete on {self.path}: table advanced from "
+                    f"snapshot {src} to {parent} during the rewrite — "
+                    f"re-read and retry the delete")
+            return kept_entries + new_entries
+        return self._commit(entries, {
+            "operation": "delete", "deleted_from": src,
+            "files_rewritten": len(touched), "files_kept": len(kept)})
 
     def compact(self, spark, target_file_bytes: int = 128 << 20,
                 partition_by: tuple[str, ...] = (),
@@ -261,10 +397,11 @@ class IceliteTable:
         ``stats_cols`` min/max skipping effective (random placement
         gives every file the full range and skips nothing).
         """
-        files = self.file_list()
+        src = self.current_snapshot_id()
+        files = self.file_list(src)
         total = sum(os.path.getsize(f) for f in files)
         n_out = max(1, -(-total // max(1, target_file_bytes)))  # ceil
-        df = self.read(spark)
+        df = self.read(spark, snapshot_id=src)
         for col_name, expr in (derive or {}).items():
             df = df.withColumn(col_name, expr)
         out_dir = self.new_commit_dir(f"compact-{uuid.uuid4().hex[:8]}")
@@ -278,9 +415,9 @@ class IceliteTable:
         new_files = write_dataframe_files(shuffled, out_dir,
                                           partition_by=partition_by)
         return self.commit_replace(new_files, props={
-            "compaction_of": self.current_snapshot_id(),
+            "compaction_of": src,
             "files_before": len(files), "files_after": len(new_files)},
-            stats_cols=stats_cols)
+            stats_cols=stats_cols, validate_from=src or 0)
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshot manifests
@@ -333,10 +470,29 @@ class IceliteTable:
 
     # -- read ------------------------------------------------------------
 
+    def snapshot_id_as_of(self, ts: float) -> int:
+        """Resolve a unix timestamp to the snapshot current AT that
+        time — the latest snapshot with committed_at <= ts (Iceberg's
+        ``FOR SYSTEM_TIME AS OF`` / ``AS OF TIMESTAMP`` resolution).
+        Raises ValueError when the table has no snapshot that old.
+        """
+        best = None
+        for s in self.snapshots():
+            if s.get("committed_at", float("inf")) <= ts:
+                if best is None or s["snapshot_id"] > best:
+                    best = s["snapshot_id"]
+        if best is None:
+            raise ValueError(
+                f"icelite table {self.path}: no snapshot committed at or "
+                f"before ts={ts} (oldest retained snapshot is newer)")
+        return best
+
     def read(self, spark, snapshot_id: int | None = None,
              path_filter: str | None = None, merge_schema: bool = False,
-             stats_filter: dict | None = None):
-        """Snapshot-isolated scan (time travel when snapshot_id given).
+             stats_filter: dict | None = None, as_of_ts: float | None = None):
+        """Snapshot-isolated scan (time travel when snapshot_id or
+        as_of_ts given; as_of_ts resolves via snapshot_id_as_of and the
+        two are mutually exclusive).
 
         ``path_filter`` prunes files whose relative path does not
         contain the given substring (e.g. "conv_bucket=3/") BEFORE any
@@ -358,8 +514,13 @@ class IceliteTable:
         mergeSchema. Off by default: schema merging footer-reads every
         file, which matters at manifest sizes of 10^5 files.
         """
+        if as_of_ts is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or as_of_ts, not both")
+            snapshot_id = self.snapshot_id_as_of(as_of_ts)
         snap = self.snapshot(snapshot_id)
-        entries = snap["files"] if snap is not None else []
+        all_entries = snap["files"] if snap is not None else []
+        entries = all_entries
         if path_filter is not None:
             entries = [e for e in entries if path_filter in e["path"]]
         if stats_filter:
@@ -371,8 +532,15 @@ class IceliteTable:
                 ]
         files = [os.path.join(self.path, e["path"]) for e in entries]
         if not files:
-            raise ValueError(f"icelite table {self.path} has no matching "
-                             f"files (snapshot or filter too narrow)")
+            if not all_entries:
+                raise ValueError(f"icelite table {self.path} has no data "
+                                 f"files in this snapshot")
+            # pruning-to-zero is a CORRECT outcome (a range holding no
+            # data), not an error: return an empty frame with the
+            # table's schema (from one unpruned file's footer)
+            schema = spark.read.parquet(
+                os.path.join(self.path, all_entries[0]["path"])).schema
+            return spark.createDataFrame([], schema)
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")

@@ -367,8 +367,13 @@ def join_asof_tolerance(spark, sf):
     u = clicks.unionByName(purch)
     w = (W.partitionBy("user_id").orderBy("ts", "side", "event_id")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    # microsecond-exact bound: NTZ subtraction yields a day-time
+    # interval compared exactly — the oracle's INTERVAL arithmetic.
+    # unix_timestamp truncated to whole seconds and wrongly matched
+    # clicks 3600..3601s stale at the boundary (and unix_micros
+    # rejects TIMESTAMP_NTZ outright).
     within = (F.col("_ts").isNotNull()
-              & (F.unix_timestamp("ts") - F.unix_timestamp("_ts") <= 3600))
+              & ((F.col("ts") - F.col("_ts")) <= F.expr("INTERVAL 1 HOUR")))
     return (u.withColumn("_id", F.last("click_id", ignorenulls=True).over(w))
             .withColumn("_ts", F.last("click_ts", ignorenulls=True).over(w))
             .filter(F.col("side") == 1)

@@ -116,6 +116,45 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     assert uncapped == 200 * 199 // 2
 
 
+def test_lsh_cap_acts_before_gather(spark):
+    # The scale contract: hot-bucket rows are dropped BEFORE
+    # collect_list, so a mega-bucket buffers in the window's SPILLABLE
+    # row buffer, never in one aggregation buffer. In the printed plan
+    # (top-down, output→scan) the bsz Filter must therefore appear
+    # BELOW (after) the collect_list aggregate, and the window must not
+    # add a second exchange over the gather's.
+    from ocrflow.dataops import minhash_lsh_pairs
+    docs = spark.createDataFrame(
+        [(i, ["w%d" % (i % 7), "x", "y", "z", "q"]) for i in range(100)],
+        "doc_id long, w array<string>")
+    plan = minhash_lsh_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    gather = plan.index("collect_list")
+    cap = plan.index("bsz")
+    assert cap > gather                   # filter is a child of the gather
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_embedding_lsh_cap_bounds_dense_cluster(spark):
+    # degenerate embedding corpus: one dense cluster (identical unit
+    # vectors) of 300 + 20 distinct vectors. Uncapped this gathers a
+    # 300-id array per table and emits ~300²/2 pairs; capped, the hot
+    # buckets are dropped before the gather and output stays bounded.
+    import tempfile
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    rows = [(i, base) for i in range(300)]
+    rows += [(1000 + i, [0.0] * i + [1.0] + [0.0] * (dim - 1 - i))
+             for i in range(1, min(20, dim))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tmp = tempfile.mkdtemp(prefix="ocrflow_elsh_")
+    df.write.parquet(os.path.join(tmp, "embeddings.parquet"))
+    capped = D.dedup_embedding_lsh(spark, tmp).count()
+    assert capped == 0                     # hot cluster dropped entirely
+    uncapped = D.dedup_embedding_lsh(spark, tmp, max_bucket=None).count()
+    assert uncapped == 300 * 299 // 2      # cluster pairs, cos = 1.0
+
+
 def test_connected_components_random_graphs_vs_union_find(spark):
     """Property: CC labels equal a plain union-find oracle on random
     graphs (deterministic seeds; chains, stars, cycles arise freely)."""

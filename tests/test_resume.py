@@ -399,3 +399,174 @@ def test_bucketed_output_layout_and_pruning(spark, input_dir, tmp_path):
     pruned = tbl.read(spark, path_filter=f"_cb={some}/")
     assert 0 < pruned.count() < 300
     assert pruned.select("conv_bucket").distinct().count() == 1
+
+
+# -- round 3: delete_where, timestamp travel, validated rewrites ----------
+
+def test_delete_where_cow_rewrites_only_touched_files(spark, tmp_path):
+    """Row-level DELETE (COW): only files whose stats may contain
+    matches are rewritten; untouched entries carry over verbatim, the
+    pre-delete snapshot still time-travels to the deleted rows, and GC
+    after expiry reclaims the rewritten file."""
+    from ocrflow.icelite import IceliteTable
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    for i in range(3):
+        f = write_dataframe_files(
+            spark.range(i * 100, i * 100 + 50).toDF("id").coalesce(1),
+            tbl.new_commit_dir(f"c{i}"))
+        tbl.commit_append(f, stats_cols=("id",))
+    pre = tbl.current_snapshot_id()
+    untouched_before = {e["path"] for e in tbl.snapshot(pre)["files"]
+                        if e["stats"]["id"][0] >= 100}
+
+    sid = tbl.delete_where(spark, "id BETWEEN 20 AND 29",
+                           stats_hint={"id": (20, 29)},
+                           stats_cols=("id",))
+    snap = tbl.snapshot(sid)
+    assert snap["props"]["files_rewritten"] == 1
+    assert snap["props"]["files_kept"] == 2
+    # untouched entries carried over exactly (same paths, stats intact)
+    assert untouched_before <= {e["path"] for e in snap["files"]}
+    got = {r["id"] for r in tbl.read(spark).collect()}
+    assert got == ({*range(0, 20), *range(30, 50),
+                    *range(100, 150), *range(200, 250)})
+    # history preserved: pre-delete snapshot still reads the rows
+    old = {r["id"] for r in tbl.read(spark, snapshot_id=pre).collect()}
+    assert {*range(20, 30)} <= old
+    # erasure completes via expiry + GC
+    tbl.expire_snapshots(keep_last=1)
+    removed = tbl.remove_orphan_files()
+    assert any("/c0/" in p for p in removed)      # rewritten source file gone
+    assert {r["id"] for r in tbl.read(spark).collect()} == got
+
+
+def test_delete_where_null_predicate_keeps_nulls(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL are
+    kept, not deleted."""
+    from pyspark.sql import functions as F
+    from ocrflow.icelite import IceliteTable
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 50)], "id int, v int")
+    tbl.commit_append(write_dataframe_files(df, tbl.new_commit_dir("c0")))
+    tbl.delete_where(spark, F.col("v") > 10)
+    got = {r["id"] for r in tbl.read(spark).collect()}
+    assert got == {1, 2}                           # NULL row kept
+
+
+def test_delete_where_noop_when_stats_prove_untouched(spark, tmp_path):
+    from ocrflow.icelite import IceliteTable
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    f = write_dataframe_files(spark.range(0, 50).toDF("id").coalesce(1),
+                              tbl.new_commit_dir("c0"))
+    tbl.commit_append(f, stats_cols=("id",))
+    before = tbl.current_snapshot_id()
+    sid = tbl.delete_where(spark, "id BETWEEN 900 AND 999",
+                           stats_hint={"id": (900, 999)})
+    assert sid == before                           # no new snapshot
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    from ocrflow.icelite import IceliteTable
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    import pytest as _pytest
+    tbl.commit_append(write_dataframe_files(
+        spark.range(0, 10).toDF("id"), tbl.new_commit_dir("c0")))
+    t1 = tbl.snapshot()["committed_at"]
+    tbl.commit_append(write_dataframe_files(
+        spark.range(10, 20).toDF("id"), tbl.new_commit_dir("c1")))
+    t2 = tbl.snapshot()["committed_at"]
+    # at t1 (inclusive): only the first commit
+    assert tbl.read(spark, as_of_ts=t1).count() == 10
+    assert tbl.read(spark, as_of_ts=(t1 + t2) / 2).count() == 10
+    assert tbl.read(spark, as_of_ts=t2 + 1).count() == 20
+    with _pytest.raises(ValueError):
+        tbl.read(spark, as_of_ts=t1 - 1)           # older than the table
+    with _pytest.raises(ValueError):
+        tbl.read(spark, snapshot_id=1, as_of_ts=t1)  # mutually exclusive
+
+
+def test_replace_aborts_on_concurrent_append(spark, tmp_path):
+    """commit_replace(validate_from=...) must NOT drop a concurrent
+    append: the head moved since the rewrite's source snapshot, so the
+    commit aborts and the append's rows survive."""
+    import pytest as _pytest
+    from ocrflow.icelite import CommitConflictError, IceliteTable
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    tbl.commit_append(write_dataframe_files(
+        spark.range(0, 10).toDF("id"), tbl.new_commit_dir("c0")))
+    src = tbl.current_snapshot_id()
+    rewrite = write_dataframe_files(
+        tbl.read(spark).coalesce(1), tbl.new_commit_dir("rw"))
+    # a concurrent append wins while the rewrite was running
+    tbl.commit_append(write_dataframe_files(
+        spark.range(100, 110).toDF("id"), tbl.new_commit_dir("c1")))
+    with _pytest.raises(CommitConflictError):
+        tbl.commit_replace(rewrite, validate_from=src)
+    got = {r["id"] for r in tbl.read(spark).collect()}
+    assert {*range(100, 110)} <= got               # append not lost
+
+
+def test_delete_where_aborts_on_concurrent_append(spark, tmp_path, monkeypatch):
+    import pytest as _pytest
+    from ocrflow import icelite as I
+    tbl = I.IceliteTable(str(tmp_path / "tbl"))
+    tbl.commit_append(write_dataframe_files(
+        spark.range(0, 10).toDF("id"), tbl.new_commit_dir("c0")))
+
+    orig = I.write_dataframe_files
+
+    def racy_write(df, out_dir, partition_by=()):
+        files = orig(df, out_dir, partition_by)
+        # another writer lands between the rewrite and the commit
+        tbl.commit_append(orig(spark.range(50, 60).toDF("id"),
+                               tbl.new_commit_dir("race")))
+        return files
+    monkeypatch.setattr(I, "write_dataframe_files", racy_write)
+    with _pytest.raises(I.CommitConflictError):
+        tbl.delete_where(spark, "id < 5")
+    got = {r["id"] for r in tbl.read(spark).collect()}
+    assert {*range(50, 60)} <= got and {*range(0, 10)} <= got
+
+
+def test_read_pruned_to_zero_returns_empty_with_schema(spark, tmp_path):
+    import pytest as _pytest
+    from ocrflow.icelite import IceliteTable
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    f = write_dataframe_files(spark.range(0, 50).toDF("id").coalesce(1),
+                              tbl.new_commit_dir("c0"))
+    tbl.commit_append(f, stats_cols=("id",))
+    empty = tbl.read(spark, stats_filter={"id": (10_000, 20_000)})
+    assert empty.count() == 0
+    assert empty.columns == ["id"]                 # schema, not an error
+    empty2 = tbl.read(spark, path_filter="no-such-dir/")
+    assert empty2.count() == 0
+    # a snapshot with NO files at all is still an error
+    bare = IceliteTable(str(tmp_path / "bare"))
+    bare.commit_append([])
+    with _pytest.raises(ValueError):
+        bare.read(spark)
+
+
+def test_loser_rebases_onto_unpointed_manifest(spark, tmp_path):
+    """The rebase parent comes from the max committed manifest, not
+    CURRENT: a winner that claimed snap-1 but hasn't advanced the
+    pointer yet must not stall a second writer."""
+    import json as _json
+    from ocrflow.icelite import IceliteTable
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    f1 = write_dataframe_files(spark.range(0, 10).toDF("id"),
+                               tbl.new_commit_dir("c0"))
+    # simulate the claim-but-not-yet-pointed window by hand
+    manifest = {"snapshot_id": 1, "parent_id": None, "committed_at": 0.0,
+                "files": [{"path": os.path.relpath(p, tbl.path),
+                           "rows": 10} for p in f1], "props": {}}
+    with open(os.path.join(tbl.meta_dir, "snap-1.json"), "w") as fh:
+        _json.dump(manifest, fh)
+    assert tbl.current_snapshot_id() is None       # pointer lags
+    f2 = write_dataframe_files(spark.range(10, 20).toDF("id"),
+                               tbl.new_commit_dir("c1"))
+    sid = tbl.commit_append(f2)
+    assert sid == 2                                # rebased onto snap-1
+    assert tbl.snapshot(2)["parent_id"] == 1
+    assert tbl.read(spark).count() == 20           # both writers' rows live
