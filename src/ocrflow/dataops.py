@@ -929,15 +929,21 @@ def iter_pagerank(spark, sf):
         F.col("user_id").alias("src"),
         F.pmod(F.xxhash64("user_id", "event_id"), F.lit(n_users)).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct().persist())
+        .distinct())
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ranks = (edges.select(F.col("src").alias("user_id")).distinct()
-             .unionByName(edges.select(F.col("dst").alias("user_id")).distinct())
+    # join edges to out-degrees ONCE and pin the result on the
+    # per-round join key: each iteration's join then shuffles only the
+    # ranks side — the (static, large) edge list never re-exchanges,
+    # and the degree join isn't recomputed per round.
+    ej = (edges.join(out_deg, "src")
+          .select("src", "dst", "deg")
+          .repartition("src").persist())
+    ranks = (ej.select(F.col("src").alias("user_id")).distinct()
+             .unionByName(ej.select(F.col("dst").alias("user_id")).distinct())
              .distinct().withColumn("rank", F.lit(1.0)))
     d = 0.85
     for i in range(10):
-        contribs = (edges.join(out_deg, "src")
-                    .join(ranks, edges.src == ranks.user_id)
+        contribs = (ej.join(ranks, ej.src == ranks.user_id)
                     .select(F.col("dst").alias("user_id"),
                             (F.col("rank") / F.col("deg")).alias("c")))
         ranks = (ranks.select("user_id").join(
@@ -948,7 +954,7 @@ def iter_pagerank(spark, sf):
                     .alias("rank")))
         if (i + 1) % 4 == 0:
             ranks = ranks.localCheckpoint()  # truncate the growing plan
-    edges.unpersist()
+    ej.unpersist()
     return (ranks.orderBy(F.col("rank").desc(), "user_id").limit(20)
             .select("user_id", F.round("rank", 6).alias("rank")))
 
@@ -977,13 +983,28 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
     materializes the labels the convergence check reuses.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # pre-partition the (static) edge list on the per-round join key
+    # ONCE: every round's neighbor-min join then sees its required
+    # hashpartitioning(src) already satisfied by the cached exchange
+    # and shuffles only the (much smaller) labels side — without this,
+    # the full edge list re-exchanges every round.
     und = (e.unionByName(e.select(F.col("dst").alias("src"),
                                   F.col("src").alias("dst")))
-           .distinct().persist())
+           .distinct().repartition("src").persist())
     labels = (und.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint())
-    for _ in range(max_iter):
+    # Convergence probe WITHOUT the per-round join+count job: labels
+    # only ever DECREASE (neighbor-min + least() jump), so
+    # sum(comp) is strictly monotone decreasing until fixpoint and
+    # "sum unchanged" <=> "no label changed". The sum is a single
+    # aggregation over the just-checkpointed labels (exact decimal —
+    # ids can be any long, int64 sums would overflow at scale).
+    def _label_sum(lbls):
+        return lbls.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+    prev_sum = None
+    for i in range(max_iter):
         # neighbor-min: every vertex absorbs the smallest label adjacent
         msgs = (und.join(labels, und.src == labels.id)
                 .select(F.col("dst").alias("id"), "comp"))
@@ -998,13 +1019,14 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
                       .select("id", F.coalesce(F.least("comp", "pcomp"),
                                                F.col("comp")).alias("comp"))
                       .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.comp") != F.col("o.comp"))
-                   .limit(1).count())
         labels = new_labels
-        if changed == 0:
-            break
+        # probe on alternate rounds (every round near the start costs a
+        # job that almost never fires; the tail converges in O(log d))
+        if i % 2 == 1 or i == max_iter - 1:
+            cur_sum = _label_sum(labels)
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     und.unpersist()
     return labels
 

@@ -184,6 +184,110 @@ def stream_stateful(spark, sf):
     return _run_to_memory(out, "update")
 
 
+def _has_tws_proto() -> bool:
+    """transformWithStateInPandas needs google.protobuf for its
+    Python<->JVM state-server protocol (PySpark 4's
+    transform_with_state_driver_worker imports StateMessage_pb2).
+    protobuf is not installed in this sandbox and installs are
+    blocked, so the TWS operator registers only where the dependency
+    exists — same environment-gate pattern as multimodal codecs."""
+    import importlib.util
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no `google` namespace package at all
+        return False
+
+
+class UserSessionProcessor:
+    """StatefulProcessor for transformWithStateInPandas (Spark 4's
+    successor to applyInPandasWithState): per-user running
+    (count, last_ts) in NAMED value state, plus a per-key TIMER that
+    closes the session after ``timeout_ms`` of processing-time
+    inactivity — per-key registered timers are exactly what the old
+    API cannot express (it has one implicit timeout for the whole
+    operator, reset rules fixed by Spark).
+
+    Emits ("update", n) rows on input and a terminal ("closed", n) row
+    when the idle timer fires; the timer is re-armed (old one deleted)
+    on every input batch, so an active key never closes. State is
+    cleared on close, so a returning user starts a fresh session.
+
+    Declared as a plain class (duck-typed to StatefulProcessor's
+    interface) so its logic imports and unit-tests without protobuf;
+    stream_stateful_tws subclasses it into the real API when the
+    dependency exists.
+    """
+
+    OUTPUT_SCHEMA = "user_id long, kind string, n_events long"
+    STATE_SCHEMA = "cnt long, last timestamp"
+
+    def __init__(self, timeout_ms: int = 0):
+        self.timeout_ms = timeout_ms
+
+    def init(self, handle):
+        self.handle = handle
+        self.state = handle.getValueState("sess", self.STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+        cnt, last = self.state.get() if self.state.exists() else (0, None)
+        for pdf in rows:
+            cnt += len(pdf)
+            mx = pdf["ts"].max()
+            last = mx if last is None or mx > last else last
+        self.state.update((cnt, last))
+        for t in self.handle.listTimers():
+            self.handle.deleteTimer(t)
+        self.handle.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs() + self.timeout_ms)
+        yield pd.DataFrame({"user_id": [key[0]], "kind": ["update"],
+                            "n_events": [cnt]})
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+        if not self.state.exists():
+            return
+        cnt, _last = self.state.get()
+        self.state.clear()
+        yield pd.DataFrame({"user_id": [key[0]], "kind": ["closed"],
+                            "n_events": [cnt]})
+
+    def handleInitialState(self, key, initialState, timerValues):  # pragma: no cover
+        pass
+
+    def close(self):
+        pass
+
+
+if _has_tws_proto():  # pragma: no cover — protobuf absent in sandbox
+    @sq("stream_stateful_tws")
+    def stream_stateful_tws(spark, sf):
+        """stream_stateful on the transformWithStateInPandas API:
+        named state + per-key timers + RocksDB state store. Output
+        (filtered to 'update' rows) matches stream_stateful/batch.
+        """
+        from pyspark.sql.streaming import StatefulProcessor
+
+        proc = type("_P", (UserSessionProcessor, StatefulProcessor), {})()
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                              None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+        try:
+            s = _events_stream(spark, sf)
+            out = s.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=proc,
+                outputStructType=UserSessionProcessor.OUTPUT_SCHEMA,
+                outputMode="Update", timeMode="ProcessingTime")
+            return _run_to_memory(out, "update")
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev)
+
+
 @sq("stream_sink")
 def stream_sink(spark, sf):
     """Checkpointed file sink: write the stream to parquet with a real

@@ -135,3 +135,95 @@ def test_stream_extract_incremental(spark, tmp_path):
         assert got[(row["conv_id"], row["turn_idx"])] == \
             R.extract_turn(row["text"], role=row["role"]).extracted_text
     assert len(tbl.snapshots()) == 2
+
+
+# -- round 3: transformWithStateInPandas (environment-gated) --------------
+
+class _StubState:
+    def __init__(self):
+        self._v, self._exists = None, False
+
+    def exists(self):
+        return self._exists
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self._exists = v, True
+
+    def clear(self):
+        self._v, self._exists = None, False
+
+
+class _StubHandle:
+    def __init__(self):
+        self.timers, self.state = [], _StubState()
+
+    def getValueState(self, name, schema):
+        return self.state
+
+    def listTimers(self):
+        return list(self.timers)
+
+    def deleteTimer(self, t):
+        self.timers.remove(t)
+
+    def registerTimer(self, t):
+        self.timers.append(t)
+
+
+class _StubTimerValues:
+    def __init__(self, now_ms):
+        self._now = now_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return self._now
+
+
+def test_tws_processor_session_semantics():
+    """Drive the TWS StatefulProcessor directly (the protobuf state
+    protocol is environment-blocked; the processor's LOGIC is plain
+    Python): counts accumulate across batches, the idle timer is
+    re-armed on input, fires once to emit a 'closed' row, and a
+    returning key starts a fresh session."""
+    import pandas as pd
+    from ocrflow.streaming import UserSessionProcessor
+
+    p = UserSessionProcessor(timeout_ms=10)
+    h = _StubHandle()
+    p.init(h)
+    ts = pd.Timestamp("2024-01-01")
+    out1 = list(p.handleInputRows(
+        (7,), iter([pd.DataFrame({"ts": [ts, ts]})]), _StubTimerValues(100)))
+    assert out1[0].iloc[0].tolist() == [7, "update", 2]
+    assert h.timers == [110]
+    # new input re-arms the timer (old one deleted)
+    out2 = list(p.handleInputRows(
+        (7,), iter([pd.DataFrame({"ts": [ts]})]), _StubTimerValues(105)))
+    assert out2[0].iloc[0].tolist() == [7, "update", 3]
+    assert h.timers == [115]                 # exactly one, re-armed
+    # idle: timer fires -> closed row, state cleared
+    closed = list(p.handleExpiredTimer((7,), _StubTimerValues(120), None))
+    assert closed[0].iloc[0].tolist() == [7, "closed", 3]
+    assert not h.state.exists()
+    # a second expiry for the same key is a no-op (state already gone)
+    assert list(p.handleExpiredTimer((7,), _StubTimerValues(130), None)) == []
+    # returning user starts over
+    out3 = list(p.handleInputRows(
+        (7,), iter([pd.DataFrame({"ts": [ts]})]), _StubTimerValues(200)))
+    assert out3[0].iloc[0].tolist() == [7, "update", 1]
+
+
+@pytest.mark.skipif(
+    not __import__("ocrflow.streaming", fromlist=["_has_tws_proto"])
+    ._has_tws_proto(),
+    reason="google.protobuf absent: transformWithStateInPandas state "
+           "protocol cannot run in this sandbox")
+def test_stream_stateful_tws_parity(spark, events):
+    got = STREAM_QUERIES["stream_stateful_tws"](spark, SF_DIR)
+    upd = got.filter("kind = 'update'")
+    final = (upd.groupBy("user_id").agg(F.max("n_events").alias("n_events")))
+    exp = events.groupBy("user_id").count()
+    assert ({(r["user_id"], r["n_events"]) for r in final.collect()}
+            == {(r["user_id"], r["count"]) for r in exp.collect()})
