@@ -621,6 +621,92 @@ def corpus_stats(spark, sf):
                  F.max("n_chars").cast("long").alias("max_chars")))
 
 
+@q("sample_stratified", """
+SELECT doc_id, lang FROM documents
+WHERE text IS NOT NULL
+  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE WHEN lang = 'en' THEN '2000' ELSE '8000' END
+""")
+def sample_stratified(spark, sf):
+    # STRATIFIED deterministic sampling (per-language quotas — the
+    # pretraining data-mix knob: downsample the dominant language,
+    # keep the tail): threshold a stable per-row hash against a
+    # per-stratum rate. The first 4 hex digits of md5(id) are uniform
+    # in [0, 0x10000); comparing the lowercase hex STRING against a
+    # fixed-width threshold is numeric order, and md5 renders
+    # identically in Spark and DuckDB — so the sample is reproducible
+    # across engines, runs, and partitionings (df.sample() is none of
+    # these). en keeps 2000/10000 = 12.5%, others 50%. At 100 TB the
+    # rates come from corpus_stats and the same one-scan filter shape
+    # composes with the quality gate; no shuffle at all.
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = F.when(F.col("lang") == "en", F.lit("2000")).otherwise(F.lit("8000"))
+    return d.filter(bucket < thr).select("doc_id", "lang")
+
+
+@q("tfidf_top_terms", """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(
+           regexp_split_to_array(lower(trim(text)), '\\s+'))) AS term
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+tok_all AS (
+  SELECT doc_id, unnest(
+           regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok_all
+  WHERE regexp_matches(term, '^[a-z]{3,}$') GROUP BY doc_id, term
+),
+df_t AS (SELECT term, count(*) AS df FROM tok
+         WHERE regexp_matches(term, '^[a-z]{3,}$') GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok)
+SELECT doc_id, term, tf, df,
+       ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+FROM (
+  SELECT f.doc_id, f.term, f.tf, d.df, n.n_docs,
+         row_number() OVER (PARTITION BY f.doc_id
+                            ORDER BY f.tf DESC, d.df ASC, f.term ASC) AS rn
+  FROM tf f JOIN df_t d USING (term) CROSS JOIN n
+) WHERE rn <= 3
+""")
+def tfidf_top_terms(spark, sf):
+    """Per-document key-term extraction (TF-IDF): term frequencies per
+    doc, document frequencies per term, top-3 terms per doc. Fully
+    relational — tokenize (JVM regexp), two hash aggregations, one
+    equi-join of tf against the (small, broadcastable) df table, one
+    per-doc window. At 100 TB the df table is the only global state
+    and it's ~vocabulary-sized; everything else partitions by doc.
+
+    Ranking is (tf DESC, df ASC, term ASC) — integers only, so the
+    top-3 cut is bit-deterministic across engines; the tfidf score
+    itself multiplies by ln(), which engines round within 1 ulp, so it
+    rides along ROUND(...,4)ed as a value, never as a sort key.
+    """
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)))
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+        .alias("term"))
+    terms = words.filter(F.col("term").rlike("^[a-z]{3,}$"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = (terms.select("doc_id", "term").distinct()
+           .groupBy("term").agg(F.count("*").alias("df")))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    return (tf.join(F.broadcast(dft), "term")
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("doc_id", "term", "tf", "df",
+                    F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0)
+                                                / (F.col("df") + 1.0)), 4)
+                     .alias("tfidf")))
+
+
 # =========================================================================
 # UDF / UDAF / UDTF surface (SURVEY.md §2.B)
 # =========================================================================

@@ -318,6 +318,45 @@ def join_asof(spark, sf):
                     F.col("last_click_id")))
 
 
+@q("join_asof_forward", """
+SELECT event_id AS purchase_id, click_id AS next_click_id FROM (
+  SELECT p.event_id, c.event_id AS click_id,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts ASC, c.event_id ASC) AS rn
+  FROM events p LEFT JOIN events c
+    ON c.user_id = p.user_id AND c.ts >= p.ts AND c.event_type = 'click'
+  WHERE p.event_type = 'purchase'
+) WHERE rn = 1
+""")
+def join_asof_forward(spark, sf):
+    # FORWARD as-of (kdb aj direction reversed / pandas
+    # merge_asof(direction='forward')): each purchase → the EARLIEST
+    # following click of the same user. Same union-merge shape as
+    # join_asof — one shuffle, one window, no pair materialization —
+    # with the frame flipped to (currentRow, unboundedFollowing) and
+    # first() instead of last(). Purchases tag side=0 so a click at the
+    # exact purchase ts is inside the frame (>= semantics); among
+    # same-ts clicks the frame's (ts, side, event_id) order makes
+    # first() pick min event_id, matching the oracle's ASC tiebreaks.
+    e = t(spark, sf, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id",
+                      F.lit(1).alias("side"),
+                      F.col("event_id").alias("click_id")))
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "event_id",
+                     F.lit(0).alias("side"),
+                     F.lit(None).cast("long").alias("click_id")))
+    u = clicks.unionByName(purch)
+    w = (W.partitionBy("user_id").orderBy("ts", "side", "event_id")
+         .rowsBetween(W.currentRow, W.unboundedFollowing))
+    return (u.withColumn("next_click_id",
+                         F.first("click_id", ignorenulls=True).over(w))
+            .filter(F.col("side") == 0)
+            .select(F.col("event_id").alias("purchase_id"),
+                    F.col("next_click_id")))
+
+
 def salted_join(big: DataFrame, small: DataFrame, big_key, small_key,
                 salt_col: str, k: int) -> DataFrame:
     """Explicit skew-salted equi-join (A10): replicate the small side k

@@ -44,6 +44,17 @@ class _ListAccum(AccumulatorParam):
 
 
 def list_input_files(input_path: str) -> list[str]:
+    """Input discovery SEAM (local-FS stand-in, like icelite's link-claim
+    seam): ``os.listdir`` is correct only for a posix directory. On a
+    real deployment this is the one function to swap — for object
+    stores / HDFS use the Hadoop FS API via the JVM gateway
+    (``spark._jvm.org.apache.hadoop.fs.FileSystem`` globStatus), or —
+    better at 10^5+ files, where listing itself is the bottleneck —
+    read the file list from a manifest/catalog (the icelite snapshot of
+    the upstream table). Everything downstream (resume accounting,
+    per-file lineage, skip sets) keys on the returned paths and is
+    listing-agnostic.
+    """
     if os.path.isdir(input_path):
         return sorted(
             os.path.join(input_path, n) for n in os.listdir(input_path)
