@@ -77,6 +77,41 @@ def dedup_ngram_jaccard(spark, sf):
                     F.round("jaccard", 6).alias("jaccard")))
 
 
+@q("dedup_fuzzy_levenshtein", """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.text, b.text) AS edit_dist
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE a.text IS NOT NULL AND b.text IS NOT NULL
+  AND a.n_chars < 200 AND b.n_chars < 200
+  AND abs(length(a.text) - length(b.text)) <=
+      0.4 * greatest(length(a.text), length(b.text))
+  AND levenshtein(a.text, b.text) <=
+      0.4 * greatest(length(a.text), length(b.text))
+""")
+def dedup_fuzzy_levenshtein(spark, sf):
+    # character-level fuzzy dedup (edit distance ≤ 40% of the longer
+    # doc): catches typo-level near-dups token ops miss. Integer
+    # distances → bit-exact across engines. The length-difference
+    # prefilter is a FREE lower bound on levenshtein (|len a − len b| ≤
+    # dist always), so the O(len²) DP runs only on plausible pairs —
+    # both engines carry it for plan parity. Like dedup_ngram_jaccard,
+    # the broadcast all-pairs form is the small-scale VERIFIER twin: at
+    # 100 TB the pair source is the LSH candidate stream
+    # (dedup_lsh_verified's shape), with this as the exact re-check.
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.col("n_chars") < 200))
+         .select("doc_id", "text", F.length("text").alias("ln")))
+    a, b = d.alias("a"), d.alias("b")
+    bound = 0.4 * F.greatest(F.col("a.ln"), F.col("b.ln"))
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+            .filter(F.abs(F.col("a.ln") - F.col("b.ln")) <= bound)
+            .filter(dist <= bound)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    dist.alias("edit_dist")))
+
+
 N_MINHASH = 16          # permutations
 LSH_BANDS = 4           # bands of 4 rows each
 SHINGLE_K = 3           # word shingles

@@ -115,7 +115,7 @@ class IceliteTable:
         os.rename(tmp, path)
 
     def _commit(self, entries_for_parent, props: dict,
-                max_retries: int = 20) -> int:
+                max_retries: int = 20, delete_files_for=None) -> int:
         """Optimistic-concurrency commit (Iceberg's commit protocol in
         miniature): compute the manifest against the CURRENT parent,
         then CLAIM the snapshot-id slot with os.link (hard-link fails
@@ -142,6 +142,15 @@ class IceliteTable:
         for _ in range(max_retries):
             parent = self._max_committed_id()
             sid = (parent or 0) + 1
+            # MOR delete entries are part of table state: appends
+            # INHERIT the parent's list (appended files are in no
+            # entry's applies_to, so they're unaffected); rewrites pass
+            # delete_files_for to clear or extend it explicitly.
+            parent_snap = self.snapshot(parent) if parent is not None else None
+            if delete_files_for is not None:
+                deletes = delete_files_for(parent_snap)
+            else:
+                deletes = list((parent_snap or {}).get("delete_files", []))
             manifest = {
                 "snapshot_id": sid,
                 "parent_id": parent,
@@ -149,6 +158,8 @@ class IceliteTable:
                 "files": entries_for_parent(parent),
                 "props": props,
             }
+            if deletes:
+                manifest["delete_files"] = deletes
             final = os.path.join(self.meta_dir, f"snap-{sid}.json")
             tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as fh:
@@ -256,8 +267,11 @@ class IceliteTable:
                     f"was read; committing would drop the concurrent "
                     f"commit's files — re-read and retry the rewrite")
             return new_entries
+        # a rewrite reads THROUGH pending MOR deletes (self.read applies
+        # them), so the result snapshot clears the delete list
         return self._commit(entries, {"operation": "replace",
-                                      **(props or {})})
+                                      **(props or {})},
+                            delete_files_for=lambda s: [])
 
     def expire_head(self) -> int | None:
         """Roll CURRENT back to the head snapshot's parent (crash
@@ -340,6 +354,14 @@ class IceliteTable:
         if snap is None:
             raise ValueError(
                 f"icelite table {self.path}: nothing to delete from")
+        if snap.get("delete_files"):
+            # the COW path scans touched data files RAW (bypassing the
+            # MOR anti-join), so rewriting under pending MOR deletes
+            # would resurrect hidden rows in the rewritten files
+            raise ValueError(
+                f"icelite table {self.path} has pending merge-on-read "
+                f"deletes; compact() first to materialize them, then "
+                f"delete_where")
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         touched, kept = [], []
         for e in snap["files"]:
@@ -370,6 +392,58 @@ class IceliteTable:
         return self._commit(entries, {
             "operation": "delete", "deleted_from": src,
             "files_rewritten": len(touched), "files_kept": len(kept)})
+
+    def delete_where_mor(self, spark, predicate,
+                         key_cols: tuple[str, ...]) -> int:
+        """Row-level DELETE as MERGE-ON-READ (Iceberg's equality-delete
+        files): instead of rewriting data files (delete_where's COW),
+        write a small DELETE FILE holding the matching keys and record
+        it in the manifest; readers anti-join it at scan time. This is
+        the right cost model for frequent small deletes at 100 TB —
+        O(deleted keys) written per delete instead of O(touched files)
+        — at the price of read-time work, which compact() later
+        materializes away (its rewrite reads through the deletes and
+        commits clean files with no delete entries).
+
+        Each delete entry records ``applies_to`` — the data files
+        present when the delete committed — mirroring Iceberg's
+        sequence-number rule: a row appended AFTER the delete with a
+        previously-deleted key is NOT hidden (read() anti-joins only
+        the applies_to subset). Returns the new snapshot id (a
+        metadata+delete-file commit; data files unchanged).
+        """
+        from pyspark.sql import functions as F
+
+        src = self.current_snapshot_id()
+        snap = self.snapshot(src)
+        if snap is None:
+            raise ValueError(
+                f"icelite table {self.path}: nothing to delete from")
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        keys = (self.read(spark, snapshot_id=src)
+                .filter(F.coalesce(pred, F.lit(False)))
+                .select(*key_cols).distinct())
+        out_dir = self.new_commit_dir(f"mordelete-{uuid.uuid4().hex[:8]}")
+        files = write_dataframe_files(keys.coalesce(1), out_dir)
+        del_entry = {
+            "path": os.path.relpath(os.path.abspath(files[0]), self.path),
+            "rows": _parquet_rows(files[0]),
+            "key_cols": list(key_cols),
+            "applies_to": [e["path"] for e in snap["files"]],
+        }
+
+        def entries(parent):
+            if (parent or 0) != (src or 0):
+                raise CommitConflictError(
+                    f"icelite MOR delete on {self.path}: table advanced "
+                    f"from snapshot {src} to {parent} during key "
+                    f"computation — re-read and retry")
+            return list(snap["files"])
+        return self._commit(
+            entries, {"operation": "delete_mor", "deleted_from": src},
+            delete_files_for=lambda s: (list((s or {}).get("delete_files",
+                                                           []))
+                                        + [del_entry]))
 
     def compact(self, spark, target_file_bytes: int = 128 << 20,
                 partition_by: tuple[str, ...] = (),
@@ -452,6 +526,8 @@ class IceliteTable:
         live: set[str] = set()
         for s in self.snapshots():
             for f in s["files"]:
+                live.add(os.path.normpath(os.path.join(self.path, f["path"])))
+            for f in s.get("delete_files", []):   # MOR delete files are live
                 live.add(os.path.normpath(os.path.join(self.path, f["path"])))
         doomed = []
         for root, _dirs, files in os.walk(self.data_dir):
@@ -544,7 +620,39 @@ class IceliteTable:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*files)
+        delete_files = (snap or {}).get("delete_files", [])
+        if not delete_files:
+            return reader.parquet(*files)
+        # merge-on-read: anti-join each file group against the delete
+        # entries that apply to it. Files are grouped by the SET of
+        # delete entries covering them (an entry's applies_to is the
+        # data-file list at delete time — Iceberg's sequence-number
+        # rule: later appends are unaffected), so a re-appended key is
+        # visible while the original stays hidden. Delete key sets are
+        # O(deleted rows) and broadcast; compact() materializes all of
+        # this away.
+        from collections import defaultdict
+        from pyspark.sql import functions as F
+
+        sig_groups: dict = defaultdict(list)
+        for e in entries:
+            sig = frozenset(i for i, de in enumerate(delete_files)
+                            if e["path"] in set(de["applies_to"]))
+            sig_groups[sig].append(os.path.join(self.path, e["path"]))
+        parts = []
+        for sig, group_files in sig_groups.items():
+            df = reader.parquet(*group_files)
+            for i in sorted(sig):
+                de = delete_files[i]
+                keys = spark.read.parquet(
+                    os.path.join(self.path, de["path"]))
+                df = df.join(F.broadcast(keys), on=list(de["key_cols"]),
+                             how="left_anti")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
 
 def _parquet_rows(path: str) -> int:

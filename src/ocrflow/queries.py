@@ -796,6 +796,112 @@ def set_except(spark, sf):
     return a.exceptAll(b).distinct()
 
 
+@q("set_except_all", """
+SELECT c_nationkey FROM customer
+EXCEPT ALL
+SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+""")
+def set_except_all(spark, sf):
+    # bag semantics (multiplicities subtract, not collapse): the SQL
+    # EXCEPT ALL / Spark exceptAll pair — a different operator from
+    # set_except (hash-distinct) both logically and physically (the
+    # plan counts duplicates per key instead of deduplicating). Sides
+    # are all-customers minus the high-balance subset, so every nation
+    # keeps a positive residue (its low-balance customer count).
+    c = t(spark, sf, "customer")
+    a = c.select("c_nationkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_nationkey")
+    return a.exceptAll(b)
+
+
+@q("set_intersect_all", """
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT ALL
+SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+""")
+def set_intersect_all(spark, sf):
+    c = t(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_nationkey")
+    return a.intersectAll(b)
+
+
+@q("agg_misc", """
+SELECT event_type,
+       bool_and(value >= 0) AS all_nonneg,
+       bool_or(value > 990) AS any_huge,
+       count_if(value > 500) AS n_big,
+       min_by(event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') ||
+                        lpad(CAST(event_id AS VARCHAR), 12, '0'))
+           AS first_event,
+       max_by(event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') ||
+                        lpad(CAST(event_id AS VARCHAR), 12, '0'))
+           AS last_event
+FROM events GROUP BY event_type
+""")
+def agg_misc(spark, sf):
+    # the long tail of aggregate functions a reference user reaches
+    # for: bool_and/bool_or, count_if, min_by/max_by (argmin/argmax —
+    # the "first event by time" idiom without a window). The by-key is
+    # a fixed-width "timestamp.micros || event_id" string so
+    # exact-timestamp collisions break ties identically in both
+    # engines (structs aren't min_by-comparable in DuckDB, and casting
+    # ts to string isn't width-stable across engines; zero-padded
+    # strftime is). mode() was rejected here: near-uniform user
+    # frequencies make its ties engine-dependent.
+    e = t(spark, sf, "events")
+    tie = F.concat(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                   F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    return (e.groupBy("event_type")
+            .agg(F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+                 F.bool_or(F.col("value") > 990).alias("any_huge"),
+                 F.count_if(F.col("value") > 500).alias("n_big"),
+                 F.min_by("event_id", tie).alias("first_event"),
+                 F.max_by("event_id", tie).alias("last_event")))
+
+
+@q("ts_gapfill", """
+WITH b AS (
+  SELECT user_id,
+         CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+  FROM events WHERE user_id < 50 GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM b
+),
+agg AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS n
+  FROM events WHERE user_id < 50 GROUP BY 1, 2
+)
+SELECT g.user_id, g.bucket, COALESCE(a.n, 0) AS n
+FROM grid g LEFT JOIN agg a USING (user_id, bucket)
+""")
+def ts_gapfill(spark, sf):
+    """Time-series regularization (gap fill): per-user hourly buckets
+    from first to last activity, empty hours materialized as 0 — the
+    resample/asfreq idiom feature pipelines need before windowed
+    models. The dense grid is generated WITH sequence()+explode per
+    user (no driver loop, no cross join against a global calendar —
+    each user only materializes their own span), then one left join
+    against the bucketed counts on the same (user, bucket) key."""
+    e = t(spark, sf, "events").filter(F.col("user_id") < 50)
+    b = (e.groupBy("user_id")
+         .agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
+              F.date_trunc("hour", F.max("ts")).alias("hi")))
+    grid = b.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR")))
+        .alias("bucket"))
+    agg = (e.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+           .agg(F.count("*").alias("n")))
+    return (grid.join(agg, ["user_id", "bucket"], "left")
+            .select("user_id", "bucket",
+                    F.coalesce("n", F.lit(0)).alias("n")))
+
+
 @q("dedup_distinct", """
 SELECT DISTINCT user_id, event_type FROM events
 """)

@@ -109,3 +109,46 @@ def test_asof_union_merge_matches_naive_oracle(spark):
                      if cu == u and ct <= t]
             expected[e] = max(cands)[1] if cands else None
         assert got == expected, f"seed {seed}"
+
+
+def test_asof_forward_matches_naive_oracle(spark):
+    """Randomized FORWARD as-of check incl. ties: join_asof_forward
+    (earliest following click, min event_id on equal ts) vs a naive
+    per-purchase scan on random event sets dense in ts collisions."""
+    import datetime
+    import os
+    import random
+    import tempfile
+
+    from ocrflow.queries import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    for seed in (44, 55, 66):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for _ in range(300):
+            eid += 1
+            rows.append((eid,
+                         base + datetime.timedelta(seconds=rng.randrange(40)),
+                         rng.randrange(6),
+                         rng.choice(["click", "purchase", "view"]),
+                         0.0, None))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        d = tempfile.mkdtemp(prefix=f"ocrflow_fasof_{seed}_")
+        df.write.parquet(os.path.join(d, "events.parquet"))
+
+        got = {r["purchase_id"]: r["next_click_id"]
+               for r in QUERIES["join_asof_forward"](spark, d).collect()}
+
+        clicks = [(e, t, u) for (e, t, u, k, _v, _p) in rows if k == "click"]
+        expected = {}
+        for (e, t, u, k, _v, _p) in rows:
+            if k != "purchase":
+                continue
+            cands = [(ct, ce) for (ce, ct, cu) in clicks
+                     if cu == u and ct >= t]
+            expected[e] = min(cands)[1] if cands else None
+        assert got == expected, f"seed {seed}"

@@ -570,3 +570,77 @@ def test_loser_rebases_onto_unpointed_manifest(spark, tmp_path):
     assert sid == 2                                # rebased onto snap-1
     assert tbl.snapshot(2)["parent_id"] == 1
     assert tbl.read(spark).count() == 20           # both writers' rows live
+
+
+# -- round 3b: merge-on-read deletes --------------------------------------
+
+def test_mor_delete_hides_rows_and_time_travels(spark, tmp_path):
+    from ocrflow.icelite import IceliteTable
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    tbl.commit_append(write_dataframe_files(
+        spark.range(0, 50).toDF("id").coalesce(1), tbl.new_commit_dir("c0")))
+    pre = tbl.current_snapshot_id()
+    sid = tbl.delete_where_mor(spark, "id BETWEEN 10 AND 19",
+                               key_cols=("id",))
+    # metadata-only commit: data file list unchanged
+    assert ({e["path"] for e in tbl.snapshot(sid)["files"]}
+            == {e["path"] for e in tbl.snapshot(pre)["files"]})
+    got = {r["id"] for r in tbl.read(spark).collect()}
+    assert got == {*range(0, 10), *range(20, 50)}
+    # pre-delete snapshot unaffected
+    assert len({r["id"] for r in tbl.read(spark, snapshot_id=pre).collect()}) == 50
+
+
+def test_mor_delete_append_after_resurrects_new_rows_only(spark, tmp_path):
+    """Iceberg sequence-number semantics: a key appended AFTER the
+    delete is visible; the originally-deleted row stays hidden."""
+    from ocrflow.icelite import IceliteTable
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame([(1, "old"), (2, "old")], "id int, v string")
+    tbl.commit_append(write_dataframe_files(df, tbl.new_commit_dir("c0")))
+    tbl.delete_where_mor(spark, "id = 1", key_cols=("id",))
+    tbl.commit_append(write_dataframe_files(
+        spark.createDataFrame([(1, "new")], "id int, v string"),
+        tbl.new_commit_dir("c1")))
+    got = {(r["id"], r["v"]) for r in tbl.read(spark).collect()}
+    assert got == {(2, "old"), (1, "new")}    # old (1,'old') hidden
+
+
+def test_mor_delete_stacking_and_compact_materializes(spark, tmp_path):
+    from ocrflow.icelite import IceliteTable
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    tbl.commit_append(write_dataframe_files(
+        spark.range(0, 40).toDF("id").coalesce(1), tbl.new_commit_dir("c0")))
+    tbl.delete_where_mor(spark, "id < 5", key_cols=("id",))
+    tbl.delete_where_mor(spark, "id >= 35", key_cols=("id",))
+    assert len(tbl.snapshot()["delete_files"]) == 2   # stacked
+    expect = {*range(5, 35)}
+    assert {r["id"] for r in tbl.read(spark).collect()} == expect
+    # COW delete refuses to run under pending MOR deletes
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="merge-on-read"):
+        tbl.delete_where(spark, "id = 20")
+    # compact materializes: delete entries gone, rows still hidden
+    sid = tbl.compact(spark)
+    assert "delete_files" not in tbl.snapshot(sid)
+    assert {r["id"] for r in tbl.read(spark).collect()} == expect
+    # ...and now COW delete works again
+    tbl.delete_where(spark, "id = 20")
+    assert 20 not in {r["id"] for r in tbl.read(spark).collect()}
+
+
+def test_mor_delete_files_survive_gc_until_expired(spark, tmp_path):
+    from ocrflow.icelite import IceliteTable
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    tbl.commit_append(write_dataframe_files(
+        spark.range(0, 20).toDF("id").coalesce(1), tbl.new_commit_dir("c0")))
+    tbl.delete_where_mor(spark, "id = 3", key_cols=("id",))
+    removed = tbl.remove_orphan_files()
+    # only write markers swept; the delete file (and data) are LIVE
+    assert not [p for p in removed if p.endswith(".parquet")]
+    assert {r["id"] for r in tbl.read(spark).collect()} == {*range(0, 20)} - {3}
+    tbl.compact(spark)
+    tbl.expire_snapshots(keep_last=1)
+    removed = tbl.remove_orphan_files()
+    assert any("mordelete-" in p for p in removed)   # reclaimed after expiry
+    assert {r["id"] for r in tbl.read(spark).collect()} == {*range(0, 20)} - {3}
