@@ -656,6 +656,42 @@ def corpus_stats(spark, sf):
                  F.max("n_chars").cast("long").alias("max_chars")))
 
 
+@q("doc_chunking", """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+)
+SELECT doc_id,
+       CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(w, s, s + 31)) AS INT) AS n_tokens,
+       md5(array_to_string(list_slice(w, s, s + 31), ' ')) AS chunk_hash
+FROM d, unnest(generate_series(1, len(w), 24)) AS t(s)
+""")
+def doc_chunking(spark, sf):
+    """Context-window chunking (the pretraining packing primitive):
+    split each document into 32-token chunks with stride 24 (8-token
+    overlap so no span is lost at a boundary). One narrow scan → JVM
+    tokenize → sequence()+explode for the start offsets → slice per
+    chunk; emitted as (doc_id, chunk_idx, n_tokens, md5-of-chunk) so
+    the result stays key-sized. No shuffle at all — chunking is
+    embarrassingly per-row, which is exactly why it belongs in the
+    scan stage of a 100 TB pipeline (downstream ops key on chunk_hash
+    or (doc_id, chunk_idx)). The trailing chunk may be shorter than 32
+    (kept: truncating it would drop document tails)."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+         .select("doc_id", F.split(F.trim("text"), r"\s+").alias("w")))
+    s = d.select(
+        "doc_id", "w",
+        F.explode(F.sequence(F.lit(1), F.size("w"), F.lit(24))).alias("s"))
+    chunk = F.slice("w", F.col("s"), 32)
+    return s.select(
+        "doc_id",
+        ((F.col("s") - 1) / 24).cast("long").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"))
+
+
 @q("sample_stratified", """
 SELECT doc_id, lang FROM documents
 WHERE text IS NOT NULL
