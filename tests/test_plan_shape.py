@@ -101,3 +101,35 @@ def test_bucketed_join_no_exchange(spark):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, QUERIES["join_inner_equi"](spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_doc_chunking_is_shuffle_free(spark):
+    """Chunking is embarrassingly per-row: the plan must contain NO
+    exchange at all — tokenize, sequence-explode, slice, hash, all in
+    the scan stage (the property that makes it free at 100 TB)."""
+    plan = _plan(QUERIES["doc_chunking"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_tfidf_broadcasts_df_table(spark):
+    """The document-frequency table is vocabulary-sized: it must reach
+    the tf join as a broadcast, never a shuffle of the corpus."""
+    plan = _plan(QUERIES["tfidf_top_terms"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the big tf side shuffles only for its own aggregation + window
+    assert "SortMergeJoin" not in plan
+
+
+def test_sample_stratified_no_shuffle(spark):
+    plan = _plan(QUERIES["sample_stratified"](spark, SF_DIR))
+    assert "Exchange" not in plan           # pure filter over the scan
+
+
+def test_asof_forward_union_merge_no_join(spark):
+    """Forward as-of keeps the union-merge shape: one exchange, one
+    window, no join operator (same scale contract as join_asof)."""
+    plan = _plan(QUERIES["join_asof_forward"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
