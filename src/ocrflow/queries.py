@@ -1395,3 +1395,216 @@ def struct_nested(spark, sf):
     return o.select("o_orderkey",
                     st["cust"].alias("cust_from_struct"),
                     F.round(st["price"], 2).alias("price_from_struct"))
+
+
+# =========================================================================
+# Event analytics (round 3 extension): the gaps-and-islands / cohort /
+# funnel family a reference user runs over the events table. All are
+# oracled; scale notes on each.
+# =========================================================================
+
+@q("gaps_islands", """
+WITH seq AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), f AS (
+  SELECT user_id, ts,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS island_key
+  FROM seq WHERE value > 100
+)
+SELECT user_id, CAST(island_key AS BIGINT) AS island_key,
+       count(*) AS n_run, min(ts) AS ts_start, max(ts) AS ts_end
+FROM f GROUP BY user_id, island_key
+""")
+def gaps_islands(spark, sf):
+    # classic gaps-and-islands: runs of consecutive high-value events
+    # inside each user's full event sequence. Two row_numbers over the
+    # SAME (user_id, ts, event_id) ordering — Catalyst evaluates both
+    # windows plus the final groupBy inside ONE exchange on user_id
+    # (window key prefix == agg key), so the 100 TB cost is a single
+    # shuffle of the fact table.
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("rn", F.row_number().over(w))
+    flagged = seq.filter(F.col("value") > 100)
+    isl = (F.col("rn") - F.row_number().over(w)).cast("long")
+    return (flagged.withColumn("island_key", isl)
+            .groupBy("user_id", "island_key")
+            .agg(F.count("*").alias("n_run"),
+                 F.min("ts").alias("ts_start"),
+                 F.max("ts").alias("ts_end")))
+
+
+@q("retention_cohort", """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_wk
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_wk
+  FROM events
+)
+SELECT f.cohort_wk,
+       CAST(datediff('day', f.cohort_wk, a.active_wk) / 7 AS INT) AS wk_offset,
+       count(*) AS n_users
+FROM firsts f JOIN activity a ON f.user_id = a.user_id
+GROUP BY f.cohort_wk, wk_offset
+""")
+def retention_cohort(spark, sf):
+    # weekly retention triangle: cohort = ISO week of a user's first
+    # event, offset = weeks since. Both the firsts agg and the distinct
+    # activity set hash-partition on user_id, so the join is
+    # co-partitioned — one logical shuffle of the fact feeds all three
+    # steps. The output is (weeks × weeks), tiny at any corpus size.
+    e = t(spark, sf, "events")
+    firsts = (e.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_wk")))
+    activity = (e.select("user_id", F.date_trunc("week", "ts").alias("active_wk"))
+                .distinct())
+    return (activity.join(firsts, "user_id")
+            .groupBy("cohort_wk",
+                     (F.datediff("active_wk", "cohort_wk") / 7).cast("int")
+                     .alias("wk_offset"))
+            .agg(F.count("*").alias("n_users")))
+
+
+@q("funnel_steps", """
+WITH s AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), v AS (
+  SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'view' AND e.ts > s.t0 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.t1 GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s) AS n_signup,
+       (SELECT count(*) FROM v) AS n_view_after,
+       (SELECT count(*) FROM p) AS n_purchase_after
+""")
+def funnel_steps(spark, sf):
+    # ordered conversion funnel signup → view → purchase: each stage is
+    # min-ts-after-previous, i.e. a keyed join back to the fact plus a
+    # conditional min. Every join and agg keys on user_id, so at 100 TB
+    # this is (passes × one user_id shuffle); stage outputs shrink
+    # monotonically (funnel property), so later passes join ever-smaller
+    # sides — AQE converts them to broadcasts once they fit.
+    e = t(spark, sf, "events")
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("t0")))
+    v = (e.filter(F.col("event_type") == "view")
+         .join(s, "user_id").filter(F.col("ts") > F.col("t0"))
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(v, "user_id").filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    return (s.agg(F.count("*").alias("n_signup"))
+            .crossJoin(v.agg(F.count("*").alias("n_view_after")))
+            .crossJoin(p.agg(F.count("*").alias("n_purchase_after"))))
+
+
+@q("subquery_scalar", """
+SELECT o_orderkey,
+       ROUND(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 2)
+           AS over_avg
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+""")
+def subquery_scalar(spark, sf):
+    # scalar subquery through the SQL entry point: Catalyst plans the
+    # two identical subqueries as ONE ReusedSubquery (a single agg job
+    # whose scalar result is injected into filter + projection), so the
+    # fact scans twice never — once for the scalar, once for the main
+    # pass, both column-pruned to o_totalprice(+key).
+    t(spark, sf, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql("""
+        SELECT o_orderkey,
+               ROUND(o_totalprice - (SELECT avg(o_totalprice) FROM orders_sq), 2)
+                   AS over_avg
+        FROM orders_sq
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_sq)
+    """)
+
+
+@q("join_interval_overlap", """
+WITH c AS (
+  SELECT user_id, min(ts) AS c_lo, max(ts) AS c_hi FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+), p AS (
+  SELECT user_id, min(ts) AS p_lo, max(ts) AS p_hi FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT c.user_id, greatest(c_lo, p_lo) AS ov_start, least(c_hi, p_hi) AS ov_end
+FROM c JOIN p ON c.user_id = p.user_id
+WHERE c_lo <= p_hi AND p_lo <= c_hi
+""")
+def join_interval_overlap(spark, sf):
+    # interval-overlap join, keyed: per-user click-activity interval vs
+    # purchase-activity interval; the overlap predicate rides ON TOP of
+    # the user_id equi-join, so the physical join stays a hash join at
+    # any scale (the non-equi part is a post-join filter, never a
+    # nested loop — contrast join_range, which demonstrates the
+    # bucketed answer for UN-keyed interval joins).
+    e = t(spark, sf, "events")
+    c = (e.filter(F.col("event_type") == "click").groupBy("user_id")
+         .agg(F.min("ts").alias("c_lo"), F.max("ts").alias("c_hi")))
+    p = (e.filter(F.col("event_type") == "purchase").groupBy("user_id")
+         .agg(F.min("ts").alias("p_lo"), F.max("ts").alias("p_hi")))
+    return (c.join(p, "user_id")
+            .filter((F.col("c_lo") <= F.col("p_hi"))
+                    & (F.col("p_lo") <= F.col("c_hi")))
+            .select("user_id",
+                    F.greatest("c_lo", "p_lo").alias("ov_start"),
+                    F.least("c_hi", "p_hi").alias("ov_end")))
+
+
+@q("agg_histogram_bins", """
+SELECT l_returnflag,
+       CAST(least(floor(l_quantity / 10), 4) AS INT) AS qty_bin,
+       count(*) AS n,
+       ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+           AS price_sum
+FROM lineitem GROUP BY l_returnflag, qty_bin
+""")
+def agg_histogram_bins(spark, sf):
+    # fixed-width histogram via arithmetic binning (portable where
+    # width_bucket isn't): bin id is pure per-row math, so the whole
+    # histogram is one partial-agg + one exchange of (flag × 5 bins)
+    # tiny partials — the cheapest possible distribution profile of a
+    # 100 TB fact column. Decimal-cast sum keeps the fold exact.
+    li = t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag",
+                       F.least(F.floor(F.col("l_quantity") / 10), F.lit(4))
+                       .cast("int").alias("qty_bin"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                         .cast("double"), 2).alias("price_sum")))
+
+
+@q("agg_mode_deterministic", """
+WITH cnt AS (
+  SELECT user_id % 10 AS cohort, event_type, count(*) AS n
+  FROM events GROUP BY cohort, event_type
+)
+SELECT cohort, event_type AS mode_type, n AS mode_n FROM (
+  SELECT cohort, event_type, n,
+         row_number() OVER (PARTITION BY cohort ORDER BY n DESC, event_type) AS r
+  FROM cnt
+) WHERE r = 1
+""")
+def agg_mode_deterministic(spark, sf):
+    # mode() with engine-portable tie-breaking: native mode() is
+    # nondeterministic under ties (rejected for agg_misc, see note
+    # there); count + row_number(count DESC, key ASC) is the
+    # deterministic idiom. Cost: one keyed agg over the fact, then a
+    # window over the (cohorts × types) partials — negligible.
+    e = t(spark, sf, "events")
+    cnt = (e.groupBy((F.col("user_id") % 10).alias("cohort"), "event_type")
+           .agg(F.count("*").alias("n")))
+    w = W.partitionBy("cohort").orderBy(F.col("n").desc(), "event_type")
+    return (cnt.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("cohort", F.col("event_type").alias("mode_type"),
+                    F.col("n").alias("mode_n")))
