@@ -1264,3 +1264,174 @@ def dedup_materialize_lsh(spark, sf):
              .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
     return (materialize_kept(d.select("doc_id", "n_chars"), pairs, "doc_id")
             .select("doc_id", "n_chars"))
+
+
+# =========================================================================
+# Training-corpus curation extensions (round 3): keep-best dedup, PII
+# pseudonymization, per-source dup-rate profiling, n-gram stats, and the
+# cogrouped-map UDF API. All oracled.
+# =========================================================================
+
+@q("dedup_keep_best", r"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         md5(array_to_string(list_slice(
+             regexp_split_to_array(lower(trim(text)), '\s+'), 1, 8), ' '))
+             AS dup_key
+  FROM documents WHERE text IS NOT NULL
+), rk AS (
+  SELECT doc_id, dup_key, n_chars,
+         row_number() OVER (PARTITION BY dup_key
+                            ORDER BY n_chars DESC, doc_id) AS r,
+         count(*) OVER (PARTITION BY dup_key) AS group_sz
+  FROM keyed
+)
+SELECT doc_id, dup_key, CAST(group_sz AS BIGINT) AS group_sz
+FROM rk WHERE r = 1
+""")
+def dedup_keep_best(spark, sf):
+    """Quality-aware dedup: group by a normalized PREFIX fingerprint
+    (first 8 lowercased tokens — catches same-lead boilerplate where a
+    full-content hash collapses nothing), keep the HIGHEST-QUALITY row
+    per group (longest doc, doc_id tiebreak) instead of an arbitrary
+    one — the curation policy real corpus builds want (dedup_exact
+    keeps min-id; this keeps argmax-quality). One window over md5 keys:
+    the corpus shuffles once on the 16-byte key; text never moves after
+    the hash."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    key = F.md5(F.array_join(
+        F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 8), " "))
+    wk = W.partitionBy("dup_key")
+    keyed = d.select("doc_id", "n_chars", key.alias("dup_key"))
+    return (keyed
+            .withColumn("r", F.row_number().over(
+                wk.orderBy(F.col("n_chars").desc(), "doc_id")))
+            .withColumn("group_sz", F.count("*").over(wk).cast("long"))
+            .filter(F.col("r") == 1)
+            .select("doc_id", "dup_key", "group_sz"))
+
+
+@q("pii_pseudonymize", """
+SELECT event_id,
+       substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS user_pseudo,
+       regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted
+FROM events
+""")
+def pii_pseudonymize(spark, sf):
+    """Privacy scrub pass for a training corpus: stable pseudonymous id
+    (md5 of the raw id — joinable across tables, not reversible without
+    the original) + numeric-literal redaction in the free-form payload.
+    Pure per-row JVM expressions: zero shuffle, pipelines into the scan
+    at any corpus size."""
+    e = t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12)
+         .alias("user_pseudo"),
+        F.regexp_replace("props", "[0-9]+", "#").alias("props_redacted"))
+
+
+@q("corpus_dup_rate", """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_uniq,
+       ROUND(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4) AS dup_rate
+FROM documents GROUP BY source
+""")
+def corpus_dup_rate(spark, sf):
+    """Per-source duplication profile — the dashboard number a corpus
+    curator checks before picking dedup thresholds. count(DISTINCT md5)
+    shuffles 16-byte hashes (never text); Spark plans it as a two-phase
+    expand + partial agg, so the fact scans once."""
+    d = t(spark, sf, "documents")
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct(F.md5("text")).alias("n_uniq"))
+            .select("source", "n_docs", "n_uniq",
+                    F.round(F.lit(1.0) - F.col("n_uniq") * 1.0 / F.col("n_docs"),
+                            4).alias("dup_rate")))
+
+
+@q("text_ngram_top", r"""
+WITH toks AS (
+  SELECT lang, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), bg AS (
+  SELECT lang,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM toks WHERE len(tk) >= 2
+), cnt AS (
+  SELECT lang, bigram, count(*) AS n FROM bg GROUP BY lang, bigram
+)
+SELECT lang, bigram, n FROM (
+  SELECT lang, bigram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS r
+  FROM cnt
+) WHERE r <= 3
+""")
+def text_ngram_top(spark, sf):
+    """Top bigrams per language — the n-gram LM / contamination-check
+    statistic. Bigrams are built with a JVM higher-order transform over
+    the token array (no Python, no self-join); the heavy shuffle is the
+    (lang, bigram) count whose partials combine map-side, then a window
+    over per-lang counts. At 100 TB add a salted pre-agg if one lang
+    dominates (same recipe as join_salted_skew)."""
+    d = t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+    toks = d.select("lang", F.split(F.trim("text"), r"\s+").alias("tk"))
+    bg = (toks.filter(F.size("tk") >= 2)
+          .select("lang", F.explode(F.expr(
+              "transform(sequence(1, size(tk) - 1),"
+              " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+          )).alias("bigram")))
+    cnt = bg.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (cnt.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 3).select("lang", "bigram", "n"))
+
+
+@q("udf_cogrouped_map", """
+WITH e AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+  FROM events GROUP BY user_id
+), o AS (
+  SELECT o_custkey AS user_id, count(*) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS price_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(e.user_id, o.user_id) AS user_id,
+       coalesce(e.n_events, 0) AS n_events,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(e.value_cents, 0) AS value_cents,
+       coalesce(o.price_cents, 0) AS price_cents
+FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+""")
+def udf_cogrouped_map(spark, sf):
+    """The cogrouped-map Pandas API (groupBy().cogroup().applyInPandas)
+    — the remaining Pandas-UDF entry point after scalar/iter/grouped
+    map/grouped agg: both sides hash-partition on the key, each key's
+    two frames arrive in ONE Python call. Money math in integer cents
+    (floor(x*100+0.5) — identical in numpy, Spark, and DuckDB; float
+    sums would be fold-order-dependent). Oracle is the equivalent
+    full-outer join of the two aggregates."""
+    ev = t(spark, sf, "events").select("user_id", "value")
+    od = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_totalprice")
+
+    def merge(key, edf: pd.DataFrame, odf: pd.DataFrame) -> pd.DataFrame:
+        cents = lambda s: int(np.floor(s.to_numpy(dtype=np.float64) * 100 + 0.5).sum())
+        return pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [len(edf)],
+            "n_orders": [len(odf)],
+            "value_cents": [cents(edf["value"]) if len(edf) else 0],
+            "price_cents": [cents(odf["o_totalprice"]) if len(odf) else 0],
+        })
+
+    return (ev.groupBy("user_id").cogroup(od.groupBy("user_id"))
+            .applyInPandas(merge, schema=("user_id long, n_events long, "
+                                          "n_orders long, value_cents long, "
+                                          "price_cents long")))
