@@ -1435,3 +1435,92 @@ def udf_cogrouped_map(spark, sf):
             .applyInPandas(merge, schema=("user_id long, n_events long, "
                                           "n_orders long, value_cents long, "
                                           "price_cents long")))
+
+
+def ann_ivf_with(spark, sf, n_cells: int = 8, n_probe: int = 3):
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    ann_lsh_bucketed: train K centroids, assign every vector to its
+    nearest cell, search only the n_probe cells nearest each query.
+
+    Training is deterministic and cheap: seeds = the K lowest vec_ids
+    (one bounded driver fetch of K×dim floats), then ONE Lloyd step
+    whose mean-update is posexplode → groupBy(cell, pos) — partial aggs
+    combine map-side, so the exchange carries at most K×dim rows per
+    map partition no matter the corpus size; the refined centroids are
+    again K×dim scalars on the driver and ride to executors in the UDF
+    closure (A9 broadcast-state idiom).
+
+    Query path: each query probes its n_probe nearest cells, candidates
+    come from an equi-join on cell id (hash join, never all-pairs), and
+    the exact cosine re-rank runs on candidates only — at 100 TB the
+    scan fraction is ~n_probe/K of the corpus per query batch. Recall
+    vs the brute-force twin is measured in tests. Rows-only: centroid
+    means are float-fold-dependent in the last ULP, so there is no
+    engine-portable SQL twin.
+    """
+    em = t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+
+    seeds = em.orderBy("vec_id").limit(n_cells).collect()
+    c0 = np.array([r["e"] for r in seeds], dtype=np.float64)
+    dim = c0.shape[1]
+
+    def assigner(cents):
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+        @F.pandas_udf(T.IntegerType())
+        def cell_of(es: pd.Series) -> pd.Series:
+            if len(es) == 0:
+                return pd.Series([], dtype="int32")
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in es])
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            return pd.Series(np.argmax(mn @ cn.T, axis=1).astype("int32"))
+        return cell_of
+
+    # one Lloyd refinement: per-(cell, dim) means via map-side-combined agg
+    a0 = em.withColumn("cell", assigner(c0)("e"))
+    sums = (a0.select("cell", F.posexplode("e").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect())
+    c1 = c0.copy()                      # cells with no members keep their seed
+    by_cell: dict = {}
+    for r in sums:
+        by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"] / r["n"]
+    for cell, d in by_cell.items():
+        c1[cell] = np.array([d[p] for p in range(dim)])
+    c1n = c1 / np.linalg.norm(c1, axis=1, keepdims=True)
+
+    corpus = em.withColumn("cell", assigner(c1)("e"))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(es: pd.Series) -> pd.Series:
+        if len(es) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in es])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(-(mn @ c1n.T), axis=1, kind="stable")
+        return pd.Series(list(order[:, :n_probe].astype("int32")))
+
+    qs = (em.filter(F.col("vec_id") < ANN_QUERIES)
+          .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+                  F.explode(probe_cells("e")).alias("qcell")))
+    cand = (corpus.join(F.broadcast(qs),
+                        (F.col("cell") == F.col("qcell"))
+                        & (F.col("vec_id") != F.col("query_id")))
+            .select("query_id", "qe", "vec_id", "e"))
+    dot = F.aggregate(F.zip_with("qe", "e", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    qn = F.sqrt(F.aggregate("qe", F.lit(0.0), lambda a, x: a + x * x))
+    vn = F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (cand.withColumn("cos", dot / (qn * vn))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= ANN_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "rank", F.round("cos", 4).alias("cos")))
+
+
+@q("ann_ivf_coarse")  # rows-only: centroid means are float-fold-dependent
+def ann_ivf_coarse(spark, sf):
+    return ann_ivf_with(spark, sf)

@@ -368,3 +368,54 @@ def stream_extract(spark: SparkSession, input_dir: str, out_table_path: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return tbl
+
+
+@sq("stream_upsert_sink")
+def stream_upsert_sink(spark, sf):
+    """Streaming MERGE INTO: foreachBatch reduces each micro-batch to
+    its latest row per user, then merge_upserts it into an icelite
+    table — the standard Spark pattern for streaming upserts into a
+    table format (foreachBatch is the merge escape hatch; a plain
+    streaming sink can only append). The input is re-staged as three
+    files read with maxFilesPerTrigger=1, so the merge genuinely runs
+    across MULTIPLE micro-batches and the final table must equal the
+    batch latest-per-key answer regardless of where the batch
+    boundaries fell. Latest-wins order is the total order
+    struct(ts, event_id), so the result is deterministic even under
+    duplicate timestamps.
+
+    Scale notes: each epoch's merge is the COW merge_upsert — one keyed
+    shuffle of (current ∪ batch); at 100 TB the per-epoch rewrite is
+    restricted to the key-bucket partitions the batch touches (see
+    merge_upsert's scale note) and the table compacts on a schedule.
+    """
+    import os
+    import shutil
+
+    from .icelite import IceliteTable
+
+    stage = tempfile.mkdtemp(prefix="ocrflow_upsert_src_")
+    tbl_dir = tempfile.mkdtemp(prefix="ocrflow_upsert_tbl_")
+    shutil.rmtree(tbl_dir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    (spark.read.parquet(f"{sf}/events.parquet")
+     .repartition(3).write.mode("overwrite").parquet(stage))
+    tbl = IceliteTable(tbl_dir)
+
+    def upsert_batch(batch_df, epoch_id: int):
+        from pyspark.sql import Window as W
+        b = batch_df.withColumn("ord", F.struct("ts", "event_id"))
+        w = W.partitionBy("user_id").orderBy(F.col("ord").desc())
+        latest = (b.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+        tbl.merge_upsert(batch_df.sparkSession, latest,
+                         key_cols=("user_id",), order_col="ord")
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(stage))
+    q = (stream.writeStream.foreachBatch(upsert_batch)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ocrflow_ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (tbl.read(spark)
+            .select("user_id", "event_id", "ts", "event_type", "value"))

@@ -227,3 +227,23 @@ def test_stream_stateful_tws_parity(spark, events):
     exp = events.groupBy("user_id").count()
     assert ({(r["user_id"], r["n_events"]) for r in final.collect()}
             == {(r["user_id"], r["count"]) for r in exp.collect()})
+
+
+def test_stream_upsert_sink_matches_batch_merge(spark):
+    """foreachBatch → icelite merge_upsert across 3 micro-batches must
+    equal the batch latest-per-user answer regardless of where the
+    micro-batch boundaries fell (the streaming-MERGE contract)."""
+    from pyspark.sql import Window as W, functions as F
+
+    from ocrflow.streaming import stream_upsert_sink
+
+    res = stream_upsert_sink(spark, SF_DIR)
+    got = sorted(map(tuple, res.collect()))
+    e = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+         .withColumn("ord", F.struct("ts", "event_id")))
+    w = W.partitionBy("user_id").orderBy(F.col("ord").desc())
+    want = sorted(map(tuple, (
+        e.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .collect())))
+    assert got and got == want
