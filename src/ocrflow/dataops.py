@@ -1524,3 +1524,48 @@ def ann_ivf_with(spark, sf, n_cells: int = 8, n_probe: int = 3):
 @q("ann_ivf_coarse")  # rows-only: centroid means are float-fold-dependent
 def ann_ivf_coarse(spark, sf):
     return ann_ivf_with(spark, sf)
+
+
+@q("text_repetition_filter", r"""
+WITH wc AS (
+  SELECT doc_id, w, count(*) AS n
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+    FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+  ) GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+           AS dup_word_frac,
+       ROUND(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+           AS top_word_frac,
+       (CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)) > 0.2
+           AS is_repetitive
+FROM wc GROUP BY doc_id
+""")
+def text_repetition_filter(spark, sf):
+    """Per-document repetition signals (Gopher-style quality filters,
+    word granularity): duplicate-word fraction and most-common-word
+    fraction, plus the keep/drop flag a curation pipeline thresholds
+    on. Two keyed aggs, both map-side-combinable: (doc_id, word)
+    counts first — the shuffle key includes doc_id so hot WORDS don't
+    skew a reducer, only hot docs do, and a single doc fits a
+    partition by construction — then a per-doc rollup of (Σn, count,
+    max). All-JVM (split + explode + agg, no Python); ratios of exact
+    ints are IEEE-identical across engines, rounded to 6 dp."""
+    d = t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+    words = d.select("doc_id",
+                     F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("n"))
+    tot = F.sum("n").cast("double")
+    mx = F.max("n").cast("double")
+    dst = F.count("*").cast("double")
+    return (wc.groupBy("doc_id")
+            .agg(F.sum("n").cast("bigint").alias("n_words"),
+                 F.count("*").cast("bigint").alias("n_distinct"),
+                 F.round(F.lit(1.0) - dst / tot, 6).alias("dup_word_frac"),
+                 F.round(mx / tot, 6).alias("top_word_frac"),
+                 ((mx / tot) > 0.2).alias("is_repetitive")))

@@ -1608,3 +1608,297 @@ def agg_mode_deterministic(spark, sf):
             .filter(F.col("r") == 1)
             .select("cohort", F.col("event_type").alias("mode_type"),
                     F.col("n").alias("mode_n")))
+
+
+# =========================================================================
+# Round-3c additions: statistical aggregates, winsorized means, skyline,
+# graph triangle counting, bitwise/boolean aggregates
+# =========================================================================
+
+@q("agg_regression", """
+SELECT event_type,
+       ROUND(regr_slope(value, CAST(user_id AS DOUBLE)), 8) AS slope,
+       ROUND(regr_intercept(value, CAST(user_id AS DOUBLE)), 4) AS icept,
+       ROUND(regr_r2(value, CAST(user_id AS DOUBLE)), 6) AS r2,
+       ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov
+FROM events
+WHERE value IS NOT NULL AND user_id IS NOT NULL
+GROUP BY event_type
+""")
+def agg_regression(spark, sf):
+    """Per-group OLS regression + covariance (regr_slope/intercept/r2,
+    covar_samp) — one-pass moment aggregates that combine map-side:
+    each partition emits its (n, Σx, Σy, Σxy, Σx², Σy²) partials, the
+    exchange carries only |groups| tiny rows. The scale-correct way to
+    fit per-segment trends over a 100 TB fact table; rounding absorbs
+    the summation-order ULP drift between engines (slope ~1e-4 → 8 dp,
+    r2 ∈ [0,1] → 6 dp)."""
+    e = t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull())
+    x = F.col("user_id").cast("double")
+    return (e.groupBy("event_type")
+            .agg(F.round(F.regr_slope("value", x), 8).alias("slope"),
+                 F.round(F.regr_intercept("value", x), 4).alias("icept"),
+                 F.round(F.regr_r2("value", x), 6).alias("r2"),
+                 F.round(F.covar_samp("value", x), 4).alias("cov")))
+
+
+@q("agg_winsorized", """
+WITH bounds AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS p05,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN l_extendedprice < p05 OR l_extendedprice > p95
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       ROUND(avg(least(greatest(l_extendedprice, p05), p95)), 4)
+           AS winsor_avg
+FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+GROUP BY l.l_returnflag
+""")
+def agg_winsorized(spark, sf):
+    """Winsorized (p05/p95-clipped) mean per group — the robust-mean
+    recipe for heavy-tailed fact columns. Two passes over the fact: an
+    exact-percentile agg producing |groups| bound rows, broadcast back
+    onto the fact (no fact shuffle for the join), then a clipped agg.
+    At 100 TB swap percentile() for approx_percentile(...,  accuracy)
+    to make pass 1 a sketch-merge; the join stays broadcast either
+    way. percentile() interpolation matches DuckDB quantile_cont (same
+    linear rule, proven by agg_percentile)."""
+    li = t(spark, sf, "lineitem")
+    bounds = (li.groupBy("l_returnflag")
+              .agg(F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+                   F.percentile("l_extendedprice", F.lit(0.95)).alias("p95")))
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")),
+                      F.col("p95"))
+    out_of = (F.col("l_extendedprice") < F.col("p05")) | \
+             (F.col("l_extendedprice") > F.col("p95"))
+    return (j.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(out_of, 1).otherwise(0)).cast("bigint")
+                  .alias("n_clipped"),
+                 F.round(F.avg(clipped), 4).alias("winsor_avg")))
+
+
+@q("skyline_pareto", """
+SELECT event_type, event_id, vq, ts
+FROM (
+  SELECT event_type, event_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+) e
+WHERE NOT EXISTS (
+  SELECT 1 FROM (
+    SELECT event_type, ts,
+           CAST(floor(value * 100) AS BIGINT) AS vq
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  ) d
+  WHERE d.event_type = e.event_type AND d.vq > e.vq AND d.ts > e.ts
+)
+""")
+def skyline_pareto(spark, sf):
+    """Per-group 2-D skyline (Pareto frontier, strict dominance on
+    quantized value × ts). The Spark plan is the O(n log n) sweep: one
+    window ordered by vq DESC with a RANGE frame ending at 1 PRECEDING
+    (= all strictly-greater vq) taking max(ts); a row survives iff no
+    strictly-better-value row is also strictly later. The oracle is
+    the O(n²) NOT-EXISTS definition — two different algorithms
+    agreeing is the strongest parity check in the suite. At 100 TB the
+    window is one shuffle on event_type (vs the quadratic self-join a
+    naive port would ship); quantizing to BIGINT keeps the range frame
+    and the dominance test engine-exact."""
+    e = (t(spark, sf, "events")
+         .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+         .select("event_type", "event_id", "ts",
+                 F.floor(F.col("value") * 100).cast("bigint").alias("vq")))
+    w = (W.partitionBy("event_type").orderBy(F.col("vq").desc())
+         .rangeBetween(W.unboundedPreceding, -1))
+    mx = F.max("ts").over(w)
+    return (e.withColumn("_mx", mx)
+            .filter(F.col("_mx").isNull() | (F.col("_mx") < F.col("ts")))
+            .select("event_type", "event_id", "vq", "ts"))
+
+
+@q("graph_triangle_count", """
+WITH pair AS (
+  SELECT DISTINCT a.l_orderkey,
+         least(a.l_suppkey, b.l_suppkey) AS u,
+         greatest(a.l_suppkey, b.l_suppkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), edges AS (
+  SELECT DISTINCT u, v FROM pair
+)
+SELECT CAST((SELECT count(DISTINCT u) + count(DISTINCT v)
+             FROM (SELECT u, v FROM edges) x) AS BIGINT) AS degree_ends,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*)
+             FROM edges e1
+             JOIN edges e2 ON e1.v = e2.u
+             JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT)
+           AS n_triangles
+""")
+def graph_triangle_count(spark, sf):
+    """Triangle counting on the supplier co-occurrence graph (suppliers
+    sharing an order, edges oriented u<v). The orientation is the
+    classic skew bound: each triangle is counted exactly once via its
+    lowest vertex, and wedge generation fans out from the *ordered*
+    adjacency so high-degree hubs don't square. Two shuffles (edge
+    dedup, wedge-close join); at 100 TB orient by degree instead of id
+    (compute degrees first) to cap the worst wedge fan-out, and
+    broadcast nothing — both join sides are edge-shaped."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    pair = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+            .select(F.col("a.l_suppkey").alias("u"),
+                    F.col("b.l_suppkey").alias("v")))
+    edges = pair.distinct()
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+           .join(e3, (F.col("e3.u") == F.col("e1.u"))
+                 & (F.col("e3.v") == F.col("e2.v")))
+           .agg(F.count("*").cast("bigint").alias("n_triangles")))
+    stats = edges.agg(
+        (F.countDistinct("u") + F.countDistinct("v")).cast("bigint")
+        .alias("degree_ends"),
+        F.count("*").cast("bigint").alias("n_edges"))
+    # one lazy plan: two 1-row aggregates cross-joined (AQE reuses the
+    # deduped-edges exchange across both consumers; no driver collect)
+    return stats.crossJoin(tri)
+
+
+@q("agg_bitwise", """
+SELECT event_type,
+       CAST(bit_and(event_id) AS BIGINT) AS b_and,
+       CAST(bit_or(event_id) AS BIGINT) AS b_or,
+       CAST(bit_xor(event_id) AS BIGINT) AS b_xor,
+       bool_and(value > 1.0) AS all_gt1,
+       bool_or(value > 90.0) AS any_gt90
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+""")
+def agg_bitwise(spark, sf):
+    """Bitwise AND/OR/XOR and boolean ALL/ANY aggregates — integer- and
+    boolean-exact (no float drift possible), fully map-side-combinable.
+    bit_xor over ids doubles as a cheap order-insensitive set
+    fingerprint for partition-level reconciliation at 100 TB (same
+    trick the driver's own value-hash uses)."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    return (e.groupBy("event_type")
+            .agg(F.bit_and("event_id").cast("bigint").alias("b_and"),
+                 F.bit_or("event_id").cast("bigint").alias("b_or"),
+                 F.bit_xor("event_id").cast("bigint").alias("b_xor"),
+                 F.bool_and(F.col("value") > 1.0).alias("all_gt1"),
+                 F.bool_or(F.col("value") > 90.0).alias("any_gt90")))
+
+
+@q("ts_ohlc", """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, value, event_id,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, bucket,
+       ROUND(min(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+       ROUND(max(value), 6) AS high,
+       ROUND(min(value), 6) AS low,
+       ROUND(min(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY user_id, bucket
+""")
+def ts_ohlc(spark, sf):
+    """Time-bucket downsampling to OHLC bars (open/high/low/close per
+    user × hour) — the canonical telemetry/price rollup. Open/close
+    are first/last by (ts, event_id) — the deterministic tiebreak the
+    as-of family uses; min_by/max_by were rejected because DuckDB's
+    reject struct by-keys and ties are engine-dependent (FIXTURES
+    trap). One window + one agg, both keyed by (user, bucket): the
+    window rides the same exchange as the final groupBy (EnsureReqs
+    reuses it), so the whole rollup is a single shuffle of the fact —
+    at 100 TB that's the floor for any bucketed resample."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    b = e.select("user_id", F.date_trunc("hour", "ts").alias("bucket"),
+                 "value", "event_id", "ts")
+    pw = W.partitionBy("user_id", "bucket")
+    asc = pw.orderBy("ts", "event_id")
+    desc = pw.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    b = (b.withColumn("rn_a", F.row_number().over(asc))
+          .withColumn("rn_d", F.row_number().over(desc)))
+    return (b.groupBy("user_id", "bucket")
+            .agg(F.round(F.min(F.when(F.col("rn_a") == 1, F.col("value"))), 6)
+                  .alias("open"),
+                 F.round(F.max("value"), 6).alias("high"),
+                 F.round(F.min("value"), 6).alias("low"),
+                 F.round(F.min(F.when(F.col("rn_d") == 1, F.col("value"))), 6)
+                  .alias("close"),
+                 F.count("*").cast("bigint").alias("n")))
+
+
+@q("win_share_of_total", """
+SELECT event_type, event_id,
+       ROUND(value / sum(value) OVER (PARTITION BY event_type), 8)
+           AS share,
+       ROUND(value / sum(value) OVER (), 8) AS share_all
+FROM events WHERE value IS NOT NULL AND value > 0
+""")
+def win_share_of_total(spark, sf):
+    """Share-of-total (ratio_to_report): each row's fraction of its
+    group's sum and of the grand total. Unbounded-window sums combine
+    per-partition partials, so the group window is one exchange on
+    event_type; the grand-total window is a single-partition fold — at
+    100 TB replace it with a scalar agg broadcast back (same result,
+    no 1-partition bottleneck); here it doubles as a test that both
+    engines fold the same order after rounding (8 dp absorbs ULP)."""
+    e = t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0))
+    wt = W.partitionBy("event_type")
+    wa = W.partitionBy()
+    return e.select(
+        "event_type", "event_id",
+        F.round(F.col("value") / F.sum("value").over(wt), 8).alias("share"),
+        F.round(F.col("value") / F.sum("value").over(wa), 8)
+         .alias("share_all"))
+
+
+@q("emb_norm_stats", """
+WITH n AS (
+  SELECT label,
+         ROUND(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
+             AS nrm
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       ROUND(avg(nrm), 4) AS avg_norm,
+       ROUND(min(nrm), 4) AS min_norm,
+       ROUND(max(nrm), 4) AS max_norm
+FROM n GROUP BY label
+""")
+def emb_norm_stats(spark, sf):
+    """Per-label L2-norm profile of the embedding column — the sanity
+    scan before any ANN/dedup pass (catches unnormalized or degenerate
+    vectors). The norm is a JVM higher-order fold (aggregate over the
+    float array, double accumulator — same left-to-right order DuckDB's
+    list_sum uses, so the pre-round values agree to the ULP); per-vec
+    norms round to 4 dp BEFORE the group stats so the group fold works
+    on identical inputs in both engines. Map-side combinable agg, one
+    tiny exchange of |labels| rows."""
+    em = t(spark, sf, "embeddings")
+    nrm = F.round(F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"))), 4)
+    n = em.select("label", nrm.alias("nrm"))
+    return (n.groupBy("label")
+            .agg(F.count("*").cast("bigint").alias("n_vecs"),
+                 F.round(F.avg("nrm"), 4).alias("avg_norm"),
+                 F.round(F.min("nrm"), 4).alias("min_norm"),
+                 F.round(F.max("nrm"), 4).alias("max_norm")))
