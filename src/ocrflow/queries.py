@@ -1718,8 +1718,12 @@ def skyline_pareto(spark, sf):
     w = (W.partitionBy("event_type").orderBy(F.col("vq").desc())
          .rangeBetween(W.unboundedPreceding, -1))
     mx = F.max("ts").over(w)
+    # dominated iff some strictly-greater-vq row is strictly later:
+    # mx > ts. Keep on mx <= ts — an equal-ts row in the frame is NOT
+    # a strict dominator (tie bug caught by the randomized property
+    # test; real-data sweeps never exercise exact-ts ties across vq).
     return (e.withColumn("_mx", mx)
-            .filter(F.col("_mx").isNull() | (F.col("_mx") < F.col("ts")))
+            .filter(F.col("_mx").isNull() | (F.col("_mx") <= F.col("ts")))
             .select("event_type", "event_id", "vq", "ts"))
 
 

@@ -133,3 +133,29 @@ def test_asof_forward_union_merge_no_join(spark):
     assert "Window" in plan
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_skyline_single_window_no_join(spark):
+    # the O(n log n) sweep: exactly one exchange (hash on event_type),
+    # a Window, and NO join operator anywhere — the naive skyline is a
+    # quadratic self-join, which must never appear in the plan
+    plan = _plan(QUERIES["skyline_pareto"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_winsorized_bounds_broadcast(spark):
+    # the per-group percentile bounds (|groups| rows) must come back to
+    # the fact via a broadcast join — a shuffle join here would re-
+    # exchange the whole fact table just to pick up 3 bound rows
+    plan = _plan(QUERIES["agg_winsorized"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ohlc_window_rides_groupby_exchange(spark):
+    # window keys (user_id, bucket) == groupBy keys, so EnsureRequirements
+    # plans ONE exchange for the fact (plus nothing else): the whole
+    # rollup is a single shuffle
+    plan = _plan(QUERIES["ts_ohlc"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -152,3 +152,47 @@ def test_asof_forward_matches_naive_oracle(spark):
                      if cu == u and ct >= t]
             expected[e] = min(cands)[1] if cands else None
         assert got == expected, f"seed {seed}"
+
+
+def test_skyline_window_sweep_matches_bruteforce(spark):
+    """Randomized skyline check incl. heavy vq ties: the O(n log n)
+    window sweep must equal the O(n^2) strict-dominance definition on
+    random points where many rows share the same quantized value (the
+    tie regime where a wrong frame bound — peers leaking into their
+    own frame — would silently drop frontier rows)."""
+    import datetime
+    import random
+
+    from ocrflow.queries import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    for seed in (7, 19, 42):
+        rng = random.Random(seed)
+        rows = []
+        for eid in range(1, 301):
+            # values quantize to just ~12 distinct vq buckets → dense ties
+            rows.append((eid,
+                         base + datetime.timedelta(
+                             seconds=rng.randrange(50),
+                             microseconds=rng.randrange(3) * 500000),
+                         rng.randrange(4),
+                         rng.choice(["a", "b"]),
+                         rng.randrange(12) / 100.0 + rng.random() * 1e-9,
+                         None))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        import tempfile, os
+        d = tempfile.mkdtemp(prefix=f"ocrflow_sky_{seed}_")
+        df.write.parquet(os.path.join(d, "events.parquet"))
+
+        got = {(r["event_type"], r["event_id"])
+               for r in QUERIES["skyline_pareto"](spark, d).collect()}
+
+        import math
+        pts = [(k, e, math.floor(v * 100), t)
+               for (e, t, u, k, v, _p) in rows]
+        expected = {(k, e) for (k, e, vq, t) in pts
+                    if not any(k2 == k and vq2 > vq and t2 > t
+                               for (k2, _e2, vq2, t2) in pts)}
+        assert got == expected, f"seed {seed}"
