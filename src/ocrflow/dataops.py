@@ -1569,3 +1569,125 @@ def text_repetition_filter(spark, sf):
                  F.round(F.lit(1.0) - dst / tot, 6).alias("dup_word_frac"),
                  F.round(mx / tot, 6).alias("top_word_frac"),
                  ((mx / tot) > 0.2).alias("is_repetitive")))
+
+
+@q("decontaminate_overlap", r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) - 2),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                     || tk[i+3])) AS g
+  FROM toks WHERE len(tk) >= 4
+), bench AS (
+  SELECT DISTINCT doc_id AS bench_id, g FROM grams WHERE doc_id % 11 = 0
+), corpus AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 11 <> 0
+)
+SELECT c.doc_id,
+       CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared_grams,
+       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+FROM corpus c JOIN bench b ON c.g = b.g
+GROUP BY c.doc_id
+""")
+def decontaminate_overlap(spark, sf):
+    """Benchmark decontamination: flag corpus documents sharing any
+    4-gram with a held-out benchmark set (here: doc_id % 11 == 0 —
+    deterministic stand-in for an eval suite; real pipelines use 8-13
+    grams, scaled down to this corpus's tiny vocabulary so the flag
+    rate is realistic — 71 of 478 docs at sf0.01). The benchmark gram set
+    is tiny by construction, so it BROADCASTS (plan-asserted): the
+    corpus side streams through one scan + shingle explode and never
+    shuffles for the join; the only exchange is the per-doc count agg.
+    That's the 100 TB shape — eval suites are MBs, corpora are TBs.
+    Gram-level dedup (DISTINCT before the join) bounds the join fanout
+    by distinct-gram multiplicity, not raw repetition."""
+    d = t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+    toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
+    grams = (toks.filter(F.size("tk") >= 4)
+             .select("doc_id", F.explode(F.expr(
+                 "transform(sequence(1, size(tk) - 3), i -> concat_ws(' ',"
+                 " element_at(tk,i), element_at(tk,i+1), element_at(tk,i+2),"
+                 " element_at(tk,i+3)))")).alias("g")))
+    bench = (grams.filter(F.col("doc_id") % 11 == 0)
+             .select(F.col("doc_id").alias("bench_id"), "g").distinct())
+    corpus = (grams.filter(F.col("doc_id") % 11 != 0)
+              .select("doc_id", "g").distinct())
+    return (corpus.join(F.broadcast(bench), "g")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("g").cast("bigint").alias("n_shared_grams"),
+                 F.countDistinct("bench_id").cast("bigint")
+                  .alias("n_bench_docs")))
+
+
+_PACK_BUDGET = 256
+
+
+@q("pack_sequences_nextfit", r"""
+WITH RECURSIVE s AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), r AS (
+  SELECT source, doc_id, n, rn, n AS cur, CAST(1 AS BIGINT) AS bin
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.source, s.doc_id, s.n, s.rn,
+         CASE WHEN r.cur + s.n <= 256 THEN r.cur + s.n ELSE s.n END,
+         CASE WHEN r.cur + s.n <= 256 THEN r.bin ELSE r.bin + 1 END
+  FROM r JOIN s ON s.source = r.source AND s.rn = r.rn + 1
+)
+SELECT source, doc_id, n AS n_tokens, bin AS bin_id,
+       cur - n AS offset_in_bin
+FROM r
+""")
+def pack_sequences_nextfit(spark, sf):
+    """Greedy next-fit sequence packing into fixed token budgets (the
+    pretraining batch-construction primitive): within each source, in
+    doc_id order, a document joins the current pack if it fits in the
+    256-token budget, else opens a new pack; oversized docs get a pack
+    of their own. Packing is inherently sequential PER GROUP (bin state
+    threads through the scan), so the Spark plan is applyInPandas over
+    source groups — one shuffle on source, then a linear numpy-assisted
+    pass per group; groups are independent, so 100 TB parallelism comes
+    from the number of sources/shards, and a finer deterministic
+    shard key (e.g. source × hash-bucket) raises it without changing
+    any pack's contents. The oracle is a DuckDB RECURSIVE CTE stepping
+    the same fold row-by-row — an imperative kernel and a recursive
+    query agreeing exactly."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+         .select("source", "doc_id",
+                 F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+                 .alias("n_tokens")))
+    out_schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("offset_in_bin", T.LongType()),
+    ])
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ns = pdf["n_tokens"].to_numpy()
+        bins = np.empty(len(ns), dtype=np.int64)
+        offs = np.empty(len(ns), dtype=np.int64)
+        cur, b = 0, 0
+        for i, n in enumerate(ns):
+            if b == 0 or cur + n > _PACK_BUDGET:
+                b += 1
+                cur = 0
+            offs[i] = cur
+            bins[i] = b
+            cur += n
+        pdf["bin_id"] = bins
+        pdf["offset_in_bin"] = offs
+        return pdf[["source", "doc_id", "n_tokens", "bin_id",
+                    "offset_in_bin"]]
+
+    return d.groupBy("source").applyInPandas(pack, out_schema)

@@ -358,3 +358,34 @@ def test_ann_ivf_probes_fraction_of_corpus(spark):
     per_q = {r["query_id"] for r in out.collect()}
     assert per_q == set(range(ANN_QUERIES))
     assert n_corpus >= 100  # the fraction claim is meaningful
+
+
+def test_pack_sequences_invariants(spark):
+    """Next-fit packing invariants on sf0.001: every pack fits the
+    budget unless it holds a single oversized doc; offsets are the
+    running sum within each pack; bin ids are dense from 1 per
+    source."""
+    from ocrflow.dataops import _PACK_BUDGET
+    from ocrflow.queries import QUERIES
+
+    rows = QUERIES["pack_sequences_nextfit"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    from collections import defaultdict
+    packs = defaultdict(list)
+    for r in rows:
+        packs[(r["source"], r["bin_id"])].append(r)
+    for (src, bid), members in packs.items():
+        members.sort(key=lambda r: r["doc_id"])
+        total = sum(r["n_tokens"] for r in members)
+        if total > _PACK_BUDGET:
+            assert len(members) == 1  # oversized doc packs alone
+        off = 0
+        for r in members:
+            assert r["offset_in_bin"] == off
+            off += r["n_tokens"]
+    by_src = defaultdict(set)
+    for r in rows:
+        by_src[r["source"]].add(r["bin_id"])
+    for src, bids in by_src.items():
+        assert bids == set(range(1, max(bids) + 1))

@@ -159,3 +159,11 @@ def test_ohlc_window_rides_groupby_exchange(spark):
     # rollup is a single shuffle
     plan = _plan(QUERIES["ts_ohlc"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_decontaminate_bench_side_broadcasts(spark):
+    # the eval-suite gram set is tiny; the corpus side must never
+    # shuffle for the join — broadcast only
+    plan = _plan(QUERIES["decontaminate_overlap"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
