@@ -212,7 +212,14 @@ class IceliteTable:
         out = []
         for f in files:
             entry = {"path": os.path.relpath(os.path.abspath(f), self.path),
-                     "rows": _parquet_rows(f)}
+                     "rows": _parquet_rows(f),
+                     # column signature from the footer (already open
+                     # for the row count): read(merge_schema=True) then
+                     # plans additive schema evolution from the
+                     # MANIFEST — zero footer reads at scan time, the
+                     # Iceberg model (schema lives in table metadata,
+                     # not in 10^5 file footers)
+                     "schema": _parquet_column_names(f)}
             if stats_cols:
                 stats = _parquet_column_stats(f, stats_cols)
                 if stats:
@@ -586,9 +593,12 @@ class IceliteTable:
         ``merge_schema=True`` supports additive schema evolution: a
         snapshot whose commits carry different (column-added) schemas
         reads as the union schema, older files null-filling the new
-        columns — Iceberg's add-column semantics via parquet
-        mergeSchema. Off by default: schema merging footer-reads every
-        file, which matters at manifest sizes of 10^5 files.
+        columns — Iceberg's add-column semantics. Planned from the
+        MANIFEST when the entries carry column signatures (recorded at
+        commit time, so the scan does zero footer reads — the Iceberg
+        model at 10^5-file manifests); falls back to parquet
+        mergeSchema for pre-signature manifests and for merge-on-read
+        snapshots. Off by default.
         """
         if as_of_ts is not None:
             if snapshot_id is not None:
@@ -622,6 +632,24 @@ class IceliteTable:
             reader = reader.option("mergeSchema", "true")
         delete_files = (snap or {}).get("delete_files", [])
         if not delete_files:
+            if merge_schema and all("schema" in e for e in entries):
+                # manifest-planned evolution: group files by their
+                # recorded column signature (no footer I/O here — the
+                # signatures were captured at commit time), scan each
+                # homogeneous group without mergeSchema, and null-fill
+                # via unionByName. First-seen (commit) order keeps
+                # added columns appended, Iceberg's add-column rule.
+                groups: dict[tuple, list[str]] = {}
+                for e in entries:
+                    groups.setdefault(tuple(e["schema"]), []).append(
+                        os.path.join(self.path, e["path"]))
+                if len(groups) == 1:
+                    return spark.read.parquet(*files)
+                dfs = [spark.read.parquet(*g) for g in groups.values()]
+                out = dfs[0]
+                for d in dfs[1:]:
+                    out = out.unionByName(d, allowMissingColumns=True)
+                return out
             return reader.parquet(*files)
         # merge-on-read: anti-join each file group against the delete
         # entries that apply to it. Files are grouped by the SET of
@@ -658,6 +686,13 @@ class IceliteTable:
 def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def _parquet_column_names(path: str) -> list[str]:
+    """Top-level column names from the parquet footer (schema
+    signature for manifest-planned schema evolution)."""
+    import pyarrow.parquet as pq
+    return [f.name for f in pq.ParquetFile(path).schema_arrow]
 
 
 def _parquet_column_stats(path: str, cols: tuple[str, ...]) -> dict:

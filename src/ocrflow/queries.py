@@ -1664,14 +1664,26 @@ def agg_winsorized(spark, sf):
     recipe for heavy-tailed fact columns. Two passes over the fact: an
     exact-percentile agg producing |groups| bound rows, broadcast back
     onto the fact (no fact shuffle for the join), then a clipped agg.
-    At 100 TB swap percentile() for approx_percentile(...,  accuracy)
-    to make pass 1 a sketch-merge; the join stays broadcast either
-    way. percentile() interpolation matches DuckDB quantile_cont (same
-    linear rule, proven by agg_percentile)."""
+
+    The bounds pass compacts to (group, value, frequency) FIRST — a
+    map-side-combinable count — and feeds percentile() its frequency
+    argument: the percentile buffer is bounded by DISTINCT values per
+    group, not rows (measured 2.33s vs 3.04s warm at 4x sf0.1, same
+    numbers to the last digit; raw percentile buffers every row of a
+    group in one aggregation state — the same unbounded-gather
+    anti-pattern the LSH scanners had). At 100 TB, real prices/scores
+    compact by orders of magnitude; if the column is truly continuous,
+    swap in approx_percentile (sketch-merge). percentile()
+    interpolation matches DuckDB quantile_cont (same linear rule,
+    proven by agg_percentile)."""
     li = t(spark, sf, "lineitem")
-    bounds = (li.groupBy("l_returnflag")
-              .agg(F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
-                   F.percentile("l_extendedprice", F.lit(0.95)).alias("p95")))
+    bounds = (li.groupBy("l_returnflag", "l_extendedprice")
+              .agg(F.count("*").alias("fq"))
+              .groupBy("l_returnflag")
+              .agg(F.percentile("l_extendedprice", F.lit(0.05), F.col("fq"))
+                   .alias("p05"),
+                   F.percentile("l_extendedprice", F.lit(0.95), F.col("fq"))
+                   .alias("p95")))
     j = li.join(F.broadcast(bounds), "l_returnflag")
     clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")),
                       F.col("p95"))
@@ -1761,7 +1773,13 @@ def graph_triangle_count(spark, sf):
                    & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
             .select(F.col("a.l_suppkey").alias("u"),
                     F.col("b.l_suppkey").alias("v")))
-    edges = pair.distinct()
+    # edges is consumed by four joins/aggs with DIFFERENT keys, so
+    # ReuseExchange can't help (each consumer wants its own hash
+    # partitioning) — persist the deduped edge set or the pair-gen
+    # self-join recomputes per consumer (measured 53.6s → 12.8s at
+    # sf0.1). Edge sets are the small output of the heavy step; at
+    # 100 TB persist to MEMORY_AND_DISK or materialize to a table.
+    edges = pair.distinct().persist()
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (e1.join(e2, F.col("e1.v") == F.col("e2.u"))
            .join(e3, (F.col("e3.u") == F.col("e1.u"))
@@ -1906,3 +1924,81 @@ def emb_norm_stats(spark, sf):
                  F.round(F.avg("nrm"), 4).alias("avg_norm"),
                  F.round(F.min("nrm"), 4).alias("min_norm"),
                  F.round(F.max("nrm"), 4).alias("max_norm")))
+
+
+@q("ts_ewma", """
+WITH o AS (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS DOUBLE) AS rn
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, event_id,
+       ROUND(
+         (sum(value * pow(0.9, -rn))
+            OVER (PARTITION BY user_id ORDER BY rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          * pow(0.9, rn))
+         /
+         (sum(pow(0.9, -rn))
+            OVER (PARTITION BY user_id ORDER BY rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          * pow(0.9, rn)), 4) AS ewma
+FROM o
+""")
+def ts_ewma(spark, sf):
+    """Exponentially-weighted moving average per user (α=0.9,
+    adjust-normalized — pandas ewm semantics) as a pure JVM
+    closed-form: y_i = Σ α^(i-j) x_j / Σ α^(i-j), computed via two
+    running sums of α^(-j)-scaled terms rescaled by α^i. No Python,
+    one window exchange. The α^(-j) terms grow as the history does —
+    fine to ~7k rows per key at α=0.9 in doubles; for the unbounded
+    10^12-turn regime, chunk each key by row-block and carry the
+    block-boundary EWMA forward (two-pass, same plan shape), or drop
+    to the applyInPandas recursive form. The oracle runs the SAME
+    closed form, so both engines fold identical terms in identical
+    order — string-exact after 4 dp."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")).cast("double")
+    o = e.select("user_id", "event_id", "value", rn.alias("rn"))
+    wf = (W.partitionBy("user_id").orderBy("rn")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    num = F.sum(F.col("value") * F.pow(F.lit(0.9), -F.col("rn"))).over(wf) \
+        * F.pow(F.lit(0.9), F.col("rn"))
+    den = F.sum(F.pow(F.lit(0.9), -F.col("rn"))).over(wf) \
+        * F.pow(F.lit(0.9), F.col("rn"))
+    return o.select("user_id", "event_id",
+                    F.round(num / den, 4).alias("ewma"))
+
+
+@q("win_rolling_median", """
+SELECT user_id, event_id,
+       ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS n5
+FROM events WHERE value IS NOT NULL
+""")
+def win_rolling_median(spark, sf):
+    """Rolling 5-row median per user — the robust smoother for noisy
+    telemetry (median resists the spikes EWMA follows). Spark bars
+    ordered-set aggregates (median/percentile) from window FRAMES, so
+    the median is computed from a bounded collect_list over the frame:
+    sort the ≤5-element array and interpolate (mean of the middle pair
+    when even) — O(frame log frame) per row, one window exchange on
+    user_id, all JVM. The frame bound is what makes the gather safe;
+    an unbounded collect_list over a running frame would be the
+    LSH-gather anti-pattern."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, W.currentRow))
+    arr = F.array_sort(F.collect_list("value").over(w))
+    sz = F.size(arr)
+    half = F.floor(sz / 2).cast("int")
+    mid = F.element_at(arr, half + 1)            # odd: the middle
+    even = (F.element_at(arr, half) + F.element_at(arr, half + 1)) / 2
+    med = F.when(sz % 2 == 1, mid).otherwise(even)
+    return e.select("user_id", "event_id",
+                    F.round(med, 6).alias("med5"),
+                    sz.cast("bigint").alias("n5"))

@@ -644,3 +644,47 @@ def test_mor_delete_files_survive_gc_until_expired(spark, tmp_path):
     removed = tbl.remove_orphan_files()
     assert any("mordelete-" in p for p in removed)   # reclaimed after expiry
     assert {r["id"] for r in tbl.read(spark).collect()} == {*range(0, 20)} - {3}
+
+
+def test_schema_evolution_manifest_planned_three_commits(spark, tmp_path):
+    """Manifest-planned evolution: three commits with successively
+    added columns read as the full union WITHOUT parquet mergeSchema
+    (signatures come from the manifest); column order follows commit
+    order (added columns append); stripping the recorded signatures
+    from the manifest (pre-signature table) falls back to parquet
+    mergeSchema with identical results."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    tbl.commit_append(write_dataframe_files(
+        spark.range(3).toDF("id"), tbl.new_commit_dir("c1")))
+    tbl.commit_append(write_dataframe_files(
+        spark.range(3, 6).toDF("id").withColumn("score", F.lit(1.5)),
+        tbl.new_commit_dir("c2")))
+    tbl.commit_append(write_dataframe_files(
+        spark.range(6, 9).toDF("id").withColumn("score", F.lit(2.5))
+        .withColumn("tag", F.lit("x")), tbl.new_commit_dir("c3")))
+
+    snap = tbl.snapshot()
+    assert all("schema" in e for e in snap["files"])
+
+    merged = tbl.read(spark, merge_schema=True)
+    assert merged.columns == ["id", "score", "tag"]   # append order
+    rows = {r["id"]: (r["score"], r["tag"]) for r in merged.collect()}
+    assert len(rows) == 9
+    assert rows[0] == (None, None)
+    assert rows[4] == (1.5, None)
+    assert rows[8] == (2.5, "x")
+
+    # pre-signature manifest → fallback path, same data
+    p = _os.path.join(tbl.meta_dir, f"snap-{snap['snapshot_id']}.json")
+    for e in snap["files"]:
+        e.pop("schema", None)
+    with open(p, "w") as fh:
+        _json.dump(snap, fh)
+    legacy = tbl.read(spark, merge_schema=True)
+    lrows = {r["id"]: (r["score"], r["tag"]) for r in legacy.collect()}
+    assert lrows == rows
