@@ -53,26 +53,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # filter_correlated_agg, join_asof_tolerance (all sf0.01 string-exact).
 # Rotated out (2 rounds driver-green r01+r02, still oracle-gated
 # locally): pivot_wide, unpivot_long, sessionize_batch,
-# win_distribution, set_intersect. Everything after the window:
+# win_distribution, set_intersect. Second round-3 rotation (late
+# batch, each proven string-exact at sf0.01 under BOTH the tuned and
+# the stock default session): skyline_pareto, ts_ohlc, agg_regression,
+# text_repetition_filter, pack_sequences_nextfit in; out (2 rounds
+# driver-green, families still represented in-window):
+# source_json_props, case_when, join_cross_theta, agg_cube,
+# math_funcs. Everything after the window:
 # remaining oracled keys first (next in line if the window grows), then
 # rows-only keys (streams, sketches, sinks, iterative ops) last.
 _WINDOW = [
-    "scan_parquet", "scan_pruned", "source_json_props",
-    "project_expr", "filter_conj", "filter_like", "case_when",
+    "scan_parquet", "scan_pruned",
+    "project_expr", "filter_conj", "filter_like",
     "join_inner_equi", "join_broadcast", "join_left_outer",
     "join_full_outer", "join_left_semi", "join_left_anti",
-    "join_cross_theta", "join_range", "join_asof", "join_salted_skew",
-    "agg_hash", "agg_distinct", "agg_rollup", "agg_cube",
+    "join_range", "join_asof", "join_salted_skew",
+    "agg_hash", "agg_distinct", "agg_rollup",
     "agg_grouping_sets", "agg_collect_sorted", "agg_percentile",
     "win_rank", "win_lag_lead", "win_running", "win_range_frame",
     "win_ntile_firstlast", "win_turn_order",
     "sort_multi", "limit_topn", "topk_per_group",
     "set_union", "set_except", "dedup_distinct",
-    "str_funcs", "str_regexp", "date_funcs", "math_funcs",
+    "str_funcs", "str_regexp", "date_funcs",
     "array_funcs", "array_higher_order", "map_funcs", "json_funcs",
     "recursive_cte", "json_variant", "win_sliding_rows",
     "filter_correlated_agg", "join_asof_tolerance",
     "dedup_materialize",
+    "skyline_pareto", "ts_ohlc", "agg_regression",
+    "text_repetition_filter", "pack_sequences_nextfit",
 ]
 
 
