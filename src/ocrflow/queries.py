@@ -2002,3 +2002,85 @@ def win_rolling_median(spark, sf):
     return e.select("user_id", "event_id",
                     F.round(med, 6).alias("med5"),
                     sz.cast("bigint").alias("n5"))
+
+
+@q("event_transition_matrix", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(CAST(count(*) AS DOUBLE) /
+             CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+           AS p_next
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""")
+def event_transition_matrix(spark, sf):
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and conditional next-event probabilities. One
+    window exchange on user_id builds the (prev, next) pairs, then a
+    map-side-combinable count whose partials are |types|² tiny rows;
+    the row-normalizing window runs over those partials, not the fact.
+    The behavioral-analytics shape (and the bigram-LM shape: swap
+    event_type for token) that a naive port would build with a
+    self-join on adjacent row ids — lag() is the O(n) plan."""
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type",
+                   F.lag("event_type").over(w).alias("prev_type"))
+    cnt = (seq.filter(F.col("prev_type").isNotNull())
+           .groupBy("prev_type", F.col("event_type").alias("next_type"))
+           .agg(F.count("*").cast("bigint").alias("n")))
+    wn = W.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type", "next_type", "n",
+        F.round(F.col("n").cast("double")
+                / F.sum("n").over(wn).cast("double"), 6).alias("p_next"))
+
+
+@q("ab_welch_t", """
+WITH g AS (
+  SELECT event_type, user_id % 2 AS variant,
+         CAST(count(*) AS BIGINT) AS n,
+         avg(value) AS m,
+         var_samp(value) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, variant
+)
+SELECT a.event_type,
+       a.n AS n_a, b.n AS n_b,
+       ROUND(a.m, 4) AS mean_a, ROUND(b.m, 4) AS mean_b,
+       ROUND((a.m - b.m) /
+             sqrt(a.v / a.n + b.v / b.n), 4) AS welch_t
+FROM g a JOIN g b
+  ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+""")
+def ab_welch_t(spark, sf):
+    """A/B experiment readout with Welch's t statistic per metric
+    segment (variant = user_id parity — the deterministic stand-in
+    for an assignment column). The input scan collapses to
+    (segment × variant) moment partials map-side; the self-join runs
+    over those few rows, so the whole analysis costs one fact
+    exchange regardless of corpus size. Welch's t = (m_a - m_b) /
+    sqrt(v_a/n_a + v_b/n_b) is pure arithmetic over the partials —
+    identical in both engines after rounding."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    g = (e.groupBy("event_type", (F.col("user_id") % 2).alias("variant"))
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.avg("value").alias("m"),
+              F.var_samp("value").alias("v")))
+    a = g.filter(F.col("variant") == 0).alias("a")
+    b = g.filter(F.col("variant") == 1).alias("b")
+    return (a.join(b, F.col("a.event_type") == F.col("b.event_type"))
+            .select(F.col("a.event_type").alias("event_type"),
+                    F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"),
+                    F.round(F.col("a.m"), 4).alias("mean_a"),
+                    F.round(F.col("b.m"), 4).alias("mean_b"),
+                    F.round((F.col("a.m") - F.col("b.m"))
+                            / F.sqrt(F.col("a.v") / F.col("a.n")
+                                     + F.col("b.v") / F.col("b.n")), 4)
+                    .alias("welch_t")))
