@@ -1626,6 +1626,25 @@ def decontaminate_overlap(spark, sf):
 _PACK_BUDGET = 256
 
 
+def nextfit_pack(ns, budget: int):
+    """Next-fit packing kernel (sequential by construction): returns
+    (bin_ids, offsets) for sizes ``ns`` in order. A doc joins the
+    current pack iff it fits the budget; otherwise a new pack opens —
+    oversized docs therefore always pack alone. Property-tested
+    against the invariant set in tests/test_dataops.py."""
+    bins = np.empty(len(ns), dtype=np.int64)
+    offs = np.empty(len(ns), dtype=np.int64)
+    cur, b = 0, 0
+    for i, n in enumerate(ns):
+        if b == 0 or cur + n > budget:
+            b += 1
+            cur = 0
+        offs[i] = cur
+        bins[i] = b
+        cur += n
+    return bins, offs
+
+
 @q("pack_sequences_nextfit", r"""
 WITH RECURSIVE s AS (
   SELECT source, doc_id,
@@ -1674,20 +1693,109 @@ def pack_sequences_nextfit(spark, sf):
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        ns = pdf["n_tokens"].to_numpy()
-        bins = np.empty(len(ns), dtype=np.int64)
-        offs = np.empty(len(ns), dtype=np.int64)
-        cur, b = 0, 0
-        for i, n in enumerate(ns):
-            if b == 0 or cur + n > _PACK_BUDGET:
-                b += 1
-                cur = 0
-            offs[i] = cur
-            bins[i] = b
-            cur += n
+        bins, offs = nextfit_pack(pdf["n_tokens"].to_numpy(), _PACK_BUDGET)
         pdf["bin_id"] = bins
         pdf["offset_in_bin"] = offs
         return pdf[["source", "doc_id", "n_tokens", "bin_id",
                     "offset_in_bin"]]
 
     return d.groupBy("source").applyInPandas(pack, out_schema)
+
+
+@q("corpus_curation_e2e", r"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars, text,
+         regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), gated AS (          -- stage 1: quality gate (corpus_quality_filter rules)
+  SELECT * FROM (
+    SELECT doc_id, lang, n_chars, text, w,
+           array_length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word,
+           array_length(regexp_extract_all(lower(text),
+               '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
+    FROM base)
+  WHERE n_word >= 5
+    AND CAST(n_chars AS DOUBLE) / greatest(n_word, 1) BETWEEN 3 AND 15
+    AND (lang <> 'en' OR n_stop > 0)
+), deduped AS (        -- stage 2: exact dedup, keep lowest doc_id per text
+  SELECT doc_id, text, w FROM (
+    SELECT doc_id, text, w,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated)
+  WHERE rn = 1
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                     || w[i+3])) AS g
+  FROM deduped WHERE len(w) >= 4
+), contaminated AS (   -- stage 3: drop eval docs + 4-gram contamination
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, g FROM grams WHERE doc_id % 11 <> 0) c
+  JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0) b
+    ON c.g = b.g
+), clean AS (
+  SELECT d.doc_id, d.w FROM deduped d
+  WHERE d.doc_id % 11 <> 0
+    AND NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = d.doc_id)
+)                      -- stage 4: chunk survivors (doc_chunking params)
+SELECT doc_id,
+       CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(w, s, s + 31)) AS INT) AS n_tokens,
+       md5(array_to_string(list_slice(w, s, s + 31), ' ')) AS chunk_hash
+FROM clean, unnest(generate_series(1, len(w), 24)) AS t(s)
+""")
+def corpus_curation_e2e(spark, sf):
+    """The end-to-end curation flagship: quality gate → exact dedup
+    (keep lowest doc_id per content hash) → benchmark decontamination
+    (drop the eval split and every doc sharing a 4-gram with it) →
+    context-window chunking (32 tokens, stride 24) — the whole
+    pretraining-corpus pipeline as ONE declarative plan, so Catalyst
+    sees all four stages together (the gate's filters prune the scan;
+    the chunker explodes only survivors). Exchanges: the dedup window
+    (hash of text), the gram count for decontamination (bench side
+    broadcast), and the final explode is shuffle-free. Every stage
+    reuses the standalone operator's exact rules, so this key also
+    pins their composition. At 100 TB: identical shape — the stages a
+    production run would checkpoint between are marked by the
+    exchanges."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+         .select("doc_id", "lang", "n_chars", "text",
+                 F.split(F.trim("text"), r"\s+").alias("w")))
+    # stage 1: quality gate
+    n_word = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)"))
+    n_stop = F.size(F.expr(
+        r"regexp_extract_all(lower(text),"
+        r" '\\b(the|a|an|and|or|of|to|in|is|it)\\b', 0)"))
+    gated = (d.withColumn("n_word", n_word).withColumn("n_stop", n_stop)
+             .filter((F.col("n_word") >= 5)
+                     & (F.col("n_chars").cast("double")
+                        / F.greatest("n_word", F.lit(1))).between(3, 15)
+                     & ((F.col("lang") != "en") | (F.col("n_stop") > 0))))
+    # stage 2: exact dedup
+    wd = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (gated.withColumn("rn", F.row_number().over(wd))
+               .filter(F.col("rn") == 1).select("doc_id", "w"))
+    # stage 3: decontamination
+    grams = (deduped.filter(F.size("w") >= 4)
+             .select("doc_id", F.explode(F.expr(
+                 "transform(sequence(1, size(w) - 3), i -> concat_ws(' ',"
+                 " element_at(w,i), element_at(w,i+1), element_at(w,i+2),"
+                 " element_at(w,i+3)))")).alias("g")))
+    bench = grams.filter(F.col("doc_id") % 11 == 0).select("g").distinct()
+    contaminated = (grams.filter(F.col("doc_id") % 11 != 0)
+                    .join(F.broadcast(bench), "g")
+                    .select("doc_id").distinct())
+    clean = (deduped.filter(F.col("doc_id") % 11 != 0)
+             .join(contaminated, "doc_id", "left_anti"))
+    # stage 4: chunking (32-token windows, stride 24)
+    chunks = clean.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(sequence(1, size(w), 24),"
+            " s -> slice(w, s, 32))")).alias("pos", "chunk"))
+    return chunks.select(
+        "doc_id", F.col("pos").cast("bigint").alias("chunk_idx"),
+        F.size("chunk").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"))

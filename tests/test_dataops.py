@@ -389,3 +389,39 @@ def test_pack_sequences_invariants(spark):
         by_src[r["source"]].add(r["bin_id"])
     for src, bids in by_src.items():
         assert bids == set(range(1, max(bids) + 1))
+
+
+def test_nextfit_pack_property():
+    """Hypothesis: for random size sequences and budgets, next-fit
+    packing satisfies — every multi-doc pack fits the budget; packs
+    are contiguous runs with dense ids from 1; offsets are running
+    sums; a doc is NEVER split across packs; and next-fit never opens
+    a new pack while the current one still fits the doc."""
+    from hypothesis import given, strategies as st
+
+    from ocrflow.dataops import nextfit_pack
+
+    @given(st.lists(st.integers(min_value=1, max_value=400), max_size=200),
+           st.integers(min_value=1, max_value=300))
+    def check(ns, budget):
+        bins, offs = nextfit_pack(ns, budget)
+        assert len(bins) == len(offs) == len(ns)
+        if not ns:
+            return
+        assert bins[0] == 1 and offs[0] == 0
+        for i in range(1, len(ns)):
+            assert bins[i] in (bins[i - 1], bins[i - 1] + 1)  # dense runs
+            if bins[i] == bins[i - 1]:
+                assert offs[i] == offs[i - 1] + ns[i - 1]     # running sum
+                assert offs[i] + ns[i] <= budget              # fits
+            else:
+                assert offs[i] == 0
+                # greedy: only opened because the doc did NOT fit
+                assert offs[i - 1] + ns[i - 1] + ns[i] > budget
+        # oversized docs pack alone
+        for i, n in enumerate(ns):
+            if n > budget:
+                same = [j for j in range(len(ns)) if bins[j] == bins[i]]
+                assert same == [i]
+
+    check()
