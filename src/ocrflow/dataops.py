@@ -1799,3 +1799,61 @@ def corpus_curation_e2e(spark, sf):
         "doc_id", F.col("pos").cast("bigint").alias("chunk_idx"),
         F.size("chunk").alias("n_tokens"),
         F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"))
+
+
+_MG_COUNTERS = 128
+_HH_PHI = 0.01
+
+
+@q("heavy_hitters_mg", r"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), tot AS (SELECT count(*) AS n FROM words)
+SELECT w, CAST(count(*) AS BIGINT) AS n_occ
+FROM words, tot
+GROUP BY w, tot.n
+HAVING count(*) >= 0.01 * tot.n
+""")
+def heavy_hitters_mg(spark, sf):
+    """Corpus heavy hitters (words with frequency ≥ φ = 1%) via a
+    two-pass Misra-Gries sketch: pass 1 keeps at most k=128 counters
+    PER PARTITION (mapInPandas, merging vectorized per-batch
+    value_counts into the summary — classic MG decrement when the
+    counter set overflows), so the shuffle carries ≤ k·partitions
+    candidate rows instead of the vocabulary; pass 2 exact-counts only
+    the candidates (broadcast semi-join) and applies the φ·N
+    threshold. MG guarantees every true φ-heavy word survives pass 1
+    whenever k ≥ 1/φ (here 128 ≥ 100), so the final output is EXACT and independent of
+    partitioning — which is why this sketch op can carry a plain SQL
+    oracle while HLL (agg_approx_distinct) cannot. This corpus's
+    synthetic vocabulary is smaller than k, making the sketch
+    lossless here; the machinery is what matters at a 10^9-word
+    vocabulary."""
+    d = t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+    words = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+
+    out_schema = T.StructType([T.StructField("w", T.StringType()),
+                               T.StructField("est", T.LongType())])
+
+    def mg_summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for w, c in pdf["w"].value_counts().items():
+                counts[w] = counts.get(w, 0) + int(c)
+                if len(counts) > _MG_COUNTERS:
+                    # MG step: decrement all by the minimum, drop zeros
+                    m = min(counts.values())
+                    counts = {k: v - m for k, v in counts.items() if v > m}
+        if counts:
+            yield pd.DataFrame({"w": list(counts), "est": list(counts.values())})
+
+    candidates = (words.mapInPandas(mg_summarize, out_schema)
+                  .select("w").distinct())
+    total = words.agg(F.count("*").alias("n_total"))
+    return (words.join(F.broadcast(candidates), "w")
+            .groupBy("w").agg(F.count("*").cast("bigint").alias("n_occ"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("n_occ") >= _HH_PHI * F.col("n_total"))
+            .select("w", "n_occ"))
