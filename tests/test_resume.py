@@ -688,3 +688,55 @@ def test_schema_evolution_manifest_planned_three_commits(spark, tmp_path):
     legacy = tbl.read(spark, merge_schema=True)
     lrows = {r["id"]: (r["score"], r["tag"]) for r in legacy.collect()}
     assert lrows == rows
+
+
+def test_zorder_compaction_prunes_2d_box(spark, tmp_path):
+    """Z-order rewrite vs linear sort: for a 2-D box query, the
+    Z-clustered layout's manifest stats prune MORE files than a
+    single-column sort (which covers only its own dimension), and both
+    layouts return identical query results."""
+    from pyspark.sql import functions as F
+
+    from ocrflow.icelite import zorder_bucket, zorder_expr
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("user_id"),
+        ((F.col("id") * 2654435761) % 4096).alias("metric"))
+
+    def build(sort_linear: bool):
+        tbl = IceliteTable(str(tmp_path / ("lin" if sort_linear else "zord")))
+        tbl.commit_append(write_dataframe_files(
+            df.repartition(8), tbl.new_commit_dir("seed")))
+        if sort_linear:
+            tbl.compact(spark, target_file_bytes=4 << 10,
+                        sort_by=("metric",),
+                        stats_cols=("user_id", "metric"))
+        else:
+            z = zorder_expr([zorder_bucket(F.col("user_id"), 0, 63, 6),
+                             zorder_bucket(F.col("metric"), 0, 4095, 6)],
+                            bits=6)
+            tbl.compact(spark, target_file_bytes=4 << 10,
+                        derive={"_z": z}, sort_by=("_z",),
+                        stats_cols=("user_id", "metric"))
+        return tbl
+
+    lin, zord = build(True), build(False)
+    # tight on user_id, loose on metric: the metric-sorted layout can
+    # prune only via the loose dimension; Z-order prunes via both
+    box = {"user_id": (0, 7), "metric": (0, 2047)}
+    kept_lin = len(lin.read(spark, stats_filter=box).inputFiles())
+    kept_z = len(zord.read(spark, stats_filter=box).inputFiles())
+    n_files_lin = len(lin.file_list())
+    n_files_z = len(zord.file_list())
+    assert n_files_lin > 4 and n_files_z > 4      # enough files to prune
+    assert kept_z < kept_lin, (kept_z, kept_lin)  # Z prunes both dims
+
+    pred = ((F.col("user_id").between(0, 7))
+            & (F.col("metric").between(0, 2047)))
+    rows_lin = sorted((r["user_id"], r["metric"]) for r in
+                      lin.read(spark, stats_filter=box).filter(pred).collect())
+    rows_z = sorted((r["user_id"], r["metric"]) for r in
+                    zord.read(spark, stats_filter=box).filter(pred).collect())
+    exact = sorted((r["user_id"], r["metric"]) for r in
+                   df.filter(pred).collect())
+    assert rows_lin == rows_z == exact
