@@ -2084,3 +2084,28 @@ def ab_welch_t(spark, sf):
                             / F.sqrt(F.col("a.v") / F.col("a.n")
                                      + F.col("b.v") / F.col("b.n")), 4)
                     .alias("welch_t")))
+
+
+@q("agg_percentile_disc", """
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.25) AS q25,
+       quantile_disc(l_extendedprice, 0.5) AS q50,
+       quantile_disc(l_extendedprice, 0.9) AS q90
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_percentile_disc(spark, sf):
+    """Discrete percentiles (the value AT the quantile position, no
+    interpolation — what you want when the column is categorical-ish
+    prices or latencies and an interpolated value would be fictitious).
+    Exact by definition (a real data value, no float synthesis), so no
+    rounding is needed for parity. Same buffer caveat as any exact
+    quantile: at 100 TB use the frequency-weighted compaction of
+    agg_winsorized or approx_percentile."""
+    li = t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.expr("percentile_disc(0.25) WITHIN GROUP"
+                        " (ORDER BY l_extendedprice)").alias("q25"),
+                 F.expr("percentile_disc(0.5) WITHIN GROUP"
+                        " (ORDER BY l_extendedprice)").alias("q50"),
+                 F.expr("percentile_disc(0.9) WITHIN GROUP"
+                        " (ORDER BY l_extendedprice)").alias("q90")))
