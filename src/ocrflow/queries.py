@@ -2109,3 +2109,142 @@ def agg_percentile_disc(spark, sf):
                         " (ORDER BY l_extendedprice)").alias("q50"),
                  F.expr("percentile_disc(0.9) WITHIN GROUP"
                         " (ORDER BY l_extendedprice)").alias("q90")))
+
+
+@q("win_cumulative_distinct", """
+WITH f AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS distinct_types_so_far
+FROM f
+""")
+def win_cumulative_distinct(spark, sf):
+    """Cumulative distinct count over an ordered stream (how many
+    distinct event types has this user produced so far). Windows
+    support no DISTINCT aggregate, and collect_set over a running
+    frame would re-materialize the set per row — the scalable idiom is
+    two windows: flag each (user, type)'s FIRST occurrence with
+    row_number, then running-sum the flags. Both windows hash on
+    user_id(+type), so the plan is two exchanges of flag-sized rows —
+    O(n) state, no per-row sets, at any history length."""
+    e = t(spark, sf, "events")
+    wf = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    wr = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    f = e.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(wf) == 1, 1).otherwise(0))
+    return f.select("user_id", "event_id",
+                    F.sum("first_seen").over(wr).cast("bigint")
+                    .alias("distinct_types_so_far"))
+
+
+@q("seq_pattern_count", """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(event_type, ',' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(array_length(regexp_extract_all(s,
+            'click,view,purchase')) AS BIGINT) AS n_patterns,
+       CAST((length(s) - length(replace(s, 'purchase', ''))) / 8
+            AS BIGINT) AS n_purchase
+FROM seq
+""")
+def seq_pattern_count(spark, sf):
+    """Sequence-pattern counting (MATCH_RECOGNIZE lite): serialize each
+    user's ordered event-type stream to a string once, then count
+    regex occurrences of the behavioral pattern click→view→purchase.
+    One exchange (the ordered per-user gather — bounded by history
+    length, the sessionize caveat applies) and the matching is a
+    single JVM regexp pass per user instead of an k-way self-join over
+    adjacent rows. The deterministic ordered string_agg idiom is the
+    one agg_collect_sorted proved engine-portable."""
+    e = t(spark, sf, "events")
+    seq = (e.groupBy("user_id")
+           .agg(F.array_join(
+               F.array_sort(F.collect_list(F.struct(
+                   "ts", "event_id", "event_type"))).getField("event_type"),
+               ",").alias("s")))
+    n_pat = F.size(F.expr(
+        "regexp_extract_all(s, 'click,view,purchase', 0)")).cast("bigint")
+    n_pur = ((F.length("s") - F.length(F.replace(F.col("s"),
+                                                 F.lit("purchase"), F.lit(""))))
+             / 8).cast("bigint")
+    return seq.select("user_id", n_pat.alias("n_patterns"),
+                      n_pur.alias("n_purchase"))
+
+
+@q("join_asof_nearest", """
+WITH cand AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         abs(epoch(c.ts) - epoch(p.ts)) AS d,
+         CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS dir,
+         CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END AS tb
+  FROM events p JOIN events c
+    ON c.user_id = p.user_id AND c.event_type = 'click'
+  WHERE p.event_type = 'purchase'
+)
+SELECT purchase_id, click_id, ROUND(d, 6) AS dist_s FROM (
+  SELECT purchase_id, click_id, d,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY d, dir, tb) AS rn
+  FROM cand
+) WHERE rn = 1
+""")
+def join_asof_nearest(spark, sf):
+    """Nearest-neighbor as-of (closest click in EITHER direction; ties
+    prefer the backward match — kdb's `aj` nearest mode / pandas
+    merge_asof(direction='nearest')). Same union-merge shape as
+    join_asof: ONE shuffle + ONE ordered pass computes the latest
+    prior click (last ignore-nulls over the preceding frame) AND the
+    earliest later click (first ignore-nulls over the following frame
+    of the same sort), then picks per-row by absolute distance — no
+    pair materialization, unlike the oracle's quadratic
+    candidates+rank definition. Same-ts clicks sort before the
+    purchase (side 0 < 1), so they land in the backward frame with
+    max-event-id tiebreak, exactly the oracle's (d, dir, tb) order.
+    Distances compare as epoch doubles (micros exact below 2^53)."""
+    e = t(spark, sf, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id", F.lit(0).alias("side"),
+                      F.struct(F.col("ts").alias("cts"),
+                               F.col("event_id").alias("cid")).alias("pack")))
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "event_id", F.lit(1).alias("side"),
+                     F.lit(None).cast("struct<cts:timestamp,cid:bigint>")
+                     .alias("pack")))
+    u = clicks.unionByName(purch)
+    ob = W.partitionBy("user_id").orderBy("ts", "side", "event_id")
+    wb = ob.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = ob.rowsBetween(W.currentRow, W.unboundedFollowing)
+    back = F.last("pack", ignorenulls=True).over(wb)
+    fwd = F.first("pack", ignorenulls=True).over(wf)
+    # windows must see the WHOLE union (clicks + purchases); filter
+    # to purchase rows only after they're computed
+    x = (u.select(F.col("event_id").alias("purchase_id"), "side",
+                  F.col("ts").cast("timestamp").cast("double")
+                  .alias("pts"),
+                  back.alias("b"), fwd.alias("f"))
+         .filter(F.col("side") == 1))
+    # NTZ won't cast to double; via TIMESTAMP under the UTC-pinned
+    # session = the same naive-epoch seconds DuckDB's epoch() computes
+    db = F.abs(F.col("b.cts").cast("timestamp").cast("double")
+               - F.col("pts"))
+    df_ = F.abs(F.col("f.cts").cast("timestamp").cast("double")
+                - F.col("pts"))
+    use_back = F.col("f").isNull() | (F.col("b").isNotNull() & (db <= df_))
+    return (x.filter(F.col("b").isNotNull() | F.col("f").isNotNull())
+            .select("purchase_id",
+                    F.when(use_back, F.col("b.cid")).otherwise(F.col("f.cid"))
+                    .alias("click_id"),
+                    F.round(F.when(use_back, db).otherwise(df_), 6)
+                    .alias("dist_s")))

@@ -196,3 +196,54 @@ def test_skyline_window_sweep_matches_bruteforce(spark):
                     if not any(k2 == k and vq2 > vq and t2 > t
                                for (k2, _e2, vq2, t2) in pts)}
         assert got == expected, f"seed {seed}"
+
+
+def test_asof_nearest_matches_naive_oracle(spark):
+    """Randomized nearest-as-of check in the dense-tie regime (coarse
+    second timestamps): the single-pass union-merge must match a naive
+    per-purchase scan over all clicks ranked by (|Δt|, backward-first,
+    then max-id among backward / min-id among forward)."""
+    import datetime
+    import random
+
+    from ocrflow.queries import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    for seed in (5, 13, 77):
+        rng = random.Random(seed)
+        rows = []
+        for eid in range(1, 301):
+            rows.append((eid,
+                         base + datetime.timedelta(seconds=rng.randrange(30)),
+                         rng.randrange(5),
+                         rng.choice(["click", "purchase", "view"]),
+                         0.0, None))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        import os
+        import tempfile
+        d = tempfile.mkdtemp(prefix=f"ocrflow_near_{seed}_")
+        df.write.parquet(os.path.join(d, "events.parquet"))
+
+        got = {r["purchase_id"]: r["click_id"]
+               for r in QUERIES["join_asof_nearest"](spark, d).collect()}
+
+        clicks = [(e, t) for (e, t, u, k, _v, _p) in rows if k == "click"]
+        by_user = {}
+        for (e, t, u, k, _v, _p) in rows:
+            if k == "click":
+                by_user.setdefault(u, []).append((e, t))
+        expected = {}
+        for (e, t, u, k, _v, _p) in rows:
+            if k != "purchase" or u not in by_user:
+                continue
+            cand = []
+            for (ce, ct) in by_user[u]:
+                dsec = abs((ct - t).total_seconds())
+                backward = ct <= t
+                tb = -ce if backward else ce
+                cand.append((dsec, 0 if backward else 1, tb, ce))
+            cand.sort()
+            expected[e] = cand[0][3]
+        assert got == expected, f"seed {seed}"
