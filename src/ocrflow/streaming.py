@@ -419,3 +419,40 @@ def stream_upsert_sink(spark, sf):
     q.awaitTermination()
     return (tbl.read(spark)
             .select("user_id", "event_id", "ts", "event_type", "value"))
+
+
+@sq("stream_curation")
+def stream_curation(spark, sf):
+    """Streaming counterpart of corpus_curation_e2e's front half: a
+    documents stream is quality-gated (the corpus_quality_filter
+    rules), exact-deduped on content hash, and rolled up to per
+    (lang, source) counts + mean length in complete mode — the
+    continuous-ingestion shape of the batch curation pipeline. The
+    content-hash dropDuplicates keeps unbounded state here
+    (availableNow, bounded input); a production run bounds it with a
+    watermark on an ingest-time column, or swaps to
+    dropDuplicatesWithinWatermark — same plan otherwise."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = (spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint")
+         .option("pathGlobFilter", "documents*.parquet")
+         .parquet(sf))
+    n_word = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)"))
+    n_stop = F.size(F.expr(
+        r"regexp_extract_all(lower(text),"
+        r" '\\b(the|a|an|and|or|of|to|in|is|it)\\b', 0)"))
+    gated = (s.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+             .withColumn("n_word", n_word).withColumn("n_stop", n_stop)
+             .filter((F.col("n_word") >= 5)
+                     & (F.col("n_chars").cast("double")
+                        / F.greatest("n_word", F.lit(1))).between(3, 15)
+                     & ((F.col("lang") != "en") | (F.col("n_stop") > 0)))
+             .withColumn("h", F.md5("text"))
+             .dropDuplicates(["h"]))
+    agg = (gated.groupBy("lang", "source")
+           .agg(F.count("*").alias("n_docs"),
+                F.avg("n_chars").alias("avg_chars")))
+    return _run_to_memory(agg, "complete")

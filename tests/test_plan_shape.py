@@ -167,3 +167,11 @@ def test_decontaminate_bench_side_broadcasts(spark):
     plan = _plan(QUERIES["decontaminate_overlap"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_nearest_union_merge_no_join(spark):
+    # both directions come from ONE sorted union pass — no join operator
+    # (the oracle's candidates+rank definition would be a quadratic join)
+    plan = _plan(QUERIES["join_asof_nearest"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan

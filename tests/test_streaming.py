@@ -247,3 +247,34 @@ def test_stream_upsert_sink_matches_batch_merge(spark):
         .select("user_id", "event_id", "ts", "event_type", "value")
         .collect())))
     assert got and got == want
+
+
+def test_stream_curation_parity(spark):
+    """The streaming curation rollup equals the batch recomputation of
+    the same gate → dedup → agg chain (dedup keeps one row per content
+    hash; counts/avg are hash-set-independent, so parity is exact)."""
+    from pyspark.sql import functions as F
+
+    from ocrflow.streaming import STREAM_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r["lang"], r["source"]): (r["n_docs"], round(r["avg_chars"], 6))
+           for r in STREAM_QUERIES["stream_curation"](spark, sf).collect()}
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    n_word = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)"))
+    n_stop = F.size(F.expr(
+        r"regexp_extract_all(lower(text),"
+        r" '\\b(the|a|an|and|or|of|to|in|is|it)\\b', 0)"))
+    gated = (d.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+             .withColumn("n_word", n_word).withColumn("n_stop", n_stop)
+             .filter((F.col("n_word") >= 5)
+                     & (F.col("n_chars").cast("double")
+                        / F.greatest("n_word", F.lit(1))).between(3, 15)
+                     & ((F.col("lang") != "en") | (F.col("n_stop") > 0)))
+             .withColumn("h", F.md5("text")).dropDuplicates(["h"]))
+    exp = {(r["lang"], r["source"]): (r["n_docs"], round(r["avg_chars"], 6))
+           for r in gated.groupBy("lang", "source")
+           .agg(F.count("*").alias("n_docs"),
+                F.avg("n_chars").alias("avg_chars")).collect()}
+    assert got == exp and got
