@@ -2248,3 +2248,57 @@ def join_asof_nearest(spark, sf):
                     .alias("click_id"),
                     F.round(F.when(use_back, db).otherwise(df_), 6)
                     .alias("dist_s")))
+
+
+@q("join_spatial_grid", """
+WITH p AS (
+  SELECT vec_id, ROUND(CAST(embedding[1] AS DOUBLE), 4) AS x,
+         ROUND(CAST(embedding[2] AS DOUBLE), 4) AS y
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist
+FROM p a JOIN p b ON a.vec_id < b.vec_id
+WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.02*0.02
+""")
+def join_spatial_grid(spark, sf):
+    """Epsilon-neighborhood spatial self-join (all point pairs within
+    ε=0.02 in the first two embedding dims) via grid bucketing — the
+    canonical distributed spatial join. Each point gets an integer
+    cell (floor(x/ε), floor(y/ε)); one side replicates to its 3×3
+    neighborhood, the equi-join on cell ids finds every candidate
+    exactly once (a's home cell is unique and b's nine replica cells
+    are distinct — no post-dedup), and the exact distance check prunes
+    the corner cases. Cost: 9× replication of ONE side + an equi-join
+    on ~uniform cell keys, versus the oracle's O(n²) pair scan — the
+    same bucket-then-verify shape as the LSH dedup family, here with a
+    geometric guarantee instead of a probabilistic one. The oracle IS
+    the quadratic definition: two different algorithms agreeing."""
+    em = t(spark, sf, "embeddings")
+    p = em.select("vec_id",
+                  F.round(F.element_at("embedding", 1).cast("double"), 4)
+                  .alias("x"),
+                  F.round(F.element_at("embedding", 2).cast("double"), 4)
+                  .alias("y"))
+    # integer cells: 1/eps = 50 exactly, so cell math is float-safe
+    cells = p.select("vec_id", "x", "y",
+                     F.floor(F.col("x") * 50).cast("long").alias("cx"),
+                     F.floor(F.col("y") * 50).cast("long").alias("cy"))
+    a = cells.select(F.col("vec_id").alias("a_id"),
+                     F.col("x").alias("ax"), F.col("y").alias("ay"),
+                     "cx", "cy")
+    b = (cells.select(F.col("vec_id").alias("b_id"),
+                      F.col("x").alias("bx"), F.col("y").alias("by"),
+                      "cx", "cy")
+         .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+         .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+         .select("b_id", "bx", "by",
+                 (F.col("cx") + F.col("dx")).alias("rcx"),
+                 (F.col("cy") + F.col("dy")).alias("rcy")))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    return (a.join(b, (F.col("cx") == F.col("rcx"))
+                   & (F.col("cy") == F.col("rcy"))
+                   & (F.col("a_id") < F.col("b_id")))
+            .filter(d2 <= F.lit(0.02 * 0.02))
+            .select("a_id", "b_id", F.round(F.sqrt(d2), 6).alias("dist")))
