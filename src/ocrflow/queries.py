@@ -2274,6 +2274,12 @@ def join_spatial_grid(spark, sf):
     same bucket-then-verify shape as the LSH dedup family, here with a
     geometric guarantee instead of a probabilistic one. The oracle IS
     the quadratic definition: two different algorithms agreeing."""
+    return _spatial_pairs(spark, sf)
+
+
+def _spatial_pairs(spark, sf):
+    """Grid-bucketed ε-pair table (a_id < b_id, dist ≤ 0.02) shared by
+    join_spatial_grid, dbscan_core_points and knn_within_eps."""
     em = t(spark, sf, "embeddings")
     p = em.select("vec_id",
                   F.round(F.element_at("embedding", 1).cast("double"), 4)
@@ -2302,3 +2308,75 @@ def join_spatial_grid(spark, sf):
                    & (F.col("a_id") < F.col("b_id")))
             .filter(d2 <= F.lit(0.02 * 0.02))
             .select("a_id", "b_id", F.round(F.sqrt(d2), 6).alias("dist")))
+
+
+@q("dbscan_core_points", """
+WITH p AS (
+  SELECT vec_id, ROUND(CAST(embedding[1] AS DOUBLE), 4) AS x,
+         ROUND(CAST(embedding[2] AS DOUBLE), 4) AS y
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM p a JOIN p b ON a.vec_id < b.vec_id
+  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.02*0.02
+), sym AS (
+  SELECT a_id AS vec_id FROM pairs
+  UNION ALL
+  SELECT b_id FROM pairs
+)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS n_neighbors
+FROM sym GROUP BY vec_id HAVING count(*) >= 4
+""")
+def dbscan_core_points(spark, sf):
+    """DBSCAN's core-point step (points with ≥ minPts=4 neighbors
+    within ε) on top of the grid-bucketed pair table: symmetrize the
+    a<b pairs with a cheap union, count per point, threshold. The
+    full DBSCAN then follows with machinery the repo already has —
+    connected components over core-core edges (dedup_materialize's
+    pointer-jumping CC) — so this key is the missing primitive, not a
+    toy. Same subquadratic candidate generation as join_spatial_grid;
+    the oracle recomputes neighborhoods from the O(n²) definition."""
+    pairs = _spatial_pairs(spark, sf)
+    sym = (pairs.select(F.col("a_id").alias("vec_id"))
+           .unionAll(pairs.select(F.col("b_id").alias("vec_id"))))
+    return (sym.groupBy("vec_id")
+            .agg(F.count("*").cast("bigint").alias("n_neighbors"))
+            .filter(F.col("n_neighbors") >= 4))
+
+
+@q("knn_within_eps", """
+WITH p AS (
+  SELECT vec_id, ROUND(CAST(embedding[1] AS DOUBLE), 4) AS x,
+         ROUND(CAST(embedding[2] AS DOUBLE), 4) AS y
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         ROUND(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist
+  FROM p a JOIN p b ON a.vec_id < b.vec_id
+  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.02*0.02
+), sym AS (
+  SELECT a_id AS vec_id, b_id AS nb, dist FROM pairs
+  UNION ALL
+  SELECT b_id, a_id, dist FROM pairs
+)
+SELECT vec_id, nb, dist FROM (
+  SELECT vec_id, nb, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, nb) AS rn
+  FROM sym
+) WHERE rn <= 3
+""")
+def knn_within_eps(spark, sf):
+    """Bounded k-nearest-neighbors (k=3 within ε): symmetrized spatial
+    pairs ranked per point by (dist, id) — deterministic tiebreak —
+    keeping the top 3. The window runs over the PAIR table (already
+    ε-pruned and near-uniform on the grid), not the point set, so
+    state per key is the neighborhood size, not n. The ANN analog for
+    metric spaces where LSH is overkill and an ε cutoff is natural."""
+    pairs = _spatial_pairs(spark, sf)
+    sym = (pairs.select(F.col("a_id").alias("vec_id"),
+                        F.col("b_id").alias("nb"), "dist")
+           .unionAll(pairs.select(F.col("b_id").alias("vec_id"),
+                                  F.col("a_id").alias("nb"), "dist")))
+    w = W.partitionBy("vec_id").orderBy("dist", "nb")
+    return (sym.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3).select("vec_id", "nb", "dist"))
