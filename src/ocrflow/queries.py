@@ -2380,3 +2380,73 @@ def knn_within_eps(spark, sf):
     w = W.partitionBy("vec_id").orderBy("dist", "nb")
     return (sym.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3).select("vec_id", "nb", "dist"))
+
+
+@q("dbscan_clusters", """
+WITH RECURSIVE p AS (
+  SELECT vec_id, ROUND(CAST(embedding[1] AS DOUBLE), 4) AS x,
+         ROUND(CAST(embedding[2] AS DOUBLE), 4) AS y
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM p a JOIN p b ON a.vec_id < b.vec_id
+  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.02*0.02
+), sym AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+), core AS (
+  SELECT u AS vec_id FROM sym GROUP BY u HAVING count(*) >= 4
+), ce AS (   -- core-core edges, both directions
+  SELECT s.u, s.v FROM sym s
+  JOIN core c1 ON s.u = c1.vec_id JOIN core c2 ON s.v = c2.vec_id
+), lp AS (   -- label propagation to transitive closure (set semantics)
+  SELECT vec_id AS v, vec_id AS lbl FROM core
+  UNION
+  SELECT ce.v, lp.lbl FROM lp JOIN ce ON ce.u = lp.v
+), lab AS (
+  SELECT v AS vec_id, min(lbl) AS cluster FROM lp GROUP BY v
+)
+SELECT vec_id, cluster, TRUE AS is_core FROM lab
+UNION ALL
+SELECT s.u AS vec_id, min(l.cluster) AS cluster, FALSE AS is_core
+FROM sym s JOIN lab l ON s.v = l.vec_id
+WHERE s.u NOT IN (SELECT vec_id FROM core)
+GROUP BY s.u
+""")
+def dbscan_clusters(spark, sf):
+    """Full DBSCAN (ε=0.02, minPts=4) assembled from the repo's own
+    primitives: grid-bucketed ε-pairs → core points → connected
+    components over core-core edges (the pointer-jumping CC that
+    powers dedup_materialize — O(log diameter) rounds) → border points
+    attach to the MINIMUM core-neighbor label (deterministic, so the
+    whole clustering is engine-comparable; noise points are simply
+    absent). Cluster id = min vec_id in the core component, the same
+    canonical-representative rule the dedup family uses. The oracle
+    recomputes the closure with a RECURSIVE label-propagation CTE —
+    an iterative distributed algorithm checked against a recursive
+    query, like pack_sequences_nextfit."""
+    from ocrflow.dataops import connected_components
+
+    pairs = _spatial_pairs(spark, sf).select("a_id", "b_id")
+    sym = (pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+           .unionAll(pairs.select(F.col("b_id").alias("u"),
+                                  F.col("a_id").alias("v"))))
+    core = (sym.groupBy("u").agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 4).select(F.col("u").alias("vec_id")))
+    ce = (sym.join(core.withColumnRenamed("vec_id", "u"), "u")
+          .join(core.withColumnRenamed("vec_id", "v"), "v")
+          .select("u", "v"))
+    cc = connected_components(ce, src="u", dst="v")   # (id, comp)
+    lab = (core.join(cc, core.vec_id == cc.id, "left")
+           .select(core.vec_id,
+                   F.coalesce("comp", core.vec_id).alias("cluster")))
+    core_rows = lab.select("vec_id", "cluster",
+                           F.lit(True).alias("is_core"))
+    border = (sym.join(core.select(F.col("vec_id").alias("u")), "u",
+                       "left_anti")
+              .join(lab.withColumnRenamed("vec_id", "v"), "v")
+              .groupBy("u")
+              .agg(F.min("cluster").alias("cluster"))
+              .select(F.col("u").alias("vec_id"), "cluster",
+                      F.lit(False).alias("is_core")))
+    return core_rows.unionByName(border)
