@@ -2450,3 +2450,60 @@ def dbscan_clusters(spark, sf):
               .select(F.col("u").alias("vec_id"), "cluster",
                       F.lit(False).alias("is_core")))
     return core_rows.unionByName(border)
+
+
+@q("interval_merge", """
+WITH iv AS (
+  SELECT user_id, event_id, epoch(ts) AS s, epoch(ts) + 300.0 AS e
+  FROM events
+), m AS (
+  SELECT user_id, event_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max_e
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         CAST(sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS island
+  FROM m
+), per_island AS (
+  SELECT user_id, island, max(e) - min(s) AS covered
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       ROUND(sum(covered), 6) AS covered_s
+FROM per_island GROUP BY user_id
+""")
+def interval_merge(spark, sf):
+    """Merge overlapping intervals per key (each event opens a 5-minute
+    window; touching/overlapping windows coalesce) and report merged
+    count + total covered seconds — the classic availability/uptime
+    rollup. The merge is the running-max-end sweep: an interval starts
+    a new island iff its start exceeds every previous end, islands are
+    the running sum of those flags — one window exchange, O(n) state,
+    versus the interval self-join a naive port would write. Epoch
+    seconds go through the TIMESTAMP cast (NTZ→double under the UTC
+    session = DuckDB's epoch())."""
+    e = t(spark, sf, "events")
+    iv = e.select("user_id", "event_id",
+                  F.col("ts").cast("timestamp").cast("double").alias("s"))
+    iv = iv.withColumn("e", F.col("s") + 300.0)
+    ob = W.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(ob.rowsBetween(W.unboundedPreceding, -1))
+    m = iv.withColumn("prev_max_e", prev_max)
+    new_isl = F.when(F.col("prev_max_e").isNull()
+                     | (F.col("s") > F.col("prev_max_e")), 1).otherwise(0)
+    isl = m.withColumn(
+        "island",
+        F.sum(new_isl).over(ob.rowsBetween(W.unboundedPreceding,
+                                           W.currentRow)).cast("bigint"))
+    per = (isl.groupBy("user_id", "island")
+           .agg((F.max("e") - F.min("s")).alias("covered")))
+    return (per.groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("n_intervals"),
+                 F.round(F.sum("covered"), 6).alias("covered_s")))
