@@ -33,6 +33,10 @@ HEADLINE = [
     "tpch_q3_shape", "tpch_q5_shape", "sessionize_batch",
     "dedup_exact", "dedup_minhash_lsh", "ann_bruteforce_cosine",
     "text_quality_score", "dedup_materialize",
+    # round-3 late additions (suite total therefore grows vs r02; the
+    # cross-round comparable number is suite_r01_keys_subtotal and the
+    # per-query seconds)
+    "corpus_curation_e2e", "skyline_pareto", "heavy_hitters_mg",
 ]
 
 
