@@ -2507,3 +2507,76 @@ def interval_merge(spark, sf):
     return (per.groupBy("user_id")
             .agg(F.count("*").cast("bigint").alias("n_intervals"),
                  F.round(F.sum("covered"), 6).alias("covered_s")))
+
+
+@q("scd2_build", """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+  FROM events
+), chg AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+  FROM o WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, state, valid_from,
+       coalesce(lead(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY valid_from, event_id),
+                TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY valid_from, event_id) AS BIGINT)
+           AS version
+FROM chg
+""")
+def scd2_build(spark, sf):
+    """Build a type-2 slowly-changing dimension from a change stream:
+    collapse consecutive identical states (lag-based change detection),
+    then open/close validity windows with lead() — valid_to of one
+    version is the next version's valid_from, the current version
+    closes at the sentinel high date. Two windows on the same
+    (user_id, order) key, so EnsureRequirements plans ONE exchange; a
+    naive port would self-join the stream to find "next change". This
+    is how a 100 TB event log becomes the point-in-time dimension that
+    join_asof then probes."""
+    e = t(spark, sf, "events")
+    ob = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.withColumn("prev_type", F.lag("event_type").over(ob))
+    chg = (o.filter(F.col("prev_type").isNull()
+                    | (F.col("event_type") != F.col("prev_type")))
+           .select("user_id", F.col("event_type").alias("state"),
+                   F.col("ts").alias("valid_from"), "event_id"))
+    ob2 = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return chg.select(
+        "user_id", "state", "valid_from",
+        F.coalesce(F.lead("valid_from").over(ob2),
+                   F.lit("9999-12-31 00:00:00").cast("timestamp_ntz"))
+        .alias("valid_to"),
+        F.row_number().over(ob2).cast("bigint").alias("version"))
+
+
+@q("agg_grouping_id", """
+SELECT coalesce(l_returnflag, '<all>') AS flag,
+       coalesce(l_linestatus, '<all>') AS status,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+           AS gid,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""")
+def agg_grouping_id(spark, sf):
+    """GROUPING SETS with grouping() labels: the gid column
+    distinguishes a real NULL group key from a rolled-up one — the
+    disambiguation every BI layer needs over super-aggregate rows.
+    Same single-pass expand+agg plan as agg_grouping_sets; the labels
+    are free (they ride the grouping-set id Spark already carries)."""
+    li = t(spark, sf, "lineitem")
+    return (li.groupingSets(
+        [[F.col("l_returnflag"), F.col("l_linestatus")],
+         [F.col("l_returnflag")], []],
+        F.col("l_returnflag"), F.col("l_linestatus"))
+        .agg((F.grouping("l_returnflag") * 2
+              + F.grouping("l_linestatus")).cast("bigint").alias("gid"),
+             F.count("*").cast("bigint").alias("n"))
+        .select(F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+                F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+                "gid", "n"))
