@@ -2580,3 +2580,43 @@ def agg_grouping_id(spark, sf):
         .select(F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
                 F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
                 "gid", "n"))
+
+
+@q("join_point_in_time", """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+  FROM events
+), chg AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+  FROM o WHERE prev_type IS NULL OR event_type <> prev_type
+), dim AS (
+  SELECT user_id, state, valid_from,
+         coalesce(lead(valid_from) OVER (PARTITION BY user_id
+                                         ORDER BY valid_from, event_id),
+                  TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+  FROM chg
+)
+SELECT e.event_id, d.state AS state_at_event
+FROM events e JOIN dim d
+  ON e.user_id = d.user_id
+ AND d.valid_from <= e.ts AND e.ts < d.valid_to
+""")
+def join_point_in_time(spark, sf):
+    """Point-in-time join (the feature-store correctness pattern): each
+    event picks up the SCD2 dimension version valid AT its timestamp —
+    never a later one (no training-serving leakage). The dimension is
+    the scd2_build output (collapsed change points, orders of
+    magnitude smaller than the event log), so it BROADCASTS and the
+    fact side never shuffles; validity windows partition time, so each
+    event matches exactly one version. At 100 TB with a dimension too
+    big to broadcast, fall back to the union-merge as-of (join_asof) —
+    same semantics, one sorted pass."""
+    e = t(spark, sf, "events")
+    dim = QUERIES["scd2_build"](spark, sf).select(
+        "user_id", "state", "valid_from", "valid_to")
+    return (e.join(F.broadcast(dim),
+                   (e.user_id == dim.user_id)
+                   & (dim.valid_from <= e.ts) & (e.ts < dim.valid_to))
+            .select("event_id", F.col("state").alias("state_at_event")))

@@ -175,3 +175,11 @@ def test_asof_nearest_union_merge_no_join(spark):
     plan = _plan(QUERIES["join_asof_nearest"](spark, SF_DIR))
     assert "Window" in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_point_in_time_dim_broadcasts(spark):
+    # the collapsed SCD2 dimension must broadcast; the event log never
+    # shuffles for a point-in-time lookup
+    plan = _plan(QUERIES["join_point_in_time"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
