@@ -2620,3 +2620,41 @@ def join_point_in_time(spark, sf):
                    (e.user_id == dim.user_id)
                    & (dim.valid_from <= e.ts) & (e.ts < dim.valid_to))
             .select("event_id", F.col("state").alias("state_at_event")))
+
+
+@q("cohort_overlap", """
+SELECT event_type,
+       CAST(count(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                THEN user_id END) AS BIGINT) AS n_early,
+       CAST(count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                THEN user_id END) AS BIGINT) AS n_late,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_union,
+       ROUND(CAST(count(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                      THEN user_id END)
+                  + count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                        THEN user_id END)
+                  - count(DISTINCT user_id) AS DOUBLE)
+             / CAST(count(DISTINCT user_id) AS DOUBLE), 6) AS jaccard
+FROM events GROUP BY event_type
+""")
+def cohort_overlap(spark, sf):
+    """Audience overlap between two periods per segment: distinct
+    users early, late, union, and the Jaccard |A∩B|/|A∪B| — computed
+    in ONE pass with conditional distinct counts (|A∩B| falls out by
+    inclusion-exclusion, no self-join of user sets). Spark expands
+    multi-distinct aggs via a single grouped expand, so the cost is
+    one fact shuffle regardless of how many periods are compared; the
+    retention/churn readout at any scale. Exact integer arithmetic;
+    the ratio rounds identically in both engines."""
+    e = t(spark, sf, "events")
+    split = F.lit("2024-01-16").cast("timestamp_ntz")
+    early = F.countDistinct(
+        F.when(F.col("ts") < split, F.col("user_id"))).cast("bigint")
+    late = F.countDistinct(
+        F.when(F.col("ts") >= split, F.col("user_id"))).cast("bigint")
+    uni = F.countDistinct("user_id").cast("bigint")
+    return (e.groupBy("event_type")
+            .agg(early.alias("n_early"), late.alias("n_late"),
+                 uni.alias("n_union"),
+                 F.round((early + late - uni).cast("double")
+                         / uni.cast("double"), 6).alias("jaccard")))
