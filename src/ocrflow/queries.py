@@ -2658,3 +2658,43 @@ def cohort_overlap(spark, sf):
                  uni.alias("n_union"),
                  F.round((early + late - uni).cast("double")
                          / uni.cast("double"), 6).alias("jaccard")))
+
+
+@q("win_autocorr", """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_value
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, event_id,
+       ROUND(corr(value, prev_value)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4) + 0.0
+           AS autocorr20,
+       CAST(count(prev_value)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_pairs
+FROM o
+""")
+def win_autocorr(spark, sf):
+    """Rolling lag-1 autocorrelation over a trailing 20-row frame per
+    user — the online signal for 'has this metric become sticky/
+    trending'. Two stacked windows on the SAME (user, order) key (lag
+    pairing, then a frame-bounded corr over the pairs) ride one
+    exchange; the frame bound caps per-row state at 20 pairs of
+    moments. corr over ≤20 doubles folds in frame order on both
+    engines — 4 dp absorbs the tail ULP; the trailing + 0.0 folds
+    IEEE negative zero into positive zero, which the engines would
+    otherwise RENDER differently ('-0.0' vs '0.0') despite equal
+    values (string-exact-compare trap, see FIXTURES)."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    ob = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.withColumn("prev_value", F.lag("value").over(ob))
+    wf = ob.rowsBetween(-19, W.currentRow)
+    return o.select(
+        "user_id", "event_id",
+        (F.round(F.corr("value", "prev_value").over(wf), 4) + F.lit(0.0))
+        .alias("autocorr20"),
+        F.count("prev_value").over(wf).cast("bigint").alias("n_pairs"))
