@@ -1857,3 +1857,55 @@ def heavy_hitters_mg(spark, sf):
             .crossJoin(F.broadcast(total))
             .filter(F.col("n_occ") >= _HH_PHI * F.col("n_total"))
             .select("w", "n_occ"))
+
+
+@q("text_lm_score", r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                i -> tk[i] || ' ' || tk[i + 1])) AS bigram,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1
+  FROM toks WHERE len(tk) >= 2
+), bc AS (SELECT bigram, count(*) AS nb FROM bg GROUP BY bigram),
+uc AS (SELECT w1, count(*) AS nu FROM bg GROUP BY w1)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       ROUND(avg(ln(CAST(b.nb AS DOUBLE) / CAST(u.nu AS DOUBLE))), 4)
+           AS avg_logprob
+FROM bg g JOIN bc b ON g.bigram = b.bigram JOIN uc u ON g.w1 = u.w1
+GROUP BY g.doc_id
+""")
+def text_lm_score(spark, sf):
+    """Bigram language-model fluency score per document (the KenLM-
+    style perplexity proxy a curation pipeline thresholds on): corpus-
+    wide MLE bigram probabilities p(w2|w1) = c(w1 w2)/c(w1 ·), each
+    doc scored by its mean log-probability. Counts come from one
+    shingle explode reused for both numerator and denominator aggs
+    (no smoothing needed — the scoring corpus IS the count corpus, so
+    no zero probabilities). Count tables are vocabulary-sized, far
+    smaller than the corpus: broadcast both (plan-asserted shape at
+    scale: the fact stream joins two broadcast LM tables, shuffles
+    only for the per-doc mean). ln() appears only inside ROUND(,4) —
+    the established float-parity discipline."""
+    d = t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+    toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
+    bg = (toks.filter(F.size("tk") >= 2)
+          .select("doc_id",
+                  F.explode(F.expr(
+                      "transform(sequence(1, size(tk) - 1), i -> struct("
+                      " concat(element_at(tk,i), ' ', element_at(tk,i+1))"
+                      " AS bigram, element_at(tk,i) AS w1))")).alias("p"))
+          .select("doc_id", "p.bigram", "p.w1"))
+    bc = bg.groupBy("bigram").agg(F.count("*").alias("nb"))
+    uc = bg.groupBy("w1").agg(F.count("*").alias("nu"))
+    j = (bg.join(F.broadcast(bc), "bigram")
+         .join(F.broadcast(uc), "w1"))
+    return (j.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+                 F.round(F.avg(F.log(F.col("nb").cast("double")
+                                     / F.col("nu").cast("double"))), 4)
+                 .alias("avg_logprob")))
