@@ -2698,3 +2698,63 @@ def win_autocorr(spark, sf):
         (F.round(F.corr("value", "prev_value").over(wf), 4) + F.lit(0.0))
         .alias("autocorr20"),
         F.count("prev_value").over(wf).cast("bigint").alias("n_pairs"))
+
+
+@q("sample_k_per_group", """
+SELECT event_type, event_id, user_id FROM (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                     event_id) AS rn
+  FROM events
+) WHERE rn <= 10
+""")
+def sample_k_per_group(spark, sf):
+    """Exactly-k deterministic sample per group: rank rows inside each
+    group by the md5 of their id (an engine-portable pseudo-random
+    order — the sample_stratified trick) and keep the first k. Unlike
+    fraction-based sampling, the output size is exact, and unlike
+    rand(), the pick is stable across engines, retries, and partition
+    layouts — the property a reproducible eval split needs. One window
+    exchange on the group key."""
+    e = t(spark, sf, "events")
+    w = W.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id")
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("event_type", "event_id", "user_id"))
+
+
+@q("explode_outer_semantics", """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+')[1:3] END AS arr
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+)
+SELECT d.doc_id, u.w, u.pos
+FROM d LEFT JOIN LATERAL (
+  SELECT unnest(arr) AS w,
+         CAST(generate_subscripts(arr, 1) AS BIGINT) - 1 AS pos
+) u ON TRUE
+ORDER BY doc_id, pos
+""")
+def explode_outer_semantics(spark, sf):
+    """OUTER explode semantics: rows whose array is EMPTY survive with
+    a NULL element instead of vanishing — the difference between
+    explode (inner-join-like, silently drops empties) and
+    posexplode_outer (left-join-like). Curation pipelines hit this
+    constantly: a doc with zero extracted spans must still reach the
+    audit table. The oracle spells the same semantics as DuckDB's
+    LEFT JOIN LATERAL unnest. Narrow plan: one generator node, no
+    shuffle."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+         .select("doc_id",
+                 F.when(F.col("doc_id") % 7 == 0,
+                        F.array().cast("array<string>"))
+                 .otherwise(F.slice(F.split(F.trim("text"), r"\s+"), 1, 3))
+                 .alias("arr")))
+    return (d.select("doc_id",
+                     F.posexplode_outer("arr").alias("pos", "w"))
+            .select("doc_id", "w", F.col("pos").cast("bigint").alias("pos")))
