@@ -2758,3 +2758,65 @@ def explode_outer_semantics(spark, sf):
     return (d.select("doc_id",
                      F.posexplode_outer("arr").alias("pos", "w"))
             .select("doc_id", "w", F.col("pos").cast("bigint").alias("pos")))
+
+
+@q("set_union_by_name", """
+SELECT * FROM (
+  SELECT o_orderkey AS k, o_totalprice AS price, NULL AS qty
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL BY NAME
+  SELECT l_quantity AS qty, l_orderkey AS k
+  FROM lineitem WHERE l_orderkey % 10 = 1 AND l_linenumber = 1
+)
+""")
+def set_union_by_name(spark, sf):
+    """Schema-evolving union: two frames with different column sets
+    and ORDERS combine by NAME, absent columns null-filling
+    (unionByName(allowMissingColumns=True) — DuckDB's UNION ALL BY
+    NAME). This is the batch face of the manifest-planned schema
+    evolution icelite does on read: old and new snapshots of an
+    evolving table union without positional accidents. Pure narrow
+    op — no shuffle, the projections align at plan time."""
+    o = (t(spark, sf, "orders").filter(F.col("o_orderkey") % 10 == 0)
+         .select(F.col("o_orderkey").alias("k"),
+                 F.col("o_totalprice").alias("price"),
+                 F.lit(None).cast("double").alias("qty")))
+    li = (t(spark, sf, "lineitem")
+          .filter((F.col("l_orderkey") % 10 == 1)
+                  & (F.col("l_linenumber") == 1))
+          .select(F.col("l_quantity").alias("qty"),
+                  F.col("l_orderkey").alias("k")))
+    return o.unionByName(li, allowMissingColumns=True)
+
+
+@q("pivot_multi_agg", """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS F_n,
+       ROUND(CAST(sum(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,6)) END)
+             AS DOUBLE), 2) AS F_price,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+           AS O_n,
+       ROUND(CAST(sum(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,6)) END)
+             AS DOUBLE), 2) AS O_price
+FROM lineitem GROUP BY l_returnflag
+""")
+def pivot_multi_agg(spark, sf):
+    """Pivot with MULTIPLE aggregates per pivoted value (count AND
+    price sum per line status) — one pass, one exchange: Spark's
+    pivot().agg(a, b) compiles to exactly the conditional-aggregate
+    expansion the oracle spells out, so wide-format reporting never
+    needs per-column self-joins. Explicit value list keeps the output
+    schema static (no extra distinct-values job at plan time);
+    decimal-cast money sums fold exactly (the agg_hash discipline)."""
+    li = t(spark, sf, "lineitem")
+    p = (li.groupBy("l_returnflag")
+         .pivot("l_linestatus", ["F", "O"])
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                      .cast("double"), 2).alias("price")))
+    return p.select("l_returnflag",
+                    F.col("F_n"), F.col("F_price"),
+                    F.col("O_n"), F.col("O_price"))
