@@ -2820,3 +2820,108 @@ def pivot_multi_agg(spark, sf):
     return p.select("l_returnflag",
                     F.col("F_n"), F.col("F_price"),
                     F.col("O_n"), F.col("O_price"))
+
+
+@q("agg_quantile_bands", """
+WITH b AS (
+  SELECT event_type, value,
+         ntile(5) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS band
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(min(value), 6) AS lo,
+       ROUND(max(value), 6) AS hi,
+       ROUND(avg(value), 4) AS mean
+FROM b GROUP BY event_type, band
+""")
+def agg_quantile_bands(spark, sf):
+    """Equal-frequency binning (quintile bands per segment) with
+    per-band stats — the feature-bucketing / monotonic-binning step of
+    a feature pipeline. ntile assigns exact equal-count bands in one
+    window pass (deterministic with the (value, event_id) tiebreak);
+    the rollup rides the same exchange. Contrast with
+    agg_histogram_bins (equal-WIDTH, pure per-row math, no window) —
+    both shapes belong in the toolbox and they share no code."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    b = e.withColumn("band", F.ntile(5).over(w))
+    return (b.groupBy("event_type", F.col("band").cast("bigint").alias("band"))
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.min("value"), 6).alias("lo"),
+                 F.round(F.max("value"), 6).alias("hi"),
+                 F.round(F.avg("value"), 4).alias("mean")))
+
+
+@q("segment_clicks_no_purchase", """
+WITH clickers AS (
+  SELECT user_id, count(*) AS n_clicks,
+         ROUND(avg(value), 4) AS avg_click_value
+  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+  GROUP BY user_id HAVING count(*) >= 3
+)
+SELECT c.user_id, CAST(c.n_clicks AS BIGINT) AS n_clicks,
+       c.avg_click_value
+FROM clickers c
+WHERE NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.user_id = c.user_id
+                    AND p.event_type = 'purchase'
+                    AND p.ts >= TIMESTAMP '2024-01-28')
+""")
+def segment_clicks_no_purchase(spark, sf):
+    """Behavioral segment: engaged recent non-converters (≥3 clicks
+    ever, zero purchases in the trailing window) — the churn-risk /
+    retargeting audience query. Composition: filtered agg → LEFT ANTI join against the
+    purchaser keys. The anti side is distinct user_ids only (tiny),
+    so it BROADCASTS; at 100 TB this is a broadcast anti-join against
+    a distinct-keys frame, never a shuffle of the fact."""
+    e = t(spark, sf, "events")
+    clickers = (e.filter((F.col("event_type") == "click")
+                         & F.col("value").isNotNull())
+                .groupBy("user_id")
+                .agg(F.count("*").cast("bigint").alias("n_clicks"),
+                     F.round(F.avg("value"), 4).alias("avg_click_value"))
+                .filter(F.col("n_clicks") >= 3))
+    purchasers = (e.filter((F.col("event_type") == "purchase")
+                           & (F.col("ts")
+                              >= F.lit("2024-01-28").cast("timestamp_ntz")))
+                  .select("user_id").distinct())
+    return clickers.join(F.broadcast(purchasers), "user_id", "left_anti")
+
+
+@q("win_streak_longest", """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), g AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS grp
+  FROM d
+), s AS (
+  SELECT user_id, count(*) AS streak FROM g GROUP BY user_id, grp
+)
+SELECT user_id, CAST(max(streak) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM s GROUP BY user_id
+""")
+def win_streak_longest(spark, sf):
+    """Longest consecutive-day activity streak per user (and how many
+    distinct streaks) — the engagement metric. The date-minus-
+    row_number trick labels each run of consecutive days with a
+    constant key in ONE window pass (the gaps-islands idiom applied to
+    calendar days), then two cheap rollups; no self-join, no
+    recursion. Distinct-day dedup first keeps the window linear in
+    active days, not raw events."""
+    e = t(spark, sf, "events")
+    d = (e.select("user_id",
+                  F.date_trunc("day", "ts").cast("date").alias("day"))
+         .distinct())
+    w = W.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "grp", F.date_sub("day", F.row_number().over(w)))
+    s = g.groupBy("user_id", "grp").agg(F.count("*").alias("streak"))
+    return (s.groupBy("user_id")
+            .agg(F.max("streak").cast("bigint").alias("longest_streak"),
+                 F.count("*").cast("bigint").alias("n_streaks")))
