@@ -2925,3 +2925,55 @@ def win_streak_longest(spark, sf):
     return (s.groupBy("user_id")
             .agg(F.max("streak").cast("bigint").alias("longest_streak"),
                  F.count("*").cast("bigint").alias("n_streaks")))
+
+
+@q("tpch_q6_shape", """
+SELECT ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+           AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def tpch_q6_shape(spark, sf):
+    """TPC-H Q6 shape — the canonical selective scan-aggregate: three
+    pushable range predicates and a two-column product sum, no joins,
+    no grouping. The whole query is one FileScan with PushedFilters +
+    a partial-agg fold; at 100 TB this is the query where predicate
+    pushdown and column pruning ARE the runtime (a full-width scan
+    reads 11 columns; this plan reads 4 and skips row groups via
+    parquet min/max). Decimal product sum folds exactly — the money
+    discipline."""
+    li = t(spark, sf, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24))
+    return f.agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")
+                      * F.col("l_discount").cast("decimal(18,6)"))
+                .cast("double"), 2).alias("revenue"),
+        F.count("*").cast("bigint").alias("n"))
+
+
+@q("agg_collect_set_sorted", """
+SELECT user_id,
+       list_sort(list_distinct(list(event_type))) AS types,
+       CAST(len(list_distinct(list(event_type))) AS INT) AS n_types
+FROM events GROUP BY user_id
+""")
+def agg_collect_set_sorted(spark, sf):
+    """Distinct-set aggregation with deterministic rendering:
+    collect_set's element order is partitioning-dependent (a
+    string-compare trap), so the set is SORTED before leaving the
+    query — the idiom any engine-portable set-valued aggregate needs
+    (agg_collect_sorted's rule applied to sets). Map-side combinable;
+    set size bounded by the category cardinality, not rows."""
+    e = t(spark, sf, "events")
+    return (e.groupBy("user_id")
+            .agg(F.array_sort(F.collect_set("event_type")).alias("types"),
+                 F.size(F.collect_set("event_type")).alias("n_types")))
