@@ -2977,3 +2977,74 @@ def agg_collect_set_sorted(spark, sf):
     return (e.groupBy("user_id")
             .agg(F.array_sort(F.collect_set("event_type")).alias("types"),
                  F.size(F.collect_set("event_type")).alias("n_types")))
+
+
+@q("ts_time_weighted_avg", """
+WITH o AS (
+  SELECT user_id, value, epoch(ts) AS s,
+         lead(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_s
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id,
+       ROUND(sum(value * (next_s - s)) / sum(next_s - s), 4) AS twap,
+       CAST(count(*) AS BIGINT) AS n_segments
+FROM o WHERE next_s IS NOT NULL
+GROUP BY user_id
+""")
+def ts_time_weighted_avg(spark, sf):
+    """Time-weighted average (TWAP): each reading holds until the next
+    one, so its weight is the interval it covered — the correct mean
+    for irregularly-sampled telemetry/prices, where the plain avg
+    over-counts bursts. lead() pairs the intervals in one window pass
+    (same exchange as the per-user agg); the last open-ended reading
+    is excluded (no duration). Weighted sums fold as doubles — the
+    ratio rounds identically after 4 dp."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    ob = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = F.col("ts").cast("timestamp").cast("double")
+    o = (e.withColumn("s", s)
+         .withColumn("next_s", F.lead("s").over(ob))
+         .filter(F.col("next_s").isNotNull()))
+    dur = F.col("next_s") - F.col("s")
+    return (o.groupBy("user_id")
+            .agg(F.round(F.sum(F.col("value") * dur) / F.sum(dur), 4)
+                 .alias("twap"),
+                 F.count("*").cast("bigint").alias("n_segments")))
+
+
+@q("ts_pct_change_daily", """
+WITH m AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS total
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, day
+)
+SELECT event_type, day,
+       ROUND(total, 4) AS total,
+       ROUND(100.0 * (total - lag(total) OVER (PARTITION BY event_type
+                                               ORDER BY day))
+             / lag(total) OVER (PARTITION BY event_type ORDER BY day),
+             4) AS pct_change
+FROM m
+""")
+def ts_pct_change_daily(spark, sf):
+    """Period-over-period percent change per segment — the BI staple.
+    The daily rollup collapses the fact to |segments × days| rows
+    (decimal-exact sums, map-side combinable); lag() then runs over
+    those few rows, so the windowing cost is nil at any corpus size.
+    First period's change is NULL by definition. The bucket is an
+    explicit DATE cast on both engines (DuckDB's date_trunc returns
+    DATE at day granularity where Spark returns TIMESTAMP — a
+    render-parity trap)."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    m = (e.groupBy("event_type",
+                   F.date_trunc("day", "ts").cast("date").alias("day"))
+         .agg(F.sum(F.col("value").cast("decimal(18,8)")).cast("double")
+              .alias("total")))
+    w = W.partitionBy("event_type").orderBy("day")
+    prev = F.lag("total").over(w)
+    return m.select(
+        "event_type", "day", F.round("total", 4).alias("total"),
+        F.round(100.0 * (F.col("total") - prev) / prev, 4)
+        .alias("pct_change"))
