@@ -3048,3 +3048,97 @@ def ts_pct_change_daily(spark, sf):
         "event_type", "day", F.round("total", 4).alias("total"),
         F.round(100.0 * (F.col("total") - prev) / prev, 4)
         .alias("pct_change"))
+
+
+@q("pareto_cumulative_share", """
+WITH rev AS (
+  SELECT l_returnflag, l_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS r
+  FROM lineitem GROUP BY l_returnflag, l_orderkey
+), ranked AS (
+  SELECT l_returnflag, r,
+         sum(r) OVER (PARTITION BY l_returnflag
+                      ORDER BY r DESC, l_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum,
+         sum(r) OVER (PARTITION BY l_returnflag) AS total,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY r DESC, l_orderkey) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n_orders
+  FROM rev
+)
+SELECT l_returnflag,
+       CAST(min(CASE WHEN cum >= 0.8 * total THEN rn END) AS BIGINT)
+           AS orders_for_80pct,
+       CAST(max(n_orders) AS BIGINT) AS n_orders,
+       ROUND(CAST(min(CASE WHEN cum >= 0.8 * total THEN rn END) AS DOUBLE)
+             / CAST(max(n_orders) AS DOUBLE), 6) AS pareto_ratio
+FROM ranked GROUP BY l_returnflag
+""")
+def pareto_cumulative_share(spark, sf):
+    """Pareto / 80-20 concentration: how many top orders carry 80% of
+    each segment's revenue. Per-order revenue collapses the fact
+    first (decimal-exact), then running-share windows run over the
+    collapsed partials — deterministic (r DESC, orderkey) tiebreak,
+    and the 0.8·total comparison uses the same exactly-summed doubles
+    on both engines. The concentration profile that decides whether a
+    corpus/revenue table needs head-heavy special-casing at scale."""
+    li = t(spark, sf, "lineitem")
+    rev = (li.groupBy("l_returnflag", "l_orderkey")
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                .cast("double").alias("r")))
+    pw = W.partitionBy("l_returnflag")
+    ob = pw.orderBy(F.col("r").desc(), "l_orderkey")
+    ranked = (rev
+              .withColumn("cum", F.sum("r").over(
+                  ob.rowsBetween(W.unboundedPreceding, W.currentRow)))
+              .withColumn("total", F.sum("r").over(pw))
+              .withColumn("rn", F.row_number().over(ob))
+              .withColumn("n_orders", F.count("*").over(pw)))
+    hit = F.when(F.col("cum") >= 0.8 * F.col("total"), F.col("rn"))
+    return (ranked.groupBy("l_returnflag")
+            .agg(F.min(hit).cast("bigint").alias("orders_for_80pct"),
+                 F.max("n_orders").cast("bigint").alias("n_orders"),
+                 F.round(F.min(hit).cast("double")
+                         / F.max("n_orders").cast("double"), 6)
+                 .alias("pareto_ratio")))
+
+
+@q("profile_columns", """
+WITH u AS (
+  SELECT 'event_type' AS col, event_type AS v FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'value', CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'props', props FROM events
+)
+SELECT col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+FROM u GROUP BY col
+""")
+def profile_columns(spark, sf):
+    """Column profiling (rows / nulls / distinct per column) — the
+    data-quality scan every ingestion pipeline runs first. Columns
+    unpivot to (col, value-as-string) so ONE distinct-agg pass profiles
+    them all; numeric values stringify through a fixed-scale DECIMAL so
+    both engines render identically. At 100 TB swap count(DISTINCT)
+    for approx_count_distinct per column — same plan shape, sketch
+    merge instead of exact distinct shuffle."""
+    e = t(spark, sf, "events")
+    u = (e.select(F.lit("event_type").alias("col"),
+                  F.col("event_type").alias("v"))
+         .unionAll(e.select(F.lit("user_id"),
+                            F.col("user_id").cast("string")))
+         .unionAll(e.select(F.lit("value"),
+                            F.col("value").cast("decimal(18,6)")
+                            .cast("string")))
+         .unionAll(e.select(F.lit("props"), F.col("props"))))
+    return (u.groupBy("col")
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_null"),
+                 F.countDistinct("v").cast("bigint").alias("n_distinct")))
