@@ -3142,3 +3142,71 @@ def profile_columns(spark, sf):
                  F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
                  .cast("bigint").alias("n_null"),
                  F.countDistinct("v").cast("bigint").alias("n_distinct")))
+
+
+def _roundtrip_dir(sf: str, fmt: str) -> str:
+    import hashlib
+    h = hashlib.md5(sf.encode()).hexdigest()[:8]
+    return f"/tmp/ocrflow_srcfmt_{fmt}_{h}"
+
+
+def _roundtrip(spark, sf: str, fmt: str):
+    """Write events once to ``fmt`` (idempotent on _SUCCESS), read it
+    back with an explicit schema — the source-connector round-trip."""
+    import os as _os
+    path = _roundtrip_dir(sf, fmt)
+    src = t(spark, sf, "events").select("event_id", "user_id", "event_type")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        w = src.write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", "true").csv(path)
+        else:
+            w.orc(path)
+    r = spark.read
+    if fmt == "csv":
+        return (r.schema("event_id bigint, user_id bigint, event_type string")
+                .option("header", "true").option("mode", "FAILFAST")
+                .csv(path))
+    return r.orc(path)
+
+
+@q("source_csv_roundtrip", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(user_id) AS BIGINT) AS uid_sum,
+       CAST(max(event_id) AS BIGINT) AS max_id
+FROM events GROUP BY event_type
+""")
+def source_csv_roundtrip(spark, sf):
+    """CSV source connector: events written to headered CSV once, read
+    back with an EXPLICIT schema + FAILFAST (schema inference on
+    100 TB of CSV is a full extra pass and silently degrades types —
+    never infer in production). The oracle aggregates the ORIGINAL
+    parquet table: integer columns round-trip text exactly, so parity
+    proves the read path end-to-end, not a copy of the write."""
+    d = _roundtrip(spark, sf, "csv")
+    return (d.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("user_id").cast("bigint").alias("uid_sum"),
+                 F.max("event_id").cast("bigint").alias("max_id")))
+
+
+@q("source_orc_roundtrip", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(user_id) AS BIGINT) AS uid_sum,
+       CAST(max(event_id) AS BIGINT) AS max_id
+FROM events GROUP BY event_type
+""")
+def source_orc_roundtrip(spark, sf):
+    """ORC source connector (the second columnar format Spark ships
+    natively): same round-trip proof as CSV but with predicate-
+    pushdown-capable storage — at 100 TB the ORC path carries the same
+    min/max row-group skipping as parquet. Oracle aggregates the
+    original table; exact integer parity proves the full write+read
+    cycle."""
+    d = _roundtrip(spark, sf, "orc")
+    return (d.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("user_id").cast("bigint").alias("uid_sum"),
+                 F.max("event_id").cast("bigint").alias("max_id")))
