@@ -3262,3 +3262,70 @@ def ops_error_rate_spikes(spark, sf):
         F.when(F.col("trailing7").isNotNull()
                & (F.col("rate") > 1.15 * F.col("trailing7")), F.lit(True))
         .otherwise(F.lit(False)).alias("is_spike"))
+
+
+@q("geo_hierarchy_rollup", """
+SELECT coalesce(r_name, '<all>') AS region,
+       coalesce(n_name, '<all>') AS nation,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+           AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""")
+def geo_hierarchy_rollup(spark, sf):
+    """Dimension-hierarchy rollup: order revenue by region → nation →
+    grand total in one pass (ROLLUP over the joined star). The whole
+    dimension chain (customer → nation → region) BROADCASTS — only the
+    orders fact streams — and the rollup expands grouping sets inside
+    a single aggregate, so subtotals cost no extra scans. The classic
+    drill-down report at warehouse scale."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = t(spark, sf, "region")
+    j = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (j.rollup("r_name", "n_name")
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                         .cast("double"), 2).alias("revenue"))
+            .select(F.coalesce("r_name", F.lit("<all>")).alias("region"),
+                    F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+                    "n_orders", "revenue"))
+
+
+@q("supplier_diversity_q16", """
+SELECT p_brand, p_type,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 20
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+HAVING count(DISTINCT l_suppkey) >= 2
+""")
+def supplier_diversity_q16(spark, sf):
+    """TPC-H Q16 shape: supplier diversity per (brand, type), excluding
+    a denylist via NOT IN — which Catalyst plans as a null-aware anti
+    join (the denylist is tiny → broadcast). Distinct-count over the
+    join output, HAVING on the aggregate. The supply-chain
+    concentration query; at 100 TB the part dim broadcasts and only
+    the fact shuffles (for the distinct)."""
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    p = (t(spark, sf, "part")
+         .filter(F.col("p_size") <= 20)
+         .select("p_partkey", "p_brand", "p_type"))
+    bad = (t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0)
+           .select(F.col("s_suppkey").alias("l_suppkey")))
+    j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .join(F.broadcast(bad), "l_suppkey", "left_anti"))
+    return (j.groupBy("p_brand", "p_type")
+            .agg(F.countDistinct("l_suppkey").cast("bigint")
+                 .alias("n_suppliers"))
+            .filter(F.col("n_suppliers") >= 2))
