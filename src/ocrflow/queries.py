@@ -3329,3 +3329,54 @@ def supplier_diversity_q16(spark, sf):
             .agg(F.countDistinct("l_suppkey").cast("bigint")
                  .alias("n_suppliers"))
             .filter(F.col("n_suppliers") >= 2))
+
+
+@q("customer_rfm", """
+WITH agg AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, last_order, frequency, ROUND(monetary, 2) AS monetary,
+       CAST(r AS BIGINT) AS r_score, CAST(f AS BIGINT) AS f_score,
+       CAST(m AS BIGINT) AS m_score,
+       CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+           AS rfm_code
+FROM (
+  SELECT *,
+         ntile(4) OVER (ORDER BY last_order DESC, custkey) AS r,
+         ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f,
+         ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m
+  FROM agg
+)
+""")
+def customer_rfm(spark, sf):
+    """RFM segmentation (recency / frequency / monetary quartiles per
+    customer) — the CRM workhorse. One pass collapses orders to
+    per-customer aggregates; three ntile windows then rank the
+    COLLAPSED frame (|customers| rows, not orders), each with a
+    custkey tiebreak so quartile boundaries are deterministic. The
+    concatenated code ('111' = best) is what campaign tooling joins
+    on. Global ntile = single-partition windows over the collapsed
+    frame — fine at |customers|; for billions of customers switch to
+    percent_rank thresholds (same scores, fully parallel)."""
+    o = t(spark, sf, "orders")
+    agg = (o.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.max("o_orderdate").alias("last_order"),
+                F.count("*").cast("bigint").alias("frequency"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double").alias("monetary")))
+    r = F.ntile(4).over(W.orderBy(F.col("last_order").desc(), "custkey"))
+    f = F.ntile(4).over(W.orderBy(F.col("frequency").desc(), "custkey"))
+    m = F.ntile(4).over(W.orderBy(F.col("monetary").desc(), "custkey"))
+    s = (agg.withColumn("r", r).withColumn("f", f).withColumn("m", m))
+    return s.select(
+        "custkey", "last_order", "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        F.col("r").cast("bigint").alias("r_score"),
+        F.col("f").cast("bigint").alias("f_score"),
+        F.col("m").cast("bigint").alias("m_score"),
+        F.concat(F.col("r").cast("string"), F.col("f").cast("string"),
+                 F.col("m").cast("string")).alias("rfm_code"))
