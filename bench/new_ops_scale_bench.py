@@ -42,6 +42,14 @@ OPS = [
     "text_repetition_filter", "decontaminate_overlap",
     "pack_sequences_nextfit",
 ]
+# session-tail additions; run with OCRFLOW_OPS=tail to measure these
+# (writes new_ops_scaling2.json)
+OPS_TAIL = [
+    "text_lm_score", "heavy_hitters_mg", "corpus_curation_e2e",
+    "interval_merge", "ts_ewma", "win_rolling_median", "scd2_build",
+    "join_point_in_time", "ts_time_weighted_avg", "win_autocorr",
+    "event_transition_matrix", "win_cumulative_distinct",
+]
 
 
 def main() -> None:
@@ -54,6 +62,10 @@ def main() -> None:
     spark = build_session(master="local[8]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
 
+    ops = OPS_TAIL if os.environ.get("OCRFLOW_OPS") == "tail" else OPS
+    out_name = ("new_ops_scaling2.json"
+                if os.environ.get("OCRFLOW_OPS") == "tail"
+                else "new_ops_scaling.json")
     scratch = "/tmp/ocrflow_join_scale"   # shared with join_scale_bench
     dirs = {k: replicate(spark, SF_DIR, k, os.path.join(scratch, f"x{k}"))
             for k in (1, 4)}
@@ -61,12 +73,12 @@ def main() -> None:
     def sink(df):
         df.write.format("noop").mode("overwrite").save()
 
-    for op in OPS:                     # warmup (JIT + page cache)
+    for op in ops:                     # warmup (JIT + page cache)
         sink(QUERIES[op](spark, dirs[1]))
 
     results: dict = {"sf_dir": SF_DIR, "timing": "best_of_2_noop_write",
                      "ops": {}}
-    for op in OPS:
+    for op in ops:
         fn = QUERIES[op]
         walls, rows = {}, {}
         for k in (1, 4):
@@ -83,7 +95,7 @@ def main() -> None:
                               "wall_growth_4x": growth}
         print(op, results["ops"][op], flush=True)
 
-    out = os.path.join(REPO, "BENCH", "new_ops_scaling.json")
+    out = os.path.join(REPO, "BENCH", out_name)
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
     print("wrote", out)
