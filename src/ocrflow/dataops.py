@@ -1909,3 +1909,42 @@ def text_lm_score(spark, sf):
                  F.round(F.avg(F.log(F.col("nb").cast("double")
                                      / F.col("nu").cast("double"))), 4)
                  .alias("avg_logprob")))
+
+
+@q("dedup_containment", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(text, '\s+')) AS tk
+  FROM documents WHERE text IS NOT NULL AND n_chars < 150
+)
+SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+       ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+             / len(a.tk), 6) AS containment
+FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
+WHERE len(a.tk) <= len(b.tk)
+  AND CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / len(a.tk) >= 0.9
+""")
+def dedup_containment(spark, sf):
+    """ASYMMETRIC near-dup: containment |A∩B|/|A| ≥ 0.9 finds docs
+    swallowed by a larger doc — the quote/excerpt/boilerplate-superset
+    case Jaccard MISSES (a 10-word quote inside a 200-word page has
+    tiny Jaccard but containment 1.0; Broder's original distinction).
+    Same length-blocked exact verifier shape as dedup_ngram_jaccard
+    (the oracle twin of an LSH scanner, deliberately scoped to short
+    docs); the smaller-side convention (|A| ≤ |B|) halves the pair
+    space and fixes the direction."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.col("n_chars") < 150))
+         .select("doc_id",
+                 F.array_distinct(F.split("text", r"\s+")).alias("tk")))
+    a = d.select(F.col("doc_id").alias("contained_doc"),
+                 F.col("tk").alias("tka"))
+    b = d.select(F.col("doc_id").alias("container_doc"),
+                 F.col("tk").alias("tkb"))
+    j = a.join(b, (F.col("contained_doc") != F.col("container_doc"))
+               & (F.size("tka") <= F.size("tkb")))
+    inter = F.size(F.array_intersect("tka", "tkb")).cast("double")
+    cont = inter / F.size("tka")
+    return (j.filter(cont >= 0.9)
+            .select("contained_doc", "container_doc",
+                    F.round(cont, 6).alias("containment")))

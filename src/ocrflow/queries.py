@@ -3380,3 +3380,32 @@ def customer_rfm(spark, sf):
         F.col("m").cast("bigint").alias("m_score"),
         F.concat(F.col("r").cast("string"), F.col("f").cast("string"),
                  F.col("m").cast("string")).alias("rfm_code"))
+
+
+@q("topk_with_ties", """
+SELECT l_returnflag, l_orderkey, price_sum, rnk FROM (
+  SELECT l_returnflag, l_orderkey,
+         ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+               AS DOUBLE), 2) AS price_sum,
+         CAST(rank() OVER (PARTITION BY l_returnflag
+                           ORDER BY CAST(sum(CAST(l_extendedprice
+                               AS DECIMAL(18,6))) AS DOUBLE) DESC)
+              AS BIGINT) AS rnk
+  FROM lineitem GROUP BY l_returnflag, l_orderkey
+)
+WHERE rnk <= 3
+""")
+def topk_with_ties(spark, sf):
+    """Top-k WITH TIES (rank ≤ k, not row_number ≤ k): when the k-th
+    and (k+1)-th values are equal, BOTH survive — SQL FETCH ... WITH
+    TIES / the leaderboard rule. The semantic sibling of topk_per_group
+    (which must break ties to return exactly k); carrying both is what
+    lets a user pick the contract they mean. Decimal-exact sums mean
+    tie groups are identical across engines."""
+    li = t(spark, sf, "lineitem")
+    rev = (li.groupBy("l_returnflag", "l_orderkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                        .cast("double"), 2).alias("price_sum")))
+    w = W.partitionBy("l_returnflag").orderBy(F.col("price_sum").desc())
+    return (rev.withColumn("rnk", F.rank().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= 3))
