@@ -3409,3 +3409,61 @@ def topk_with_ties(spark, sf):
     w = W.partitionBy("l_returnflag").orderBy(F.col("price_sum").desc())
     return (rev.withColumn("rnk", F.rank().over(w).cast("bigint"))
             .filter(F.col("rnk") <= 3))
+
+
+@q("str_printf_format", """
+SELECT event_id,
+       printf('u%05d/%s', user_id, event_type) AS tag,
+       printf('%.3f', CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE))
+           AS val3
+FROM events WHERE value IS NOT NULL
+""")
+def str_printf_format(spark, sf):
+    """C-style printf formatting (zero-padded ids, fixed-precision
+    floats) — the deterministic string-rendering layer a feature/
+    export pipeline needs (format_number is locale-sensitive; printf
+    is not — that's why it's the one worth standardizing on). Floats
+    go through a fixed-scale DECIMAL before %.3f so both engines
+    format the identical double. Pure per-row JVM expressions."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    return e.select(
+        "event_id",
+        F.printf(F.lit("u%05d/%s"), F.col("user_id"),
+                 F.col("event_type")).alias("tag"),
+        F.printf(F.lit("%.3f"),
+                 F.col("value").cast("decimal(18,6)").cast("double"))
+        .alias("val3"))
+
+
+@q("scalar_null_semantics", """
+SELECT event_id,
+       coalesce(props, event_type, '<none>') AS first_non_null,
+       nullif(event_type, 'error') AS type_unless_error,
+       least(value, 50.0) AS capped_least,
+       greatest(value, 50.0) AS floored_greatest,
+       CASE WHEN value IS NULL THEN 'null'
+            WHEN value IS NOT DISTINCT FROM NULL THEN 'impossible'
+            ELSE 'present' END AS null_probe,
+       CAST(value IS NOT DISTINCT FROM NULL AS BOOLEAN) AS is_null_nsafe
+FROM events
+""")
+def scalar_null_semantics(spark, sf):
+    """NULL-propagation semantics spelled out and cross-checked:
+    coalesce chains, nullif, least/greatest (BOTH engines skip NULLs
+    and return the extreme of the non-null arguments — the SQL corner
+    that silently differs from some engines' any-null→null rule), and
+    null-safe equality (<=> / IS NOT DISTINCT FROM). The parity check
+    is the point: these rules are where ports from other engines break
+    quietly."""
+    e = t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.coalesce("props", "event_type", F.lit("<none>"))
+        .alias("first_non_null"),
+        F.nullif("event_type", F.lit("error")).alias("type_unless_error"),
+        F.least("value", F.lit(50.0)).alias("capped_least"),
+        F.greatest("value", F.lit(50.0)).alias("floored_greatest"),
+        F.when(F.col("value").isNull(), "null")
+        .when(F.col("value").eqNullSafe(F.lit(None)), "impossible")
+        .otherwise("present").alias("null_probe"),
+        F.col("value").eqNullSafe(F.lit(None)).alias("is_null_nsafe"))
