@@ -3467,3 +3467,47 @@ def scalar_null_semantics(spark, sf):
         .when(F.col("value").eqNullSafe(F.lit(None)), "impossible")
         .otherwise("present").alias("null_probe"),
         F.col("value").eqNullSafe(F.lit(None)).alias("is_null_nsafe"))
+
+
+@q("dau_wau_stickiness", """
+WITH act AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+), days AS (SELECT DISTINCT day FROM act),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY day),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+  FROM days d JOIN act a
+    ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day
+)
+SELECT dau.day, dau.dau, wau.wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+           AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+""")
+def dau_wau_stickiness(spark, sf):
+    """DAU / WAU / stickiness (the growth-analytics ratio): activity
+    collapses to the DISTINCT (day, user) frame FIRST — that frame is
+    |users × active days|, orders of magnitude under the event log —
+    then WAU is a range join of the day spine against it (sliding
+    DISTINCT windows don't exist; the collapsed range join is the
+    scalable idiom, and the spine side is |days| rows so the join
+    broadcasts it). DAU/WAU ≥ 1/7 by construction; 1.0 = everyone
+    active daily."""
+    e = t(spark, sf, "events")
+    act = (e.select(F.date_trunc("day", "ts").cast("date").alias("day"),
+                    "user_id").distinct())
+    days = act.select("day").distinct()
+    dau = act.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    a = act.select(F.col("day").alias("aday"), "user_id")
+    wau = (F.broadcast(days).join(
+        a, (F.col("aday") >= F.date_sub("day", 6))
+           & (F.col("aday") <= F.col("day")))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau")))
+    return (dau.join(wau, "day")
+            .select("day", "dau", "wau",
+                    F.round(F.col("dau").cast("double")
+                            / F.col("wau").cast("double"), 6)
+                    .alias("stickiness")))
