@@ -3511,3 +3511,59 @@ def dau_wau_stickiness(spark, sf):
                     F.round(F.col("dau").cast("double")
                             / F.col("wau").cast("double"), 6)
                     .alias("stickiness")))
+
+
+@q("order_fulfillment_lag", """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(min(datediff('day', o_orderdate, l_shipdate)) AS BIGINT)
+           AS min_lag_days,
+       CAST(max(datediff('day', o_orderdate, l_shipdate)) AS BIGINT)
+           AS max_lag_days,
+       ROUND(avg(CAST(datediff('day', o_orderdate, l_shipdate)
+                 AS DOUBLE)), 4) AS avg_lag_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""")
+def order_fulfillment_lag(spark, sf):
+    """Fulfillment lag (order date → line ship date) per priority
+    class — the SLA / logistics readout. Day-granularity datediff is
+    integer-exact across engines (no timezone arithmetic at DATE
+    precision); the orders side carries only two columns into the
+    join, and at 100 TB it broadcasts if the order count allows or
+    co-partitions on orderkey (the join_bucketed_colocated recipe)."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate",
+                                      "o_orderpriority")
+    lag = F.datediff(F.col("l_shipdate").cast("date"),
+                     F.col("o_orderdate").cast("date"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("n_lines"),
+                 F.min(lag).cast("bigint").alias("min_lag_days"),
+                 F.max(lag).cast("bigint").alias("max_lag_days"),
+                 F.round(F.avg(lag.cast("double")), 4)
+                 .alias("avg_lag_days")))
+
+
+@q("events_heatmap_dow_hour", """
+SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(avg(value), 4) AS avg_value
+FROM events WHERE value IS NOT NULL
+GROUP BY dow, hour
+""")
+def events_heatmap_dow_hour(spark, sf):
+    """Activity heatmap over (ISO day-of-week × hour) — the capacity-
+    planning grid. Day-of-week is an ENGINE TRAP: Spark's dayofweek()
+    is 1=Sunday, DuckDB's isodow() is 1=Monday — this op normalizes
+    Spark to ISO ((dayofweek+5) % 7 + 1) so the grids align; silently
+    mixing conventions shifts every weekly pattern by one day. One
+    map-side-combinable agg to a 7×24 grid."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    isodow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("bigint")
+    return (e.groupBy(isodow.alias("dow"),
+                      F.hour("ts").cast("bigint").alias("hour"))
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.avg("value"), 4).alias("avg_value")))
