@@ -3567,3 +3567,95 @@ def events_heatmap_dow_hour(spark, sf):
                       F.hour("ts").cast("bigint").alias("hour"))
             .agg(F.count("*").cast("bigint").alias("n"),
                  F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+@q("attribution_first_touch", """
+WITH ft AS (
+  SELECT user_id, event_type AS first_touch FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+    FROM events
+  ) WHERE rn = 1
+), conv AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT f.first_touch,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_converted,
+       ROUND(CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS conv_rate
+FROM ft f LEFT JOIN conv c ON f.user_id = c.user_id
+GROUP BY f.first_touch
+""")
+def attribution_first_touch(spark, sf):
+    """First-touch attribution: each user's very first event type
+    (deterministic (ts, event_id) tiebreak) credited with whether they
+    ever converted — the marketing-channel readout. The first-touch
+    window and the converter set both collapse to |users| rows before
+    the join, so the rate table costs two small exchanges regardless
+    of event volume; the left join keeps never-converting channels in
+    the denominator (dropping them is the classic attribution bug)."""
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ft = (e.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") == 1)
+          .select("user_id", F.col("event_type").alias("first_touch")))
+    conv = (e.filter(F.col("event_type") == "purchase")
+            .select("user_id").distinct()
+            .withColumn("converted", F.lit(1)))
+    j = ft.join(conv, "user_id", "left")
+    return (j.groupBy("first_touch")
+            .agg(F.count("*").cast("bigint").alias("n_users"),
+                 F.sum(F.coalesce("converted", F.lit(0))).cast("bigint")
+                 .alias("n_converted"),
+                 F.round(F.sum(F.coalesce("converted", F.lit(0)))
+                         .cast("double") / F.count("*").cast("double"), 6)
+                 .alias("conv_rate")))
+
+
+@q("peak_concurrency", """
+WITH delta AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, ts AS at, 1 AS d,
+         event_id
+  FROM events
+  UNION ALL
+  SELECT CAST(date_trunc('day', ts) AS DATE), ts + INTERVAL 5 MINUTE, -1,
+         event_id
+  FROM events
+), run AS (
+  SELECT day,
+         sum(d) OVER (PARTITION BY day ORDER BY at, d DESC, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS concurrent
+  FROM delta
+)
+SELECT day, CAST(max(concurrent) AS BIGINT) AS peak_concurrent
+FROM run GROUP BY day
+""")
+def peak_concurrency(spark, sf):
+    """Peak concurrency per day (each event holds a 5-minute session):
+    the classic +1/−1 boundary sweep — every interval emits a start
+    and an end marker, one ordered running sum finds the maximum
+    overlap. O(n log n) per day versus the quadratic interval
+    self-join a naive port writes. Tie rule pinned on both engines:
+    at the same instant, starts (+1) sort before ends (d DESC) — an
+    interval touching another's endpoint counts as overlapping — and
+    event_id breaks the rest. Day-partitioned windows shard the sweep
+    (sessions here never span midnight: bounded 5-min intervals and
+    per-day grouping — document the cross-boundary carry if sessions
+    can)."""
+    e = t(spark, sf, "events")
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+    starts = e.select(day, F.col("ts").alias("at"), F.lit(1).alias("d"),
+                      "event_id")
+    ends = e.select(day,
+                    (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("at"),
+                    F.lit(-1).alias("d"), "event_id")
+    delta = starts.unionByName(ends)
+    w = (W.partitionBy("day").orderBy("at", F.col("d").desc(), "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    run = delta.withColumn("concurrent", F.sum("d").over(w))
+    return (run.groupBy("day")
+            .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent")))
