@@ -3659,3 +3659,42 @@ def peak_concurrency(spark, sf):
     run = delta.withColumn("concurrent", F.sum("d").over(w))
     return (run.groupBy("day")
             .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent")))
+
+
+@q("benford_digit_profile", """
+WITH d AS (
+  SELECT CAST(floor(value / pow(10, floor(log10(value)))) AS BIGINT)
+             AS digit
+  FROM events WHERE value IS NOT NULL AND value >= 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+SELECT digit,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       ROUND(CAST(count(*) AS DOUBLE) / CAST(max(tot.n) AS DOUBLE), 6)
+           AS p_obs,
+       ROUND(log10(1.0 + 1.0 / digit) / log10(10.0), 6) AS p_benford
+FROM d, tot GROUP BY digit
+""")
+def benford_digit_profile(spark, sf):
+    """Benford first-digit profile: observed leading-digit frequencies
+    vs the log10(1 + 1/d) expectation — the data-forensics scan that
+    flags fabricated or truncated numeric columns before they poison a
+    pipeline (a uniform synthetic column like this one deviates from
+    Benford VISIBLY, which is exactly the point of carrying the
+    expected column alongside). Leading digit via log10/pow is pure
+    per-row math; the grand total broadcasts back as a 1-row
+    cross join. Both log10 ratios round identically."""
+    e = t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 1))
+    d = e.select(F.floor(F.col("value")
+                         / F.pow(F.lit(10.0),
+                                 F.floor(F.log10("value"))))
+                 .cast("bigint").alias("digit"))
+    tot = d.agg(F.count("*").cast("bigint").alias("n"))
+    return (d.groupBy("digit")
+            .agg(F.count("*").cast("bigint").alias("n_obs"))
+            .crossJoin(F.broadcast(tot))
+            .select("digit", "n_obs",
+                    F.round(F.col("n_obs").cast("double")
+                            / F.col("n").cast("double"), 6).alias("p_obs"),
+                    F.round(F.log10(1.0 + 1.0 / F.col("digit"))
+                            / F.log10(F.lit(10.0)), 6).alias("p_benford")))
