@@ -1948,3 +1948,59 @@ def dedup_containment(spark, sf):
     return (j.filter(cont >= 0.9)
             .select("contained_doc", "container_doc",
                     F.round(cont, 6).alias("containment")))
+
+
+@q("sample_weighted_topk", """
+WITH u AS (
+  SELECT doc_id, lang, n_chars,
+         (CAST(strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+               AS DOUBLE) * 4096
+          + (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) + 1.0)
+         / 65537.0 AS uni
+  FROM documents WHERE text IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, lang, n_chars,
+       ROUND(pow(uni, 1.0 / n_chars), 8) AS sample_key
+FROM (
+  SELECT *, row_number() OVER (
+      ORDER BY pow(uni, 1.0 / n_chars) DESC, doc_id) AS rn
+  FROM u
+) WHERE rn <= 20
+""")
+def sample_weighted_topk(spark, sf):
+    """Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES):
+    each doc draws key = u^(1/w) from a reproducible uniform and the
+    top-k keys form a weighted-without-replacement sample — here
+    weight = n_chars, the corpus-mixing primitive (sample long docs
+    proportionally more). The uniform derives from 4 md5 hex digits
+    decoded POSITIONALLY (strpos over '0123456789abcdef' — both
+    engines lack a portable hex→int cast, so the digits are decoded
+    by string position, identically). Top-k via one TakeOrdered-style
+    window with doc_id tiebreak; at scale per-partition top-k
+    pre-prunes before the final merge (same plan Spark already picks
+    for orderBy+limit)."""
+    d = t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.col("n_chars") > 0))
+    hx = F.md5(F.col("doc_id").cast("string"))
+    digits = "0123456789abcdef"
+
+    def hexval(i):
+        return F.instr(F.lit(digits), F.substring(hx, i, 1)) - 1
+
+    uni = ((hexval(1).cast("double") * 4096 + hexval(2) * 256
+            + hexval(3) * 16 + hexval(4) + 1.0) / 65537.0)
+    key = F.pow(uni, 1.0 / F.col("n_chars"))
+    w = W.orderBy(key.desc(), "doc_id")
+    return (d.select("doc_id", "lang", "n_chars",
+                     key.alias("_k"))
+            .withColumn("rn", F.row_number().over(
+                W.orderBy(F.col("_k").desc(), "doc_id")))
+            .filter(F.col("rn") <= 20)
+            .select("doc_id", "lang", "n_chars",
+                    F.round("_k", 8).alias("sample_key")))
