@@ -2004,3 +2004,81 @@ def sample_weighted_topk(spark, sf):
             .filter(F.col("rn") <= 20)
             .select("doc_id", "lang", "n_chars",
                     F.round("_k", 8).alias("sample_key")))
+
+
+@q("corpus_mix_plan", """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+  FROM documents WHERE text IS NOT NULL GROUP BY lang
+), tot AS (SELECT CAST(sum(n_chars_total) AS BIGINT) AS grand FROM c)
+SELECT lang, n_docs, n_chars_total,
+       ROUND(CAST(n_chars_total AS DOUBLE) / CAST(grand AS DOUBLE), 6)
+           AS actual_share,
+       CAST(CASE WHEN lang = 'en' THEN 0.6 ELSE 0.1 END AS DOUBLE)
+           AS target_share,
+       ROUND(least((CASE WHEN lang = 'en' THEN 0.6 ELSE 0.1 END)
+                   / (CAST(n_chars_total AS DOUBLE) / CAST(grand AS DOUBLE)),
+                   1.0), 6) AS keep_rate
+FROM c, tot
+""")
+def corpus_mix_plan(spark, sf):
+    """Pretraining mix planning: actual char-share per language vs a
+    target mix, and the keep-rate (capped at 1.0 — never upsample by
+    duplication here) that a downsampling pass should apply to hit it.
+    The arithmetic the sample_weighted_topk / sample_stratified ops
+    then EXECUTE — plan and mechanism as separate, composable
+    operators. One tiny agg + a broadcast grand total."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    c = (d.groupBy("lang")
+         .agg(F.count("*").cast("bigint").alias("n_docs"),
+              F.sum("n_chars").cast("bigint").alias("n_chars_total")))
+    tot = c.agg(F.sum("n_chars_total").cast("bigint").alias("grand"))
+    share = F.col("n_chars_total").cast("double") / F.col("grand").cast("double")
+    target = F.when(F.col("lang") == "en", 0.6).otherwise(0.1)
+    return (c.crossJoin(F.broadcast(tot))
+            .select("lang", "n_docs", "n_chars_total",
+                    F.round(share, 6).alias("actual_share"),
+                    target.alias("target_share"),
+                    F.round(F.least(target / share, F.lit(1.0)), 6)
+                    .alias("keep_rate")))
+
+
+@q("vocab_growth_curve", r"""
+WITH firsts AS (
+  SELECT w, min(doc_id) AS first_doc FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+    FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+  ) GROUP BY w
+), spine AS (
+  SELECT unnest(generate_series(1, 10)) AS decile
+)
+SELECT s.decile,
+       CAST(count(CASE WHEN f.first_doc
+                       <= s.decile * (SELECT max(first_doc) FROM firsts) / 10
+                       THEN 1 END) AS BIGINT) AS vocab_size
+FROM spine s CROSS JOIN firsts f
+GROUP BY s.decile
+""")
+def vocab_growth_curve(spark, sf):
+    """Vocabulary growth curve (Heaps'-law profile): distinct words
+    seen after each decile of the corpus, computed WITHOUT ten passes —
+    each word reduces to its FIRST document (one agg), then every
+    decile threshold counts first-docs below it from that tiny
+    (word → first_doc) table crossed with a 10-row spine. The
+    diagnostic that says whether a tokenizer/vocab budget will
+    saturate; sublinear growth = healthy, linear = the corpus keeps
+    inventing tokens (OCR noise, IDs) and needs cleaning."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)))
+    words = d.select("doc_id",
+                     F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    firsts = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    spine = t(spark, sf, "documents").sparkSession.range(1, 11) \
+        .select(F.col("id").cast("bigint").alias("decile"))
+    mx = firsts.agg(F.max("first_doc").alias("m"))
+    j = firsts.crossJoin(F.broadcast(spine)).crossJoin(F.broadcast(mx))
+    return (j.groupBy("decile")
+            .agg(F.count(F.when(
+                F.col("first_doc") <= F.col("decile") * F.col("m") / 10,
+                1)).cast("bigint").alias("vocab_size")))
