@@ -2082,3 +2082,68 @@ def vocab_growth_curve(spark, sf):
             .agg(F.count(F.when(
                 F.col("first_doc") <= F.col("decile") * F.col("m") / 10,
                 1)).cast("bigint").alias("vocab_size")))
+
+
+@q("tfidf_cosine_pairs", r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+             regexp_split_to_array(trim(text), '\s+'))) AS w
+  FROM documents WHERE text IS NOT NULL AND n_chars < 150
+), df AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS dfreq FROM toks GROUP BY w
+), nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM toks),
+wt AS (
+  SELECT t.doc_id, t.w,
+         ln(1.0 + CAST((SELECT n FROM nd) AS DOUBLE) / dfreq) AS idf
+  FROM toks t JOIN df ON t.w = df.w
+), nrm AS (
+  SELECT doc_id, sqrt(sum(idf * idf)) AS l2 FROM wt GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(sum(wa.idf * wb.idf) / (max(na.l2) * max(nb.l2)), 6) AS cosine
+FROM wt wa JOIN wt wb ON wa.w = wb.w AND wa.doc_id < wb.doc_id
+JOIN nrm na ON na.doc_id = wa.doc_id
+JOIN nrm nb ON nb.doc_id = wb.doc_id
+JOIN (SELECT DISTINCT doc_id FROM toks) a ON a.doc_id = wa.doc_id
+JOIN (SELECT DISTINCT doc_id FROM toks) b ON b.doc_id = wb.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING sum(wa.idf * wb.idf) / (max(na.l2) * max(nb.l2)) >= 0.5
+""")
+def tfidf_cosine_pairs(spark, sf):
+    """WEIGHTED document similarity: idf-weighted cosine over shared
+    terms (binary tf — presence — so only idf weights matter), pairs
+    above 0.5. Completes the near-dup triad: Jaccard (symmetric set
+    overlap), containment (asymmetric), and now idf-cosine, which
+    discounts ubiquitous words so boilerplate overlap stops inflating
+    similarity. The pair join runs on the TERM index (inverted-index
+    self-join, fanout bounded per term by its df), with idf and norms
+    precomputed once — the exact verifier twin of a production LSH
+    scan, scoped to short docs like its siblings."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.col("n_chars") < 150)))
+    toks = d.select("doc_id", F.explode(
+        F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w"))
+    dfreq = toks.groupBy("w").agg(F.count("*").alias("dfreq"))
+    nd = toks.agg(F.countDistinct("doc_id").alias("n"))
+    wt = (toks.join(F.broadcast(dfreq), "w")
+          .crossJoin(F.broadcast(nd))
+          .select("doc_id", "w",
+                  F.log(1.0 + F.col("n").cast("double") / F.col("dfreq"))
+                  .alias("idf")))
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("l2"))
+    wa = wt.select(F.col("doc_id").alias("doc_a"),
+                   F.col("w").alias("wa_w"), F.col("idf").alias("ia"))
+    wb = wt.select(F.col("doc_id").alias("doc_b"),
+                   F.col("w").alias("wb_w"), F.col("idf").alias("ib"))
+    pairs = (wa.join(wb, (F.col("wa_w") == F.col("wb_w"))
+                     & (F.col("doc_a") < F.col("doc_b")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.sum(F.col("ia") * F.col("ib")).alias("dot")))
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("l2").alias("la"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("l2").alias("lb"))
+    cos = F.col("dot") / (F.col("la") * F.col("lb"))
+    return (pairs.join(F.broadcast(na), "doc_a")
+            .join(F.broadcast(nb), "doc_b")
+            .filter(cos >= 0.5)
+            .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine")))
