@@ -3698,3 +3698,67 @@ def benford_digit_profile(spark, sf):
                             / F.col("n").cast("double"), 6).alias("p_obs"),
                     F.round(F.log10(1.0 + 1.0 / F.col("digit"))
                             / F.log10(F.lit(10.0)), 6).alias("p_benford")))
+
+
+@q("events_interarrival_stats", """
+WITH g AS (
+  SELECT event_type,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT event_type,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       ROUND(avg(gap), 4) AS mean_gap_s,
+       ROUND(min(gap), 4) AS min_gap_s,
+       ROUND(max(gap), 4) AS max_gap_s
+FROM g GROUP BY event_type
+""")
+def events_interarrival_stats(spark, sf):
+    """Inter-arrival gap statistics per event type — the rate/burst
+    profile that sizes streaming watermarks and batch windows (mean
+    gap ≈ 1/rate; max gap bounds the silence a watermark must
+    tolerate). One window (lag of epoch seconds, NTZ via the
+    TIMESTAMP-cast rule) riding the same exchange as the rollup."""
+    e = t(spark, sf, "events")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    g = e.select("event_type",
+                 (sec - F.lag(sec).over(w)).alias("gap"))
+    return (g.groupBy("event_type")
+            .agg(F.count("gap").cast("bigint").alias("n_gaps"),
+                 F.round(F.avg("gap"), 4).alias("mean_gap_s"),
+                 F.round(F.min("gap"), 4).alias("min_gap_s"),
+                 F.round(F.max("gap"), 4).alias("max_gap_s")))
+
+
+@q("single_source_parts", """
+SELECT p.p_partkey, p.p_brand, p.p_retailprice,
+       CAST(n_supp AS BIGINT) AS n_suppliers
+FROM (
+  SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp
+  FROM lineitem GROUP BY l_partkey
+  HAVING count(DISTINCT l_suppkey) <= 16
+) s JOIN part p ON s.l_partkey = p.p_partkey
+WHERE p.p_retailprice > 950
+""")
+def single_source_parts(spark, sf):
+    """Concentrated-supply risk: expensive parts with the FEWEST
+    distinct suppliers in their order history — the procurement
+    red-flag list (threshold tuned to this corpus's dense synthetic
+    supply graph, where every part has 13+ suppliers; in a real
+    catalog the cut is =1, true single-sourcing). Distinct-count +
+    HAVING collapses the fact to at-risk part keys (tiny), which then
+    broadcast-join the part dim for attributes; the price filter
+    pushes into the dim scan. The inverse cut of
+    supplier_diversity_q16."""
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    s = (li.groupBy("l_partkey")
+         .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+         .filter(F.col("n_supp") <= 16))
+    p = (t(spark, sf, "part")
+         .filter(F.col("p_retailprice") > 950)
+         .select("p_partkey", "p_brand", "p_retailprice"))
+    return (s.join(p, s.l_partkey == p.p_partkey)
+            .select("p_partkey", "p_brand", "p_retailprice",
+                    F.col("n_supp").cast("bigint").alias("n_suppliers")))
