@@ -1996,7 +1996,6 @@ def sample_weighted_topk(spark, sf):
     uni = ((hexval(1).cast("double") * 4096 + hexval(2) * 256
             + hexval(3) * 16 + hexval(4) + 1.0) / 65537.0)
     key = F.pow(uni, 1.0 / F.col("n_chars"))
-    w = W.orderBy(key.desc(), "doc_id")
     return (d.select("doc_id", "lang", "n_chars",
                      key.alias("_k"))
             .withColumn("rn", F.row_number().over(

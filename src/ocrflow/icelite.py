@@ -33,6 +33,10 @@ import os
 import time
 import uuid
 
+# CURRENT.lock is held for microseconds; anything older than this is a
+# crashed holder and is reclaimed by the next _advance_current waiter.
+_LOCK_STALE_SECS = 5.0
+
 
 class CommitConflictError(RuntimeError):
     """A validated commit found the table changed under it (Iceberg's
@@ -183,9 +187,11 @@ class IceliteTable:
         of adjacent sids can race here, and an unserialized
         read-then-write would let a slower earlier winner clobber a
         later pointer after its staleness check. The lock holder window
-        is microseconds; if a crashed holder leaves the lock behind we
-        fall through unlocked after ~2s (worst case is the original
-        benign monotonicity race, never a lost manifest)."""
+        is microseconds; a lock left behind by a crashed holder is
+        reclaimed once its mtime is older than _LOCK_STALE_SECS, so the
+        mutex self-heals instead of degrading every later commit to the
+        unlocked ~2s fallback (worst case of that fallback is the
+        original benign monotonicity race, never a lost manifest)."""
         lock = os.path.join(self.meta_dir, "CURRENT.lock")
         tmp = lock + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
@@ -198,6 +204,14 @@ class IceliteTable:
                     acquired = True
                     break
                 except FileExistsError:
+                    try:
+                        if time.time() - os.stat(lock).st_mtime > _LOCK_STALE_SECS:
+                            # crashed holder: reclaim, then re-race for
+                            # the link (another waiter may win — fine)
+                            os.remove(lock)
+                            continue
+                    except FileNotFoundError:
+                        continue  # holder released between link and stat
                     time.sleep(0.001)
             if (self.current_snapshot_id() or 0) < sid:
                 self._atomic_write(os.path.join(self.meta_dir, "CURRENT"),

@@ -1952,12 +1952,13 @@ def ts_ewma(spark, sf):
     closed-form: y_i = Σ α^(i-j) x_j / Σ α^(i-j), computed via two
     running sums of α^(-j)-scaled terms rescaled by α^i. No Python,
     one window exchange. The α^(-j) terms grow as the history does —
-    fine to ~7k rows per key at α=0.9 in doubles; for the unbounded
-    10^12-turn regime, chunk each key by row-block and carry the
-    block-boundary EWMA forward (two-pass, same plan shape), or drop
-    to the applyInPandas recursive form. The oracle runs the SAME
-    closed form, so both engines fold identical terms in identical
-    order — string-exact after 4 dp."""
+    α=0.9 overflows double at rn ≈ 6,726, so a raise_error guard
+    fires LOUDLY past rn 6,500 instead of silently emitting Inf/NaN;
+    for the unbounded 10^12-turn regime, chunk each key by row-block
+    and carry the block-boundary EWMA forward (two-pass, same plan
+    shape), or drop to the applyInPandas recursive form. The oracle
+    runs the SAME closed form, so both engines fold identical terms
+    in identical order — string-exact after 4 dp."""
     e = t(spark, sf, "events").filter(F.col("value").isNotNull())
     rn = F.row_number().over(
         W.partitionBy("user_id").orderBy("ts", "event_id")).cast("double")
@@ -1968,8 +1969,11 @@ def ts_ewma(spark, sf):
         * F.pow(F.lit(0.9), F.col("rn"))
     den = F.sum(F.pow(F.lit(0.9), -F.col("rn"))).over(wf) \
         * F.pow(F.lit(0.9), F.col("rn"))
-    return o.select("user_id", "event_id",
-                    F.round(num / den, 4).alias("ewma"))
+    ewma = F.when(F.col("rn") <= 6500, F.round(num / den, 4)).otherwise(
+        F.raise_error(F.lit(
+            "ts_ewma: per-key history exceeds the double-safe closed-form "
+            "bound (rn > 6500); switch to the blocked two-pass form")))
+    return o.select("user_id", "event_id", ewma.alias("ewma"))
 
 
 @q("win_rolling_median", """
@@ -3242,7 +3246,7 @@ def ops_error_rate_spikes(spark, sf):
     same partial agg as the total), so the trailing window runs over
     |days| rows — a single-partition window here, and at any scale,
     because the time axis after rollup is tiny. Ratios of exact ints
-    are IEEE-identical; the 1.5× comparison happens pre-rounding on
+    are IEEE-identical; the 1.15× comparison happens pre-rounding on
     those identical doubles (threshold tuned so the
     flag fires on this corpus — 3 spike days at sf0.01, exercising
     BOTH branches)."""
@@ -3671,7 +3675,7 @@ SELECT digit,
        CAST(count(*) AS BIGINT) AS n_obs,
        ROUND(CAST(count(*) AS DOUBLE) / CAST(max(tot.n) AS DOUBLE), 6)
            AS p_obs,
-       ROUND(log10(1.0 + 1.0 / digit) / log10(10.0), 6) AS p_benford
+       ROUND(log10(1.0 + 1.0 / digit), 6) AS p_benford
 FROM d, tot GROUP BY digit
 """)
 def benford_digit_profile(spark, sf):
@@ -3696,8 +3700,8 @@ def benford_digit_profile(spark, sf):
             .select("digit", "n_obs",
                     F.round(F.col("n_obs").cast("double")
                             / F.col("n").cast("double"), 6).alias("p_obs"),
-                    F.round(F.log10(1.0 + 1.0 / F.col("digit"))
-                            / F.log10(F.lit(10.0)), 6).alias("p_benford")))
+                    F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+                    .alias("p_benford")))
 
 
 @q("events_interarrival_stats", """

@@ -740,3 +740,32 @@ def test_zorder_compaction_prunes_2d_box(spark, tmp_path):
     exact = sorted((r["user_id"], r["metric"]) for r in
                    df.filter(pred).collect())
     assert rows_lin == rows_z == exact
+
+
+def test_stale_current_lock_is_reclaimed(spark, tmp_path):
+    """A CURRENT.lock left behind by a crashed holder must not degrade
+    every later commit to the ~2s unlocked fallback: the next
+    _advance_current waiter reclaims it once it looks stale (mtime
+    older than _LOCK_STALE_SECS), commits promptly, and leaves no lock
+    behind (ADVICE r03, medium)."""
+    import os
+    import time as _time
+    from ocrflow.icelite import IceliteTable, _LOCK_STALE_SECS
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    tbl.commit_append(write_dataframe_files(
+        spark.range(0, 10).toDF("id").coalesce(1), tbl.new_commit_dir("c0")))
+    # simulate a crashed holder: orphan lock with an old mtime
+    lock = os.path.join(tbl.meta_dir, "CURRENT.lock")
+    with open(lock, "w") as fh:
+        fh.write("999")
+    old = _time.time() - (_LOCK_STALE_SECS + 10)
+    os.utime(lock, (old, old))
+    t0 = _time.monotonic()
+    tbl.commit_append(write_dataframe_files(
+        spark.range(10, 20).toDF("id").coalesce(1), tbl.new_commit_dir("c1")))
+    took = _time.monotonic() - t0
+    # pre-fix behavior always spins the full 2000x1ms ≈ 2.0s, so any
+    # sub-1.9s commit proves the reclaim fired (bound is load-tolerant)
+    assert took < 1.9, f"stale lock stalled the commit: {took:.2f}s"
+    assert not os.path.exists(lock)                # mutex self-healed
+    assert tbl.read(spark).count() == 20
