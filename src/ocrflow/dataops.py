@@ -2090,6 +2090,7 @@ WITH toks AS (
   FROM documents WHERE text IS NOT NULL AND n_chars < 150
 ), df AS (
   SELECT w, CAST(count(*) AS BIGINT) AS dfreq FROM toks GROUP BY w
+  HAVING count(*) <= 50
 ), nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM toks),
 wt AS (
   SELECT t.doc_id, t.w,
@@ -2108,21 +2109,30 @@ JOIN (SELECT DISTINCT doc_id FROM toks) b ON b.doc_id = wb.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING sum(wa.idf * wb.idf) / (max(na.l2) * max(nb.l2)) >= 0.5
 """)
-def tfidf_cosine_pairs(spark, sf):
+def tfidf_cosine_pairs(spark, sf, df_cap=50):
     """WEIGHTED document similarity: idf-weighted cosine over shared
     terms (binary tf — presence — so only idf weights matter), pairs
     above 0.5. Completes the near-dup triad: Jaccard (symmetric set
     overlap), containment (asymmetric), and now idf-cosine, which
     discounts ubiquitous words so boilerplate overlap stops inflating
     similarity. The pair join runs on the TERM index (inverted-index
-    self-join, fanout bounded per term by its df), with idf and norms
-    precomputed once — the exact verifier twin of a production LSH
-    scan, scoped to short docs like its siblings."""
+    self-join), and — the scale bound — terms with document frequency
+    above df_cap are DROPPED before the self-join on both engines:
+    each surviving term contributes at most df_cap²/2 candidate pairs,
+    so total pair work is ≤ |terms|·df_cap²/2 instead of quadratic in
+    the hottest term's df (a stop-word in d docs would otherwise emit
+    d²/2 pairs that idf then weights to ~0 — all wasted). Standard
+    inverted-index practice; in production df_cap is an absolute
+    stop-word-scale constant (10³-10⁴) independent of corpus size.
+    Exact verifier twin of a production LSH scan, scoped to short
+    docs like its siblings."""
     d = (t(spark, sf, "documents")
          .filter(F.col("text").isNotNull() & (F.col("n_chars") < 150)))
     toks = d.select("doc_id", F.explode(
         F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w"))
     dfreq = toks.groupBy("w").agg(F.count("*").alias("dfreq"))
+    if df_cap is not None:
+        dfreq = dfreq.filter(F.col("dfreq") <= df_cap)
     nd = toks.agg(F.countDistinct("doc_id").alias("n"))
     wt = (toks.join(F.broadcast(dfreq), "w")
           .crossJoin(F.broadcast(nd))

@@ -425,3 +425,20 @@ def test_nextfit_pack_property():
                 assert same == [i]
 
     check()
+
+
+def test_tfidf_df_cap_bounds_hot_term_fanout(spark):
+    # degenerate corpus: 300 identical short docs → every term has
+    # df=300. Uncapped, the inverted-index self-join emits 300²/2
+    # cosine-1.0 pairs; with the df cap the hot terms are dropped
+    # BEFORE the self-join, so candidate work stays bounded (here:
+    # zero — no term survives).
+    import tempfile
+    from ocrflow.dataops import tfidf_cosine_pairs
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma", 17) for i in range(300)],
+        "doc_id long, text string, n_chars int")
+    tmp = tempfile.mkdtemp(prefix="ocrflow_tfidf_")
+    docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+    assert tfidf_cosine_pairs(spark, tmp).count() == 0
+    assert tfidf_cosine_pairs(spark, tmp, df_cap=None).count() == 300 * 299 // 2
