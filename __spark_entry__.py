@@ -64,21 +64,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # corpus_curation_e2e, join_asof_nearest, heavy_hitters_mg, ts_ewma,
 # tpch_q6_shape in; join_full_outer, agg_rollup, set_union, str_funcs,
 # array_funcs out (2+ rounds driver-green, families represented).
+# Fourth rotation (round 4): 18 never-windowed keys in — the dedup
+# verifier family (tfidf_cosine_pairs, dedup_containment, the NEW
+# dedup_containment_scanner, dedup_exact), the spatial/DBSCAN four,
+# retention_cohort/funnel_steps/gaps_islands, sample_stratified/
+# sample_weighted_topk, tfidf_top_terms, decontaminate_overlap,
+# scd2_build/join_point_in_time, and udf_grouped_map (first external
+# row for the pandas-UDF family). Out: 18 keys driver-green for all
+# THREE prior rounds with their family still represented in-window
+# (scan_parquet→scan_pruned; filter_conj/filter_like→
+# filter_correlated_agg; join_inner/outer/semi/anti + join_asof→
+# join_broadcast/range/salted_skew + asof_tolerance/nearest;
+# agg_distinct/grouping_sets/percentile→agg_hash/collect_sorted/
+# regression; win_rank/lag_lead/running/ntile→win_range_frame/
+# turn_order/sliding_rows; sort_multi/limit_topn→topk_per_group;
+# dedup_distinct→dedup_exact). All 50 post-rotation keys re-proven
+# string-exact at sf0.01 under BOTH the tuned and the stock default
+# session before this registration.
 # Everything after the window:
 # remaining oracled keys first (next in line if the window grows), then
 # rows-only keys (streams, sketches, sinks, iterative ops) last.
 _WINDOW = [
-    "scan_parquet", "scan_pruned",
-    "project_expr", "filter_conj", "filter_like",
-    "join_inner_equi", "join_broadcast", "join_left_outer",
-    "join_left_semi", "join_left_anti",
-    "join_range", "join_asof", "join_salted_skew",
-    "agg_hash", "agg_distinct",
-    "agg_grouping_sets", "agg_collect_sorted", "agg_percentile",
-    "win_rank", "win_lag_lead", "win_running", "win_range_frame",
-    "win_ntile_firstlast", "win_turn_order",
-    "sort_multi", "limit_topn", "topk_per_group",
-    "set_except", "dedup_distinct",
+    "scan_pruned",
+    "project_expr",
+    "join_broadcast",
+    "join_range", "join_salted_skew",
+    "agg_hash", "agg_collect_sorted",
+    "win_range_frame", "win_turn_order",
+    "topk_per_group",
+    "set_except",
     "str_regexp", "date_funcs",
     "array_higher_order", "map_funcs", "json_funcs",
     "recursive_cte", "json_variant", "win_sliding_rows",
@@ -88,6 +102,15 @@ _WINDOW = [
     "text_repetition_filter", "pack_sequences_nextfit",
     "corpus_curation_e2e", "join_asof_nearest", "heavy_hitters_mg",
     "ts_ewma", "tpch_q6_shape",
+    "tfidf_cosine_pairs", "dedup_containment",
+    "dedup_containment_scanner", "dedup_exact",
+    "join_spatial_grid", "dbscan_core_points", "knn_within_eps",
+    "dbscan_clusters",
+    "retention_cohort", "funnel_steps", "gaps_islands",
+    "sample_stratified", "sample_weighted_topk",
+    "tfidf_top_terms", "decontaminate_overlap",
+    "scd2_build", "join_point_in_time",
+    "udf_grouped_map",
 ]
 
 
