@@ -1067,6 +1067,45 @@ def conv_reassembly(spark, sf):
     return assemble_conversations(extract_df(spark, tr, partitions=8))
 
 
+@q("conv_reassembly_order", r"""
+WITH tr AS (
+  SELECT 'conv-' || lpad(CAST(doc_id % 50 AS VARCHAR), 8, '0') AS conv_id,
+         CAST(doc_id // 50 AS INT) AS turn_idx,
+         text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS conv_md5
+FROM tr GROUP BY conv_id
+""")
+def conv_reassembly_order(spark, sf):
+    """The A8 stable-ordering contract made externally checkable:
+    documents re-shaped into transcripts (the entry() mapping), then
+    the SAME sorted-struct reassembly assemble_conversations uses
+    (groupBy unsalted conv_id → array_sort(collect_list(struct(
+    turn_idx, text))) → ordered stitch), fingerprinted with md5 so a
+    single out-of-order turn anywhere in any conversation flips the
+    hash. Oracle: DuckDB ordered string_agg — order-exact per conv,
+    string-exact end to end. conv_reassembly (rows-only sibling) keeps
+    covering the extraction-kernel content; this key isolates the
+    ordering/stitch semantics the north rule names."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    tr = d.select(
+        F.concat(F.lit("conv-"),
+                 F.lpad((F.col("doc_id") % 50).cast("string"), 8, "0")
+                 ).alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        "text")
+    return (tr.groupBy("conv_id")
+            .agg(F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+                 .alias("turns"))
+            .select("conv_id",
+                    F.size("turns").cast("bigint").alias("n_turns"),
+                    F.md5(F.encode(F.array_join(
+                        F.transform("turns", lambda s: s["text"]), "\n"),
+                        "utf-8")).alias("conv_md5")))
+
+
 @q("iter_pagerank")  # rows-only: iterative algorithm, not SQL-expressible
 def iter_pagerank(spark, sf):
     """Iterative algorithm on DataFrames: 10 PageRank iterations over a

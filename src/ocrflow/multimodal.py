@@ -76,10 +76,30 @@ def _decode_audio(payload: bytes, sample_rate: int,
     return buf if len(buf) else np.zeros(1, dtype=np.int16)
 
 
-@q("mm_metadata")  # rows-only: binary assets have no DuckDB twin here
+@q("mm_metadata", """
+SELECT doc_id AS asset_id,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+       END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN (doc_id % 64 + 16) * (doc_id % 48 + 16)
+            WHEN 1 THEN greatest(octet_length(encode(text)) // 2, 1)
+            ELSE -1 END AS BIGINT) AS decoded_units
+FROM documents WHERE text IS NOT NULL
+""")
 def mm_metadata(spark, sf):
     """Feature-extract over binary columns: byte size, content hash,
-    and a decoded-shape check — one mapInPandas pass, Arrow-batched."""
+    and a decoded-shape check — one mapInPandas pass, Arrow-batched.
+
+    ORACLED (round 4): the deterministic stub decode makes every output
+    arithmetic — payload is the doc's utf-8 bytes, so n_bytes =
+    octet_length(encode(text)), content_md5 = md5(text) (hashlib.md5
+    over the payload bytes IS md5 of the utf-8 encoding), the image
+    decode always yields width×height units and the audio decode
+    max(⌊n_bytes/2⌋, 1) int16 samples — so the whole mapInPandas kernel
+    is string-exact checkable against DuckDB, binary column included."""
     assets = make_assets(spark, sf)
 
     def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -98,14 +118,14 @@ def mm_metadata(spark, sf):
                 "asset_id": pdf["asset_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["payload"].map(len).astype("int64"),
-                "sha1": pdf["payload"].map(
-                    lambda b: hashlib.sha1(b).hexdigest()),
+                "content_md5": pdf["payload"].map(
+                    lambda b: hashlib.md5(b).hexdigest()),
                 "decoded_units": pd.Series(decoded_px, dtype="int64"),
             })
 
     return assets.mapInPandas(
         meta, schema=("asset_id bigint, kind string, n_bytes bigint, "
-                      "sha1 string, decoded_units bigint"))
+                      "content_md5 string, decoded_units bigint"))
 
 
 @q("mm_resize")  # rows-only

@@ -12,6 +12,7 @@ import duckdb
 import pytest
 
 import ocrflow.dataops  # noqa: F401 — registers dataops queries
+import ocrflow.multimodal  # noqa: F401 — registers mm_* queries
 from ocrflow.queries import ORACLE, QUERIES
 
 SF_DIR = os.environ.get("OCRFLOW_TEST_SF_DIR", "/root/testdata/sf0.001")

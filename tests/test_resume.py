@@ -769,3 +769,45 @@ def test_stale_current_lock_is_reclaimed(spark, tmp_path):
     assert took < 1.9, f"stale lock stalled the commit: {took:.2f}s"
     assert not os.path.exists(lock)                # mutex self-healed
     assert tbl.read(spark).count() == 20
+
+
+def test_manifest_planning_stays_cheap_at_1e5_entries(spark, tmp_path):
+    """Iceberg-model scale contract: snapshot planning is a DRIVER-side
+    walk of the manifest (no footer I/O), so a 10^5-entry manifest must
+    load + stats-prune in well under a second of pure-Python work and
+    read() must scan only the surviving files. Built by fabricating a
+    manifest around 8 real files + 99,992 synthetic entries whose
+    recorded id-ranges are disjoint from the probe box (the
+    list_input_files/read seam the runner uses; BENCH/r04_notes.md
+    records the measured timings)."""
+    import time as _time
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    real = write_dataframe_files(
+        spark.range(0, 80).toDF("id").repartition(8), tbl.new_commit_dir("c0"))
+    tbl.commit_append(real, stats_cols=("id",))
+    snap = tbl.snapshot()
+    real_entries = snap["files"]
+    assert len(real_entries) == 8 and all("stats" in e for e in real_entries)
+    fake = [{"path": f"data/fake/f{i}.parquet", "rows": 1000,
+             "schema": ["id"], "stats": {"id": [10_000 + i, 10_000 + i]}}
+            for i in range(99_992)]
+    snap["files"] = fake + real_entries
+    snap["snapshot_id"] = 2
+    with open(os.path.join(tbl.meta_dir, "snap-2.json"), "w") as fh:
+        json.dump(snap, fh)
+    tbl._atomic_write(os.path.join(tbl.meta_dir, "CURRENT"), "snap-2.json")
+
+    t0 = _time.monotonic()
+    files = tbl.file_list()                     # JSON load of 1e5 entries
+    t_list = _time.monotonic() - t0
+    assert len(files) == 100_000
+
+    t0 = _time.monotonic()
+    df = tbl.read(spark, stats_filter={"id": (0, 79)})   # prune 1e5 -> 8
+    t_plan = _time.monotonic() - t0             # planning only (lazy scan)
+    assert len(df.inputFiles()) == 8
+    assert df.count() == 80
+    # generous load-tolerant bounds; quiet-machine numbers land ~0.2s/.4s
+    assert t_list < 5.0, f"file_list took {t_list:.2f}s on 1e5 entries"
+    assert t_plan < 5.0, f"read() planning took {t_plan:.2f}s on 1e5 entries"
+    print(f"manifest-1e5: file_list {t_list:.3f}s, read-plan {t_plan:.3f}s")
