@@ -304,6 +304,48 @@ def dedup_embedding_cosine(spark, sf):
                     F.col("b.vec_id").alias("vec_b")))
 
 
+@q("emb_cosine_block_pairs", """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nn
+  FROM v
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE a.nn > 0 AND b.nn > 0
+  AND list_cosine_similarity(a.e, b.e) >= 0.4
+""")
+def emb_cosine_block_pairs(spark, sf):
+    """The externally-verifiable twin of dedup_embedding_cosine: the
+    SAME label-blocked exact-cosine machinery (JVM zip_with/aggregate
+    left fold over double-cast arrays — fold order matches DuckDB's
+    sequential list kernels, proven by ann_bruteforce_cosine), with the
+    threshold at 0.4 — inside the synthetic corpus's within-label
+    similarity range (max 0.475), where τ=0.95 on this corpus is
+    vacuously empty and an empty result can't anchor an oracle. Margin
+    to the nearest pair is ~1e-3, 12 orders above ULP flip risk."""
+    em = (t(spark, sf, "embeddings")
+          .select("vec_id", "label",
+                  F.transform("embedding", lambda x: x.cast("double")).alias("v")))
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    em = em.withColumn("n", norm).filter(F.col("n") > 0)
+    a, b = em.alias("a"), em.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("a.n") * F.col("b.n"))
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= 0.4)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round("cosine", 6).alias("cosine")))
+
+
 # =========================================================================
 # Similarity search (ANN)
 # =========================================================================

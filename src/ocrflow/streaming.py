@@ -33,9 +33,18 @@ EVENTS_SCHEMA = T.StructType([
 STREAM_QUERIES: dict = {}
 
 
-def sq(name: str):
+def sq(name: str, sql: str | None = None):
+    """Register a streaming query; ``sql`` (optional) is a DuckDB
+    oracle for keys whose availableNow result is batch-deterministic —
+    COMPLETE-mode aggregations equal their batch twin regardless of
+    micro-batch boundaries, so they take the same string-exact gate as
+    every batch key (append-mode keys stay rows-only: their emitted
+    subset depends on watermark progression across batches)."""
     def deco(fn):
         STREAM_QUERIES[name] = fn
+        if sql is not None:
+            from .queries import ORACLE
+            ORACLE[name] = sql.strip()
         return fn
     return deco
 
@@ -61,8 +70,16 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str = "append") -> DataFra
     return spark.table(name)
 
 
-@sq("stream_tumbling")
+@sq("stream_tumbling", """
+SELECT date_trunc('minute', ts) AS w_start, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""")
 def stream_tumbling(spark, sf):
+    # COMPLETE-mode tumbling count: the final materialized table equals
+    # the batch group-by (1-minute epoch-aligned windows), so this
+    # STREAMING key is string-exact oracled — micro-batch boundaries
+    # cannot change a complete-mode aggregate.
     s = _events_stream(spark, sf)
     agg = (s.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
            .agg(F.count("*").alias("n"))
@@ -70,8 +87,17 @@ def stream_tumbling(spark, sf):
     return _run_to_memory(agg, "complete")
 
 
-@sq("stream_sliding")
+@sq("stream_sliding", """
+WITH e AS (SELECT date_trunc('minute', ts) AS m, value FROM events),
+x AS (SELECT m - to_minutes(CAST(k AS INT)) AS w_start, value
+      FROM e, range(5) t(k))
+SELECT w_start, CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 4) AS v
+FROM x GROUP BY 1
+""")
 def stream_sliding(spark, sf):
+    # COMPLETE-mode sliding agg, oracled: each event lands in the 5
+    # overlapping 5-minute windows starting at floor-minute(ts)-k,
+    # k ∈ 0..4 — the range-join expansion DuckDB runs explicitly.
     s = _events_stream(spark, sf)
     agg = (s.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
            .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
@@ -104,8 +130,14 @@ def stream_watermark_late(spark, sf):
     return _run_to_memory(agg, "append")
 
 
-@sq("stream_dedup")
+@sq("stream_dedup", """
+SELECT event_id, user_id, event_type FROM events
+""")
 def stream_dedup(spark, sf):
+    # Oracled: event_id is unique in the synthetic table, so streaming
+    # dropDuplicates must be an exact pass-through — the oracle checks
+    # the stream emits every row exactly once (duplicate-free AND
+    # loss-free), independent of micro-batch boundaries.
     s = _events_stream(spark, sf)
     dd = (s.withWatermark("ts", "10 minutes")
           .dropDuplicates(["event_id"])

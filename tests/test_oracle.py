@@ -14,6 +14,9 @@ import pytest
 import ocrflow.dataops  # noqa: F401 — registers dataops queries
 import ocrflow.multimodal  # noqa: F401 — registers mm_* queries
 from ocrflow.queries import ORACLE, QUERIES
+from ocrflow.streaming import STREAM_QUERIES
+
+QUERIES = {**QUERIES, **STREAM_QUERIES}  # oracled stream_* keys join the gate
 
 SF_DIR = os.environ.get("OCRFLOW_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ("region nation customer supplier part orders lineitem "
