@@ -37,6 +37,9 @@ HEADLINE = [
     # cross-round comparable number is suite_r01_keys_subtotal and the
     # per-query seconds)
     "corpus_curation_e2e", "skyline_pareto", "heavy_hitters_mg",
+    # round-4 additions: the subquadratic containment scanner and the
+    # source-novelty curve (both new families this round)
+    "dedup_containment_scanner", "ngram_novelty_curve",
 ]
 
 

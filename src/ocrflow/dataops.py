@@ -2334,3 +2334,248 @@ def tfidf_cosine_pairs(spark, sf, df_cap=50):
             .join(F.broadcast(nb), "doc_b")
             .filter(cos >= 0.5)
             .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine")))
+
+
+def _vocab_signature():
+    """Order-insensitive vocabulary fingerprint: md5 of the sorted
+    distinct token set. Template/permutation near-dups (same words,
+    reordered) share it where the exact content hash differs — the
+    cheap blocking key between exact dedup and MinHash."""
+    return F.md5(F.encode(F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.trim("text"), r"\s+"))),
+        " "), "utf-8"))
+
+
+@q("dedup_cluster_histogram", r"""
+WITH sig AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(trim(text), '\s+'))), ' ')) AS s
+  FROM documents WHERE text IS NOT NULL
+), cl AS (SELECT s, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM sig GROUP BY s)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM cl GROUP BY cluster_size
+""")
+def dedup_cluster_histogram(spark, sf):
+    """Duplicate-cluster SIZE DISTRIBUTION — the first number a dedup
+    run reports (how much of the corpus sits in how-big clusters, and
+    whether one mega-cluster dominates). Clustered by the vocabulary
+    signature (sorted distinct token set) so permutation/template dups
+    group where the exact hash would not. Two hash aggregations, no
+    joins; the histogram is |distinct sizes| rows. Portability: tokens
+    are plain ASCII, so JVM and DuckDB string sort orders agree."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    cl = (d.select(_vocab_signature().alias("s"))
+          .groupBy("s").agg(F.count("*").cast("bigint")
+                            .alias("cluster_size")))
+    return (cl.groupBy("cluster_size")
+            .agg(F.count("*").cast("bigint").alias("n_clusters"))
+            .select("cluster_size", "n_clusters",
+                    (F.col("cluster_size") * F.col("n_clusters"))
+                    .cast("bigint").alias("n_docs")))
+
+
+@q("corpus_source_contamination", r"""
+WITH sig AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(trim(text), '\s+'))), ' ')) AS s
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_sigs
+FROM sig a JOIN sig b ON a.s = b.s AND a.source < b.source
+GROUP BY 1, 2
+""")
+def corpus_source_contamination(spark, sf):
+    """Cross-SOURCE duplication matrix: for every source pair, how many
+    vocabulary signatures both contain — the mirror-site / scrape-
+    overlap accounting a corpus-mix plan needs before weighting sources
+    (double-counted content silently overweights itself). The self-join
+    runs on DISTINCT (signature, source) rows, so per-signature fanout
+    is bounded by the number of SOURCES (small and fixed — hundreds at
+    100 TB), never by document count."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    sig = d.select("source", _vocab_signature().alias("s")).distinct()
+    a = sig.select(F.col("source").alias("source_a"), "s")
+    b = sig.select(F.col("source").alias("source_b"), "s")
+    return (a.join(b, "s")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").cast("bigint").alias("n_shared_sigs")))
+
+
+@q("funnel_within_window", """
+WITH v AS (
+  SELECT user_id, min(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+)
+SELECT v.user_id, v.first_view,
+       min(p.ts) AS first_purchase,
+       CAST(count(*) AS BIGINT) AS purchases_in_window
+FROM v JOIN events p
+  ON p.user_id = v.user_id AND p.event_type = 'purchase'
+ AND p.ts > v.first_view
+ AND p.ts <= v.first_view + INTERVAL 24 HOUR
+GROUP BY v.user_id, v.first_view
+""")
+def funnel_within_window(spark, sf):
+    """TIME-BOUNDED funnel (the windowFunnel shape): users whose first
+    'view' converts to a 'purchase' within 24 h — unlike funnel_steps,
+    ordering alone doesn't count; the conversion must land inside the
+    window. Range condition rides the equi-join on user_id (no extra
+    shuffle); timestamps compared as timestamps (no epoch casts — the
+    TIMESTAMP_NTZ truncation trap)."""
+    e = t(spark, sf, "events")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    p = e.filter(F.col("event_type") == "purchase") \
+         .select("user_id", F.col("ts").alias("pts"))
+    j = v.join(p, "user_id").filter(
+        (F.col("pts") > F.col("first_view"))
+        & (F.col("pts") <= F.col("first_view") + F.expr("INTERVAL 24 HOURS")))
+    return (j.groupBy("user_id", "first_view")
+            .agg(F.min("pts").alias("first_purchase"),
+                 F.count("*").cast("bigint").alias("purchases_in_window")))
+
+
+@q("ngram_novelty_curve", r"""
+WITH g AS (
+  SELECT DISTINCT CAST(regexp_extract(source, 'src(\d+)', 1) AS INT)
+             AS src_rank, source, w AS gram
+  FROM (
+    SELECT source, unnest(list_transform(
+        range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1),
+        i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2],
+                             ' '))) AS w
+    FROM documents WHERE text IS NOT NULL)
+), fst AS (SELECT gram, min(src_rank) AS first_rank FROM g GROUP BY gram)
+SELECT g.source, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (f.first_rank = g.src_rank) AS BIGINT)
+           AS n_novel,
+       ROUND(CAST(count(*) FILTER (f.first_rank = g.src_rank) AS DOUBLE)
+             / count(*), 6) AS novelty_rate
+FROM g JOIN fst f ON f.gram = g.gram
+GROUP BY g.source
+""")
+def ngram_novelty_curve(spark, sf):
+    """Incremental SOURCE NOVELTY: for each source (in source-id
+    order), what fraction of its distinct 3-grams no lower-ranked
+    source already contributed — the diminishing-returns curve that
+    decides whether adding the next crawl/source buys new content or
+    re-buys the old (source-selection's Heaps-law cousin, but
+    attributed per source). Distinct grams per source → min-rank per
+    gram (one hash agg over the gram key) → rank equality; everything
+    linear in total gram volume, join keyed on the gram."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.trim("text"), r"\s+")
+    # guard size >= 3 BEFORE sequence(): sequence(1, 0) is DESCENDING
+    # in Spark and slice(_, 0, _) throws — short docs contribute no
+    # grams on either engine (DuckDB's range(1, len-1) is empty there)
+    grams = (d.filter(F.size(toks) >= 3)
+             .select(
+                 F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+                 .alias("src_rank"),
+                 "source",
+                 F.explode(F.transform(
+                     F.sequence(F.lit(1), F.size(toks) - 2),
+                     lambda i: F.concat_ws(" ", F.slice(toks, i, 3))))
+                 .alias("gram"))
+             .distinct())
+    fst = grams.groupBy("gram").agg(F.min("src_rank").alias("first_rank"))
+    j = grams.join(fst, "gram")
+    novel = F.sum(F.when(F.col("first_rank") == F.col("src_rank"), 1)
+                  .otherwise(0))
+    return (j.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_grams"),
+                 novel.cast("bigint").alias("n_novel"),
+                 F.round(novel.cast("double") / F.count("*"), 6)
+                 .alias("novelty_rate")))
+
+
+@q("text_zipf_fit", r"""
+WITH tok AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE text IS NOT NULL
+), freq AS (
+  SELECT lang, w, count(*) AS f FROM tok WHERE w <> '' GROUP BY lang, w
+), ranked AS (
+  SELECT lang, f, row_number() OVER (
+      PARTITION BY lang ORDER BY f DESC, w) AS r
+  FROM freq
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+       ROUND(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+           AS zipf_slope,
+       ROUND(regr_r2(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+           AS fit_r2
+FROM ranked GROUP BY lang
+""")
+def text_zipf_fit(spark, sf):
+    """Zipf-law fit per language: regress ln(freq) on ln(rank) over the
+    token frequency table — the corpus-health diagnostic that flags
+    machine-generated or template-heavy text (natural language sits
+    near slope -1; flat slopes mean synthetic repetition, steep ones a
+    collapsed vocabulary). Token counts are exact integers, ranks are
+    deterministic (freq desc, token asc), and the regression is the
+    same one-pass moment aggregate as agg_regression — the exchange
+    carries |vocab| rows per lang, rounding absorbs summation-order
+    ULP drift."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    tok = d.select("lang", F.explode(
+        F.split(F.trim("text"), r"\s+")).alias("w")).filter(F.col("w") != "")
+    freq = tok.groupBy("lang", "w").agg(F.count("*").alias("f"))
+    r = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.col("f").desc(), "w"))
+    ranked = freq.withColumn("r", r)
+    lnf = F.log(F.col("f").cast("double"))
+    lnr = F.log(F.col("r").cast("double"))
+    return (ranked.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("vocab"),
+                 F.round(F.regr_slope(lnf, lnr), 4).alias("zipf_slope"),
+                 F.round(F.regr_r2(lnf, lnr), 4).alias("fit_r2")))
+
+
+@q("join_runtime_bloom", """
+SELECT l.l_orderkey, l.l_extendedprice, o.o_orderdate
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 490000
+""")
+def join_runtime_bloom(spark, sf):
+    """The runtime-filter join shape: a SELECTIVE dimension predicate
+    (o_totalprice > 490k keeps the top ~1.5% of orders) joined to the big
+    fact. Declaratively it's a plain equi-join — the 100 TB point is
+    what Catalyst INJECTS: with runtime bloom filters on (
+    spark.sql.optimizer.runtime.bloomFilter.enabled, default true in
+    Spark 4; size thresholds gate small inputs), the orders side builds
+    a bloom filter that is pushed into the lineitem SCAN as
+    BloomFilterMightContain, so fact rows that cannot join are dropped
+    at the scan instead of shuffling — the engine-native semi-join
+    reduction people hand-roll on lesser stacks.
+    tests/test_plan_shape.py asserts the injected filter appears once
+    the size thresholds are lowered to sandbox scale."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (t(spark, sf, "orders")
+         .filter(F.col("o_totalprice") > 490000)
+         .select("o_orderkey", "o_orderdate"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .select("l_orderkey", "l_extendedprice", "o_orderdate"))
+
+
+@q("agg_percentile_approx")  # rows-only: sketch internals are engine-specific
+def agg_percentile_approx(spark, sf):
+    """The SCALABLE quantile path: percentile_approx (Greenwald-Khanna
+    sketch) per group — exact percentile (agg_percentile) needs the
+    full value multiset per group in one place; the sketch is a
+    bounded-size mergeable summary, the only way to quantile a 100 TB
+    fact in one pass. Rows-only by nature (sketch compaction is
+    engine-specific); tests/test_dataops.py bounds its rank error
+    against the exact percentile at accuracy=1000."""
+    li = t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.percentile_approx("l_extendedprice", 0.5, 1000)
+                 .alias("approx_p50"),
+                 F.percentile_approx("l_extendedprice", 0.99, 1000)
+                 .alias("approx_p99")))

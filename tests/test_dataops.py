@@ -481,3 +481,24 @@ def test_containment_scanner_agrees_with_allpairs_verifier(spark):
     exact = sorted(map(tuple, dedup_containment(spark, SF_DIR).collect()))
     scan = sorted(map(tuple, dedup_containment_scanner(spark, SF_DIR).collect()))
     assert scan == exact and len(exact) > 0
+
+
+def test_percentile_approx_rank_error_bounded(spark):
+    # GK sketch contract: at accuracy=1000 the returned value's true
+    # rank is within n/1000 of the target rank, per group.
+    from ocrflow.dataops import agg_percentile_approx
+    rows = {r["l_returnflag"]: r for r in
+            agg_percentile_approx(spark, SF_DIR).collect()}
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    for flag, r in rows.items():
+        vals = sorted(x["l_extendedprice"] for x in
+                      li.filter(li.l_returnflag == flag).collect())
+        n = len(vals)
+        for q, got in ((0.5, r["approx_p50"]), (0.99, r["approx_p99"])):
+            import bisect
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = q * n
+            slack = max(n / 1000.0, 1.0) + 1
+            assert lo - slack <= target <= hi + slack, \
+                (flag, q, got, lo, hi, target, n)

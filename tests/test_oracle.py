@@ -71,6 +71,9 @@ def test_query_matches_oracle(spark, duck, name):
         f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}")
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}")
+    # the driver sweep flags empty results as issues — catch them here
+    # too (a vacuously-true oracle verifies nothing)
+    assert len(s_rows) > 0, f"{name}: empty result at {SF_DIR}"
 
     s_sorted = _rows_sorted(s_cols, [tuple(r) for r in s_rows])
     d_sorted = _rows_sorted(d_cols, d_rows)

@@ -183,3 +183,39 @@ def test_point_in_time_dim_broadcasts(spark):
     plan = _plan(QUERIES["join_point_in_time"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """With the size thresholds lowered to sandbox scale, Catalyst
+    injects a bloom filter from the selective orders side into the
+    lineitem scan side of join_runtime_bloom."""
+    from ocrflow.dataops import join_runtime_bloom
+    conf = spark.conf
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # creationSideThreshold is a MAX (creation side must be small
+        # enough to build from) — raise it; applicationSideScanSize is
+        # a MIN (fact must be big enough to bother) — floor it; and the
+        # rule skips broadcastable joins (a broadcast join needs no
+        # bloom), so disable auto-broadcast for the sandbox-sized dim
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "1g",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in keys.items():
+        try:
+            old[k] = conf.get(k)
+        except Exception:
+            old[k] = None
+        conf.set(k, v)
+    try:
+        plan = join_runtime_bloom(spark, SF_DIR) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                conf.set(k, v)
