@@ -53,6 +53,7 @@ import json, sys, time, urllib.request
 sys.path.insert(0, SRC)
 from ocrflow.session import build_session
 import ocrflow.dataops  # noqa: F401
+import ocrflow.multimodal  # noqa: F401
 from ocrflow.queries import QUERIES
 
 spark = build_session(master=MASTER, app="ocrflow-qscale",
