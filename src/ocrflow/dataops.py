@@ -2579,3 +2579,105 @@ def agg_percentile_approx(spark, sf):
                  .alias("approx_p50"),
                  F.percentile_approx("l_extendedprice", 0.99, 1000)
                  .alias("approx_p99")))
+
+
+@q("tpch_q18_shape", """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       ROUND(o.o_totalprice, 2) AS o_totalprice,
+       ROUND(b.total_qty, 2) AS total_qty
+FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+""")
+def tpch_q18_shape(spark, sf):
+    """TPC-H Q18 (large-volume customers) shape: a HAVING-filtered
+    aggregate over the fact feeding a join back to its dimension — the
+    canonical 'aggregate-then-semi-join' plan. The agg side shrinks to
+    the qualifying orders BEFORE the join (map-side partial sum, then
+    |orders|-sized exchange), and the surviving slice is small enough
+    to broadcast against orders at any scale — never join-then-agg,
+    which would shuffle the whole fact against orders first."""
+    li = t(spark, sf, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > 300))
+    o = t(spark, sf, "orders")
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+            .select("o_orderkey", "o_custkey", "o_orderdate",
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    F.round("total_qty", 2).alias("total_qty")))
+
+
+@q("text_prefix_containment", r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND len(text) >= 10
+)
+SELECT a.doc_id AS prefix_doc, b.doc_id AS container_doc,
+       CAST(len(a.text) AS BIGINT) AS prefix_len
+FROM d a JOIN d b ON substr(a.text, 1, 10) = substr(b.text, 1, 10)
+                 AND a.doc_id <> b.doc_id
+WHERE len(a.text) < len(b.text) AND starts_with(b.text, a.text)
+""")
+def text_prefix_containment(spark, sf):
+    """TRUNCATION dups: documents whose ENTIRE text is a strict prefix
+    of another document (feed cut-offs, pagination tails, re-crawls of
+    partial pages) — a dup class token-set similarity under-weights
+    and MinHash often misses (the prefix's shingles are a biased
+    sample). Blocked equi-join on the first 10 chars — a doc can only
+    be a prefix of docs sharing its opening — then exact startswith
+    verification inside the block; candidate fanout is bounded by
+    opening-collision group sizes, never corpus²."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.length("text") >= 10)))
+    a = d.select(F.col("doc_id").alias("prefix_doc"),
+                 F.col("text").alias("ta"),
+                 F.substring("text", 1, 10).alias("blk"))
+    b = d.select(F.col("doc_id").alias("container_doc"),
+                 F.col("text").alias("tb"),
+                 F.substring("text", 1, 10).alias("blk"))
+    return (a.join(b, "blk")
+            .filter((F.col("prefix_doc") != F.col("container_doc"))
+                    & (F.length("ta") < F.length("tb"))
+                    & F.col("tb").startswith(F.col("ta")))
+            .select("prefix_doc", "container_doc",
+                    F.length("ta").cast("bigint").alias("prefix_len")))
+
+
+@q("ts_anomaly_mad", """
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS m
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+), mad AS (
+  SELECT e.user_id, quantile_cont(abs(e.value - m.m), 0.5) AS d
+  FROM events e JOIN med m ON e.user_id = m.user_id
+  WHERE e.value IS NOT NULL GROUP BY e.user_id
+)
+SELECT e.event_id, e.user_id, ROUND(e.value, 4) AS value,
+       ROUND(abs(e.value - med.m) / (1.4826 * mad.d), 4) AS robust_z
+FROM events e JOIN med USING (user_id) JOIN mad USING (user_id)
+WHERE e.value IS NOT NULL AND mad.d > 0
+  AND abs(e.value - med.m) / (1.4826 * mad.d) > 3
+""")
+def ts_anomaly_mad(spark, sf):
+    """Robust per-key anomaly flags: |x − median| / (1.4826·MAD) > 3 —
+    the outlier detector that survives the outliers it hunts (mean/std
+    get dragged by the anomaly itself). Two exact-percentile passes
+    (each a |users|-row aggregate; the percentile interpolation formula
+    is IEEE-identical across engines, proven by agg_winsorized), both
+    broadcast back onto the fact — the fact never re-shuffles."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    med = e.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("m"))
+    dev = e.join(F.broadcast(med), "user_id")
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(abs(value - m), 0.5)").alias("d"))
+    z = F.abs(F.col("value") - F.col("m")) / (1.4826 * F.col("d"))
+    return (e.join(F.broadcast(med), "user_id")
+            .join(F.broadcast(mad), "user_id")
+            .filter((F.col("d") > 0) & (z > 3))
+            .select("event_id", "user_id",
+                    F.round("value", 4).alias("value"),
+                    F.round(z, 4).alias("robust_z")))

@@ -145,13 +145,19 @@ def stream_dedup(spark, sf):
     return _run_to_memory(dd, "append")
 
 
-@sq("stream_join_static")
+@sq("stream_join_static", """
+SELECT e.event_id, e.user_id, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""")
 def stream_join_static(spark, sf):
     """Stream-static enrichment join: the events stream joined to the
     static customer dimension (user_id → c_custkey). Static side is a
     plain batch DataFrame re-resolved per micro-batch — at scale it
     broadcasts per batch, no state store involved (unlike
-    stream-stream joins, which need watermarked state both sides)."""
+    stream-stream joins, which need watermarked state both sides).
+    ORACLED (round 4): stateless inner enrichment emits each joined row
+    exactly once regardless of micro-batching, so the emitted set
+    equals the batch join."""
     s = _events_stream(spark, sf)
     cust = (spark.read.parquet(f"{sf}/customer.parquet")
             .select("c_custkey", "c_mktsegment"))
@@ -160,13 +166,23 @@ def stream_join_static(spark, sf):
     return _run_to_memory(j, "append")
 
 
-@sq("stream_stream_join")
+@sq("stream_stream_join", """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+""")
 def stream_stream_join(spark, sf):
     """Stream-stream interval join: purchases joined to the same user's
     clicks within the preceding hour, both sides watermarked — the
     state-store shape (each side buffers rows until its watermark
     passes the join window; the interval condition is what lets Spark
-    expire state instead of keeping both streams forever)."""
+    expire state instead of keeping both streams forever).
+    ORACLED (round 4): an INNER interval join emits every match whose
+    rows arrive before watermark expiry; under availableNow over one
+    file nothing is ever late, so the emitted set equals the batch
+    interval join."""
     base = _events_stream(spark, sf)
     clicks = (base.filter(F.col("event_type") == "click")
               .select(F.col("event_id").alias("click_id"),
