@@ -2681,3 +2681,54 @@ def ts_anomaly_mad(spark, sf):
             .select("event_id", "user_id",
                     F.round("value", 4).alias("value"),
                     F.round(z, 4).alias("robust_z")))
+
+
+def _dpp_events_dir(spark, sf) -> str:
+    """Materialize (once per sf dir) a day-partitioned copy of events —
+    the physical layout a 100 TB fact table actually has (partitioned
+    by ingestion day), which the flat testdata parquet cannot express.
+    Cached under /tmp keyed by the sf dir name; _SUCCESS is the
+    write-complete marker."""
+    import os
+    tag = os.path.basename(os.path.normpath(sf))
+    out = f"/tmp/ocrflow_dpp_{tag}/events_by_day"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        e = t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+        e.repartition("day").write.mode("overwrite") \
+            .partitionBy("day").parquet(out)
+    return out
+
+
+@q("join_partition_pruned", """
+WITH top3 AS (
+  SELECT d FROM (
+    SELECT date_trunc('day', ts) AS d, count(*) AS n
+    FROM events GROUP BY 1)
+  ORDER BY n DESC, d LIMIT 3
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       date_trunc('day', e.ts) AS day
+FROM events e JOIN top3 t ON date_trunc('day', e.ts) = t.d
+""")
+def join_partition_pruned(spark, sf):
+    """DYNAMIC PARTITION PRUNING: the fact is stored partitioned by
+    day (the real 100 TB layout, materialized once — _dpp_events_dir),
+    and joining it to a small dim of the top-3 busiest days makes
+    Catalyst inject the dim's values as a runtime PartitionFilter into
+    the fact scan — only 3 of 30 day-directories are read, decided at
+    RUN time from the dim side (a static WHERE could never know them).
+    The dim derives deterministically from the fact (count desc, day
+    tiebreak). tests/test_plan_shape.py asserts the dynamicpruning
+    expression lands in the scan's PartitionFilters. Oracle: same
+    logical result off the flat table."""
+    out = _dpp_events_dir(spark, sf)
+    fact = spark.read.parquet(out)
+    # the n > 0 comparison is semantically vacuous but gives the dim
+    # side the selective predicate Spark's PartitionPruning rule
+    # requires before it will inject a DPP subquery (isLikelySelective)
+    days = (fact.groupBy("day").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "day").limit(3)
+            .filter(F.col("n") > 0)
+            .select(F.col("day").alias("d")))
+    return (fact.join(days, fact.day == days.d)
+            .select("event_id", "user_id", "event_type", "day"))

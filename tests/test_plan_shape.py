@@ -219,3 +219,13 @@ def test_runtime_bloom_filter_injected(spark):
         for k, v in old.items():
             if v is not None:
                 conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_in_fact_scan(spark):
+    """The day-partitioned fact scan must carry a dynamicpruning
+    PartitionFilter derived from the dim side at runtime."""
+    from ocrflow.dataops import join_partition_pruned
+    df = join_partition_pruned(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert df.count() > 0
