@@ -3737,32 +3737,37 @@ def events_interarrival_stats(spark, sf):
 
 
 @q("single_source_parts", """
-SELECT p.p_partkey, p.p_brand, p.p_retailprice,
-       CAST(n_supp AS BIGINT) AS n_suppliers
-FROM (
+WITH s AS (
   SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp
   FROM lineitem GROUP BY l_partkey
-  HAVING count(DISTINCT l_suppkey) <= 16
-) s JOIN part p ON s.l_partkey = p.p_partkey
-WHERE p.p_retailprice > 950
+)
+SELECT p.p_partkey, p.p_brand, p.p_retailprice,
+       CAST(n_supp AS BIGINT) AS n_suppliers
+FROM s JOIN part p ON s.l_partkey = p.p_partkey
+WHERE s.n_supp <= (SELECT quantile_disc(n_supp, 0.1) FROM s)
+  AND p.p_retailprice > 900
 """)
 def single_source_parts(spark, sf):
-    """Concentrated-supply risk: expensive parts with the FEWEST
-    distinct suppliers in their order history — the procurement
-    red-flag list (threshold tuned to this corpus's dense synthetic
-    supply graph, where every part has 13+ suppliers; in a real
-    catalog the cut is =1, true single-sourcing). Distinct-count +
-    HAVING collapses the fact to at-risk part keys (tiny), which then
-    broadcast-join the part dim for attributes; the price filter
-    pushes into the dim scan. The inverse cut of
-    supplier_diversity_q16."""
+    """Concentrated-supply risk: expensive parts in the BOTTOM DECILE
+    of distinct-supplier counts — the procurement red-flag list. The
+    cut is relative (percentile_disc over the per-part supplier
+    counts), so it is scale-invariant: the synthetic supply graph's
+    density grows with SF and any absolute threshold is empty at one
+    scale or vacuous at another (in a real catalog the cut is =1, true
+    single-sourcing). Distinct-count collapses the fact to |parts|
+    rows, the 1-row decile cut comes back as a broadcast, and the
+    survivors broadcast-join the part dim; the price filter pushes
+    into the dim scan. The inverse cut of supplier_diversity_q16."""
     li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
-    s = (li.groupBy("l_partkey")
-         .agg(F.countDistinct("l_suppkey").alias("n_supp"))
-         .filter(F.col("n_supp") <= 16))
+    s = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"))
+    cut = s.agg(F.expr(
+        "percentile_disc(0.1) WITHIN GROUP (ORDER BY n_supp)").alias("c"))
     p = (t(spark, sf, "part")
-         .filter(F.col("p_retailprice") > 950)
+         .filter(F.col("p_retailprice") > 900)
          .select("p_partkey", "p_brand", "p_retailprice"))
-    return (s.join(p, s.l_partkey == p.p_partkey)
+    return (s.crossJoin(F.broadcast(cut))
+            .filter(F.col("n_supp") <= F.col("c"))
+            .join(p, F.col("l_partkey") == F.col("p_partkey"))
             .select("p_partkey", "p_brand", "p_retailprice",
                     F.col("n_supp").cast("bigint").alias("n_suppliers")))

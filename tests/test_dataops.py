@@ -270,7 +270,7 @@ def test_text_analysis_sanity(spark):
 def test_multimodal_plumbing(spark):
     import ocrflow.multimodal as M
     meta = M.mm_metadata(spark, SF_DIR).collect()
-    assert meta and all(len(r["sha1"]) == 40 for r in meta)
+    assert meta and all(len(r["content_md5"]) == 32 for r in meta)
     imgs = [r for r in meta if r["kind"] == "image"]
     assert imgs and all(r["decoded_units"] > 0 for r in imgs)
 
