@@ -2732,3 +2732,55 @@ def join_partition_pruned(spark, sf):
             .select(F.col("day").alias("d")))
     return (fact.join(days, fact.day == days.d)
             .select("event_id", "user_id", "event_type", "day"))
+
+
+@q("sql_parameterized", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       ROUND(avg(value), 4) AS avg_value
+FROM events
+WHERE value IS NOT NULL AND value > 50.0 AND event_type <> 'error'
+GROUP BY event_type
+""")
+def sql_parameterized(spark, sf):
+    """PySpark 4 PARAMETERIZED SQL: named placeholders bound via
+    spark.sql(query, args=...) — the injection-safe templating API
+    (values are bound as literals by the parser, never string-spliced,
+    so a payload like "'; DROP TABLE--" stays a value). The driver
+    contract everywhere else uses the DataFrame DSL; this key proves
+    the SQL-string surface with binding, against the same oracle."""
+    t(spark, sf, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  ROUND(avg(value), 4) AS avg_value
+           FROM events_v
+           WHERE value IS NOT NULL AND value > :thr
+             AND event_type <> :excluded
+           GROUP BY event_type""",
+        args={"thr": 50.0, "excluded": "error"})
+
+
+@q("observed_gate", """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE text IS NOT NULL AND n_chars BETWEEN 20 AND 5000
+  AND len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+""")
+def observed_gate(spark, sf):
+    """The quality gate instrumented with the OBSERVATION API:
+    df.observe() attaches aggregate metrics (rows seen, rows kept,
+    chars kept) that are collected AS A SIDE EFFECT of whatever action
+    runs the plan — zero extra passes, the mechanism a production
+    curation job uses to emit per-stage acceptance metrics into its
+    lineage/metrics table without re-scanning 100 TB (the A11 metrics
+    contract, but engine-native). The observed values are asserted
+    against independent aggregates in tests/test_dataops.py; the
+    returned gate result takes the ordinary oracle."""
+    from pyspark.sql import Observation
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    obs = Observation("gate")
+    gated = (d.observe(obs,
+                       F.count(F.lit(1)).alias("rows_seen"),
+                       F.sum("n_chars").alias("chars_seen"))
+             .filter((F.col("n_chars").between(20, 5000))
+                     & (F.size(F.split(F.trim("text"), r"\s+")) >= 5))
+             .select("doc_id", "lang", "n_chars"))
+    return gated

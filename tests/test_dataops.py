@@ -502,3 +502,23 @@ def test_percentile_approx_rank_error_bounded(spark):
             slack = max(n / 1000.0, 1.0) + 1
             assert lo - slack <= target <= hi + slack, \
                 (flag, q, got, lo, hi, target, n)
+
+
+def test_observation_metrics_collected_with_plan(spark):
+    # df.observe() metrics must match independent aggregates, and they
+    # arrive as a side effect of the action (no second scan).
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .filter(F.col("text").isNotNull())
+    obs = Observation("gate_t")
+    gated = (d.observe(obs, F.count(F.lit(1)).alias("rows_seen"),
+                       F.sum("n_chars").alias("chars_seen"))
+             .filter(F.col("n_chars").between(20, 5000)))
+    kept = gated.count()                      # the action that fires obs
+    got = obs.get
+    want_rows = d.count()
+    want_chars = d.agg(F.sum("n_chars")).first()[0]
+    assert got["rows_seen"] == want_rows
+    assert got["chars_seen"] == want_chars
+    assert 0 < kept <= want_rows
