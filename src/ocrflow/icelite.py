@@ -514,6 +514,30 @@ class IceliteTable:
             "files_before": len(files), "files_after": len(new_files)},
             stats_cols=stats_cols, validate_from=src or 0)
 
+    def rollback(self, snapshot_id: int) -> int:
+        """Roll the table back to an earlier snapshot (Iceberg's
+        rollback_to_snapshot): CURRENT moves to ``snapshot_id`` and
+        every LATER manifest is expired (renamed ``*.expired-*``,
+        audit-kept). Expiring the later manifests is what makes the
+        rollback durable in this commit model — _commit rebases losers
+        off the max COMMITTED manifest, so a still-live newer manifest
+        would silently re-win the next optimistic commit race and undo
+        the rollback. Data files stay on disk until
+        remove_orphan_files(); the rolled-back state is byte-identical
+        to the original snapshot. Returns ``snapshot_id``.
+        """
+        target = os.path.join(self.meta_dir, f"snap-{snapshot_id}.json")
+        if not os.path.exists(target):
+            raise ValueError(f"no snapshot {snapshot_id} to roll back to")
+        for s in self.snapshots():
+            sid = s["snapshot_id"]
+            if sid > snapshot_id:
+                m = os.path.join(self.meta_dir, f"snap-{sid}.json")
+                os.rename(m, m + f".expired-{uuid.uuid4().hex[:8]}")
+        self._atomic_write(os.path.join(self.meta_dir, "CURRENT"),
+                           f"snap-{snapshot_id}.json")
+        return snapshot_id
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshot manifests
         (Iceberg's expire_snapshots). Time travel to expired ids stops

@@ -811,3 +811,32 @@ def test_manifest_planning_stays_cheap_at_1e5_entries(spark, tmp_path):
     assert t_list < 5.0, f"file_list took {t_list:.2f}s on 1e5 entries"
     assert t_plan < 5.0, f"read() planning took {t_plan:.2f}s on 1e5 entries"
     print(f"manifest-1e5: file_list {t_list:.3f}s, read-plan {t_plan:.3f}s")
+
+
+def test_rollback_restores_state_and_survives_next_commit(spark, tmp_path):
+    """rollback(sid): CURRENT returns to the old snapshot, later
+    manifests are expired (else the optimistic-commit rebase would
+    silently re-win off the newer manifest), reads are byte-identical
+    to the original state, and the NEXT commit builds on the
+    rolled-back state, not the undone one."""
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    s1 = tbl.commit_append(write_dataframe_files(
+        spark.range(0, 10).toDF("id").coalesce(1), tbl.new_commit_dir("c0")))
+    tbl.commit_append(write_dataframe_files(
+        spark.range(10, 99).toDF("id").coalesce(1), tbl.new_commit_dir("bad")))
+    assert tbl.read(spark).count() == 99
+    assert tbl.rollback(s1) == s1
+    assert tbl.current_snapshot_id() == s1
+    assert {r["id"] for r in tbl.read(spark).collect()} == set(range(10))
+    # next commit forks from the rolled-back state
+    tbl.commit_append(write_dataframe_files(
+        spark.range(100, 105).toDF("id").coalesce(1),
+        tbl.new_commit_dir("c2")))
+    got = {r["id"] for r in tbl.read(spark).collect()}
+    assert got == set(range(10)) | set(range(100, 105))  # no 'bad' rows
+    # the undone data files are reclaimable
+    orphans = tbl.remove_orphan_files(dry_run=True)
+    assert orphans, "undone commit's files should be orphaned"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tbl.rollback(999)
