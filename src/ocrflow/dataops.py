@@ -2784,3 +2784,99 @@ def observed_gate(spark, sf):
                      & (F.size(F.split(F.trim("text"), r"\s+")) >= 5))
              .select("doc_id", "lang", "n_chars"))
     return gated
+
+
+@q("conv_context_window", r"""
+WITH tr AS (
+  SELECT 'conv-' || lpad(CAST(doc_id % 50 AS VARCHAR), 8, '0') AS conv_id,
+         CAST(doc_id // 50 AS INT) AS turn_idx, text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT conv_id, turn_idx,
+       CAST(coalesce(n_ctx, 0) AS BIGINT) AS n_ctx,
+       coalesce(ctx_md5, '') AS ctx_md5
+FROM (
+  SELECT conv_id, turn_idx,
+         count(*) OVER w AS n_ctx,
+         md5(string_agg(text, chr(10)) OVER w) AS ctx_md5
+  FROM tr
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+)
+""")
+def conv_context_window(spark, sf):
+    """CONTEXT-WINDOW construction — the SFT-example builder: for every
+    turn, the up-to-3 preceding turns of its conversation, stitched in
+    stable order and fingerprinted (md5 over the newline join, so one
+    out-of-order or missing context turn anywhere flips the hash).
+    One window exchange on conv_id; the frame is ROWS-bounded, so
+    state per key is 3 rows regardless of conversation length — the
+    shape that survives 10^12-turn conversations where an unbounded
+    collect would not."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    tr = d.select(
+        F.concat(F.lit("conv-"),
+                 F.lpad((F.col("doc_id") % 50).cast("string"), 8, "0")
+                 ).alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"), "text")
+    w = (W.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(-3, -1))
+    ctx = F.array_join(F.collect_list("text").over(w), "\n")
+    return (tr.select(
+        "conv_id", "turn_idx",
+        F.size(F.collect_list("text").over(w)).cast("bigint").alias("n_ctx"),
+        F.when(F.count("*").over(w) > 0,
+               F.md5(F.encode(ctx, "utf-8"))).otherwise(F.lit(""))
+        .alias("ctx_md5")))
+
+
+@q("conv_reply_pairs", r"""
+WITH tr AS (
+  SELECT 'conv-' || lpad(CAST(doc_id % 50 AS VARCHAR), 8, '0') AS conv_id,
+         CAST(doc_id // 50 AS INT) AS turn_idx,
+         CASE WHEN CAST(doc_id // 50 AS INT) % 2 = 0
+              THEN 'user' ELSE 'assistant' END AS role,
+         text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT conv_id, turn_idx AS prompt_turn,
+       md5(text) AS prompt_md5, md5(reply) AS reply_md5
+FROM (
+  SELECT conv_id, turn_idx, role, text,
+         lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS reply,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS reply_role
+  FROM tr
+)
+WHERE role = 'user' AND reply_role = 'assistant' AND reply IS NOT NULL
+""")
+def conv_reply_pairs(spark, sf):
+    """INSTRUCTION-PAIR extraction — (user turn, next assistant turn)
+    per conversation, the unit an SFT pipeline actually trains on.
+    Adjacency via lead() over the stable turn order (one window
+    exchange, no self-join — the equi-join formulation shuffles the
+    corpus twice and breaks on gapped turn indices); both sides
+    md5-fingerprinted. Role here is the deterministic parity mapping
+    the documents→transcripts reshaping defines; on real transcripts
+    the role column is stored."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    ti = (F.col("doc_id") / 50).cast("int")
+    tr = d.select(
+        F.concat(F.lit("conv-"),
+                 F.lpad((F.col("doc_id") % 50).cast("string"), 8, "0")
+                 ).alias("conv_id"),
+        ti.alias("turn_idx"),
+        F.when(ti % 2 == 0, F.lit("user")).otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text")
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    x = tr.select("conv_id", "turn_idx", "role", "text",
+                  F.lead("text").over(w).alias("reply"),
+                  F.lead("role").over(w).alias("reply_role"))
+    return (x.filter((F.col("role") == "user")
+                     & (F.col("reply_role") == "assistant")
+                     & F.col("reply").isNotNull())
+            .select("conv_id", F.col("turn_idx").alias("prompt_turn"),
+                    F.md5(F.encode("text", "utf-8")).alias("prompt_md5"),
+                    F.md5(F.encode("reply", "utf-8")).alias("reply_md5")))
