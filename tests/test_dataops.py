@@ -522,3 +522,28 @@ def test_observation_metrics_collected_with_plan(spark):
     assert got["rows_seen"] == want_rows
     assert got["chars_seen"] == want_chars
     assert 0 < kept <= want_rows
+
+
+def test_incremental_scan_recall_and_precision(spark):
+    # The minhash-probe scanner must agree with the exact twin on the
+    # decisions it makes (precision 1.0 after exact verify: every dup
+    # it flags is a true dup with the identical best match) and recall
+    # most true dups (LSH banding can miss borderline pairs).
+    from ocrflow.dataops import dedup_incremental_exact, dedup_incremental_scan
+    exact = {r["doc_id"]: (r["dup_of"], r["best_jaccard"])
+             for r in dedup_incremental_exact(spark, SF_DIR).collect()}
+    scan = {r["doc_id"]: (r["dup_of"], r["best_jaccard"])
+            for r in dedup_incremental_scan(spark, SF_DIR).collect()}
+    assert set(scan) == set(exact)          # one decision row per new doc
+    true_dups = {d for d, (b, _) in exact.items() if b is not None}
+    flagged = {d for d, (b, _) in scan.items() if b is not None}
+    assert flagged <= true_dups             # precision 1.0
+    for d in flagged:                        # jaccard values are exact
+        assert scan[d][1] <= exact[d][1] + 1e-9
+    # recall stratified by similarity: 4x4 banding catches nearly all
+    # high-sim dups (P(collide) = 1-(1-j^4)^4: j=0.8 -> 0.88) and is
+    # expectedly lossy near the 0.5 threshold (j=0.5 -> 0.23)
+    high = {d for d in true_dups if exact[d][1] >= 0.8}
+    if high:
+        recall_high = len(flagged & high) / len(high)
+        assert recall_high >= 0.6, (recall_high, len(flagged), len(high))
