@@ -3005,3 +3005,118 @@ def dedup_incremental_scan(spark, sf):
         F.col("base_id").alias("dup_of"),
         F.round(F.coalesce("j", F.lit(0.0)), 6).alias("best_jaccard"),
         F.col("base_id").isNotNull().alias("is_dup"))
+
+
+@q("sft_pairs_e2e", r"""
+WITH tr AS (
+  SELECT 'conv-' || lpad(CAST(doc_id % 50 AS VARCHAR), 8, '0') AS conv_id,
+         CAST(doc_id // 50 AS INT) AS turn_idx,
+         CASE WHEN CAST(doc_id // 50 AS INT) % 2 = 0
+              THEN 'user' ELSE 'assistant' END AS role,
+         text
+  FROM documents WHERE text IS NOT NULL
+), adj AS (
+  SELECT conv_id, turn_idx, role, text,
+         lead(text) OVER w AS reply, lead(role) OVER w AS reply_role
+  FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), pairs AS (
+  SELECT conv_id, turn_idx, text, reply
+  FROM adj
+  WHERE role = 'user' AND reply_role = 'assistant' AND reply IS NOT NULL
+    AND len(text) >= 20 AND len(reply) >= 20
+), dedup AS (
+  SELECT conv_id, turn_idx, md5(text) AS prompt_md5,
+         md5(reply) AS reply_md5,
+         row_number() OVER (PARTITION BY md5(text), md5(reply)
+                            ORDER BY conv_id, turn_idx) AS rn
+  FROM pairs
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       md5(string_agg(prompt_md5 || ':' || reply_md5, ','
+                      ORDER BY turn_idx)) AS pairs_md5
+FROM dedup WHERE rn = 1
+GROUP BY conv_id
+""")
+def sft_pairs_e2e(spark, sf):
+    """The SFT-PREP pipeline end-to-end as ONE declarative plan — the
+    training-data counterpart of corpus_curation_e2e: stable turn
+    order → (user, assistant) adjacency pairing → length gate → exact
+    pair dedup (first occurrence by (conv, turn) wins, deterministic)
+    → per-conversation manifest fingerprint. Three window exchanges
+    total (adjacency, dedup rank, final stitch — the first two share
+    nothing, the stitch rides the groupBy), no self-joins, every stage
+    the bounded-state shape; Catalyst pipelines the gates into the
+    scan side. Fingerprinting makes the whole pipeline's output
+    externally checkable as one string per conversation."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    ti = (F.col("doc_id") / 50).cast("int")
+    tr = d.select(
+        F.concat(F.lit("conv-"),
+                 F.lpad((F.col("doc_id") % 50).cast("string"), 8, "0")
+                 ).alias("conv_id"),
+        ti.alias("turn_idx"),
+        F.when(ti % 2 == 0, F.lit("user")).otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text")
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    adj = tr.select("conv_id", "turn_idx", "role", "text",
+                    F.lead("text").over(w).alias("reply"),
+                    F.lead("role").over(w).alias("reply_role"))
+    pairs = adj.filter(
+        (F.col("role") == "user") & (F.col("reply_role") == "assistant")
+        & F.col("reply").isNotNull()
+        & (F.length("text") >= 20) & (F.length("reply") >= 20))
+    pm = F.md5(F.encode("text", "utf-8"))
+    rm = F.md5(F.encode("reply", "utf-8"))
+    wd = W.partitionBy(pm, rm).orderBy("conv_id", "turn_idx")
+    dedup = (pairs.select("conv_id", "turn_idx",
+                          pm.alias("prompt_md5"), rm.alias("reply_md5"),
+                          F.row_number().over(wd).alias("rn"))
+             .filter(F.col("rn") == 1))
+    stitched = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                "turn_idx", "prompt_md5", "reply_md5"))),
+            lambda s: F.concat(s["prompt_md5"], F.lit(":"),
+                               s["reply_md5"])), ",")
+    return (dedup.groupBy("conv_id")
+            .agg(F.count("*").cast("bigint").alias("n_pairs"),
+                 F.md5(F.encode(stitched, "utf-8")).alias("pairs_md5")))
+
+
+@q("shuffle_skew_probe", """
+WITH k AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(n) AS BIGINT) AS max_n,
+         ROUND(avg(n), 4) AS mean_n,
+         ROUND(CAST(max(n) AS DOUBLE) / avg(n), 4) AS skew_ratio
+  FROM k
+)
+SELECT k.o_custkey AS hot_key, k.n AS key_rows,
+       s.n_keys, s.max_n, s.mean_n, s.skew_ratio
+FROM k, s
+ORDER BY k.n DESC, k.o_custkey LIMIT 5
+""")
+def shuffle_skew_probe(spark, sf):
+    """The diagnostic a partitioning decision starts from: per-key row
+    counts of the intended shuffle key, the top-5 hot keys, and the
+    max/mean skew ratio — run this BEFORE choosing between plain
+    hash partitioning, salting (join_salted_skew), and AQE skew-join.
+    One hash aggregate (map-side combinable) plus a 1-row stats
+    broadcast; at 100 TB this is the cheap pre-flight scan that saves
+    the 50s straggler the skew test demonstrates."""
+    o = t(spark, sf, "orders")
+    k = o.groupBy("o_custkey").agg(F.count("*").cast("bigint").alias("n"))
+    s = k.agg(F.count("*").cast("bigint").alias("n_keys"),
+              F.max("n").cast("bigint").alias("max_n"),
+              F.round(F.avg("n"), 4).alias("mean_n"),
+              F.round(F.max("n").cast("double") / F.avg("n"), 4)
+              .alias("skew_ratio"))
+    return (k.crossJoin(F.broadcast(s))
+            .orderBy(F.col("n").desc(), "o_custkey").limit(5)
+            .select(F.col("o_custkey").alias("hot_key"),
+                    F.col("n").alias("key_rows"),
+                    "n_keys", "max_n", "mean_n", "skew_ratio"))
