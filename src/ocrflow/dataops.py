@@ -3120,3 +3120,48 @@ def shuffle_skew_probe(spark, sf):
             .select(F.col("o_custkey").alias("hot_key"),
                     F.col("n").alias("key_rows"),
                     "n_keys", "max_n", "mean_n", "skew_ratio"))
+
+
+@q("nation_share_within_region", """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         sum(o.o_totalprice) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation, ROUND(revenue, 2) AS revenue,
+       ROUND(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+           AS share_in_region,
+       ROUND(revenue / sum(revenue) OVER (), 6) AS share_global
+FROM rev
+""")
+def nation_share_within_region(spark, sf):
+    """Hierarchical SHARE-WITHIN-PARENT: each nation's revenue share
+    inside its region AND globally — the two-level ratio-to-report
+    every BI drill-down needs. The fact collapses to |nations| rows
+    BEFORE any window (dimension chain broadcast onto the fact, one
+    aggregate), so both window passes run over a dimension-sized
+    frame; computing shares against the raw fact instead would window
+    a 100 TB table for a 25-row answer."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_regionkey",
+                                      F.col("n_name").alias("nation"))
+    r = t(spark, sf, "region").select("r_regionkey",
+                                      F.col("r_name").alias("region"))
+    rev = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .groupBy("region", "nation")
+           .agg(F.sum("o_totalprice").alias("revenue")))
+    wr = W.partitionBy("region")
+    wg = W.partitionBy()
+    return rev.select(
+        "region", "nation", F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(wr), 6)
+        .alias("share_in_region"),
+        F.round(F.col("revenue") / F.sum("revenue").over(wg), 6)
+        .alias("share_global"))
