@@ -2483,8 +2483,12 @@ def ngram_novelty_curve(spark, sf):
                      lambda i: F.concat_ws(" ", F.slice(toks, i, 3))))
                  .alias("gram"))
              .distinct())
-    fst = grams.groupBy("gram").agg(F.min("src_rank").alias("first_rank"))
-    j = grams.join(fst, "gram")
+    # min-rank per gram as a WINDOW over the gram key instead of a
+    # groupBy + join-back: one exchange of the gram table, not two
+    # (the window's hashpartitioning(gram) is the only wide move; the
+    # final per-source agg is |sources|-sized)
+    first_rank = F.min("src_rank").over(W.partitionBy("gram"))
+    j = grams.withColumn("first_rank", first_rank)
     novel = F.sum(F.when(F.col("first_rank") == F.col("src_rank"), 1)
                   .otherwise(0))
     return (j.groupBy("source")
