@@ -3169,3 +3169,101 @@ def nation_share_within_region(spark, sf):
         .alias("share_in_region"),
         F.round(F.col("revenue") / F.sum("revenue").over(wg), 6)
         .alias("share_global"))
+
+
+# =========================================================================
+# Data layout (Z-order / space-filling-curve clustering)
+# =========================================================================
+
+_ZORDER_INTERLEAVE_SQL = " | ".join(
+    f"(((xb >> {i}) & 1) << {2 * i}) | (((yb >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8))
+
+@q("layout_zorder", f"""
+WITH b AS (
+  SELECT CAST(min(o_custkey) AS DOUBLE) AS ck_lo,
+         CAST(max(o_custkey) AS DOUBLE) AS ck_hi,
+         min(o_totalprice) AS tp_lo, max(o_totalprice) AS tp_hi
+  FROM orders
+), z AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, ck_lo, ck_hi, tp_lo, tp_hi,
+         CAST(least(greatest(floor((CAST(o_custkey AS DOUBLE) - ck_lo)
+               / greatest(ck_hi - ck_lo, 1e-12) * 255), 0), 255) AS BIGINT)
+             AS xb,
+         CAST(least(greatest(floor((o_totalprice - tp_lo)
+               / greatest(tp_hi - tp_lo, 1e-12) * 255), 0), 255) AS BIGINT)
+             AS yb
+  FROM orders, b
+), f AS (
+  SELECT *, {_ZORDER_INTERLEAVE_SQL} AS zval FROM z
+), g AS (
+  SELECT *, ntile(64) OVER (ORDER BY zval, o_orderkey) AS file_id FROM f
+)
+SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+       min(o_totalprice) AS min_tp, max(o_totalprice) AS max_tp,
+       (min(o_custkey) <= min(ck_lo) + 0.55 * (min(ck_hi) - min(ck_lo))
+        AND max(o_custkey) >= min(ck_lo) + 0.45 * (min(ck_hi) - min(ck_lo))
+        AND min(o_totalprice) <= min(tp_lo) + 0.55 * (min(tp_hi) - min(tp_lo))
+        AND max(o_totalprice) >= min(tp_lo) + 0.45 * (min(tp_hi) - min(tp_lo)))
+           AS scans_box
+FROM g GROUP BY file_id
+""")
+def layout_zorder(spark, sf):
+    """Z-ORDER LAYOUT as a checkable plan: bucket (o_custkey,
+    o_totalprice) to 8-bit grid cells from the table's own min/max,
+    bit-interleave them into a Morton key (icelite.zorder_expr — pure
+    JVM shiftleft/AND, no UDF), carve the curve into 64 equal "files",
+    and emit each file's bounding box plus whether a central 10%x10%
+    box query would have to scan it. The box flags ARE the data-
+    skipping contract: on a Z-ordered layout only the files whose box
+    intersects the predicate are read (tests/test_resume.py::
+    test_zorder_compaction_prunes_2d_box proves the same expr through
+    icelite compact(sort_by=_z) + manifest min/max pruning).
+
+    Scale notes: the min/max bounds come from ONE 1-row aggregate
+    (broadcast back — in production, free from manifest stats); the
+    Morton key is embarrassingly parallel; the only wide operation is
+    ordering by the curve, which at 100 TB is repartitionByRange on
+    zval (sampled range boundaries, no global window) + per-file
+    stats at write. ntile here is the bounded 64-group stand-in that
+    keeps the result oracle-checkable."""
+    from .icelite import zorder_expr
+
+    o = t(spark, sf, "orders")
+    b = o.agg(F.min("o_custkey").cast("double").alias("ck_lo"),
+              F.max("o_custkey").cast("double").alias("ck_hi"),
+              F.min("o_totalprice").alias("tp_lo"),
+              F.max("o_totalprice").alias("tp_hi"))
+    j = o.crossJoin(F.broadcast(b))
+    xb = F.least(F.greatest(F.floor(
+        (F.col("o_custkey").cast("double") - F.col("ck_lo"))
+        / F.greatest(F.col("ck_hi") - F.col("ck_lo"), F.lit(1e-12))
+        * F.lit(255.0)), F.lit(0)), F.lit(255)).cast("bigint")
+    yb = F.least(F.greatest(F.floor(
+        (F.col("o_totalprice") - F.col("tp_lo"))
+        / F.greatest(F.col("tp_hi") - F.col("tp_lo"), F.lit(1e-12))
+        * F.lit(255.0)), F.lit(0)), F.lit(255)).cast("bigint")
+    zz = (j.withColumn("xb", xb).withColumn("yb", yb)
+          .withColumn("zval", zorder_expr([F.col("xb"), F.col("yb")],
+                                          bits=8)))
+    g = zz.withColumn(
+        "file_id", F.ntile(64).over(W.orderBy("zval", "o_orderkey")))
+    return (g.groupBy("file_id")
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.min("o_custkey").alias("min_ck"),
+                 F.max("o_custkey").alias("max_ck"),
+                 F.min("o_totalprice").alias("min_tp"),
+                 F.max("o_totalprice").alias("max_tp"),
+                 ((F.min("o_custkey") <= F.min("ck_lo")
+                   + 0.55 * (F.min("ck_hi") - F.min("ck_lo")))
+                  & (F.max("o_custkey") >= F.min("ck_lo")
+                     + 0.45 * (F.min("ck_hi") - F.min("ck_lo")))
+                  & (F.min("o_totalprice") <= F.min("tp_lo")
+                     + 0.55 * (F.min("tp_hi") - F.min("tp_lo")))
+                  & (F.max("o_totalprice") >= F.min("tp_lo")
+                     + 0.45 * (F.min("tp_hi") - F.min("tp_lo"))))
+                 .alias("scans_box")))
+
+
+from . import bpe  # noqa: E402,F401 — registers the BPE tokenizer keys
