@@ -63,6 +63,7 @@ _BLOCK_TAGS = frozenset({"p", "div", "article", "section", "main", "li",
 _VOID_BREAKS = frozenset({"br", "hr"})
 
 _NONSPACE = re.compile(r"\S")
+_WS = re.compile(r"\s+")
 
 
 def canonicalize(text: str, is_code: bool = False) -> str:
@@ -75,7 +76,10 @@ def canonicalize(text: str, is_code: bool = False) -> str:
         return ""
     # surrogates break NFC; strip via translate first
     text = text.translate(ct._CANON_TABLE)
-    text = unicodedata.normalize("NFC", text)
+    if not text.isascii():
+        # ASCII is NFC-closed: normalize() is the identity there, and
+        # isascii() is a single C scan — skip the normalizer quickcheck
+        text = unicodedata.normalize("NFC", text)
     if is_code:
         text = text.replace("\r\n", "\n").replace("\r", "\n")
         return text.strip("\n")
@@ -183,8 +187,10 @@ class _BlockCollector:
         canon = canonicalize(raw, is_code=is_code)
         if not canon:
             return
-        n = len(_NONSPACE.findall(raw))
-        nl = len(_NONSPACE.findall(link_raw))
+        # |\S| = len(\s-stripped): one C-level sub pass, ~2x faster
+        # than a findall list with one str object per non-space char
+        n = len(_WS.sub("", raw))
+        nl = len(_WS.sub("", link_raw)) if link_raw else 0
         self.blocks.append(Block(canon, nl / n if n else 0.0, is_code))
 
 
