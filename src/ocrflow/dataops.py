@@ -3266,4 +3266,180 @@ def layout_zorder(spark, sf):
                  .alias("scans_box")))
 
 
+@q("icelite_merge_upsert", """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+), ins AS (
+  SELECT -o_orderkey AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 113 = 0 AND o_orderkey > 0
+), merged AS (
+  SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(sum(o_totalprice), 2) AS sum_tp,
+       CAST(count(*) FILTER (o_orderkey < 0) AS BIGINT) AS n_inserted
+FROM merged GROUP BY o_orderstatus
+""")
+def icelite_merge_upsert(spark, sf):
+    """Batch MERGE INTO (upsert) through the icelite table format,
+    ORACLED: seed an icelite table with orders, merge an updates set
+    (every 7th key re-priced and re-statused = WHEN MATCHED UPDATE;
+    negated 113th keys = WHEN NOT MATCHED INSERT), read the post-merge
+    snapshot back and aggregate — string-exact against DuckDB
+    *simulating* the merge relationally. Proves latest-wins tie
+    semantics (updates carry the same o_orderdate; the update side
+    must win) end-to-end through commit_replace + snapshot read.
+
+    Scale notes: icelite merge is copy-on-write — one shuffle on the
+    merge key for the latest-wins window, then a rewrite; at 100 TB
+    the rewrite narrows to the partitions the updates touch (see
+    merge_upsert docstring). Pre-merge snapshots still time-travel."""
+    from .icelite import IceliteTable, write_dataframe_files
+
+    o = t(spark, sf, "orders")
+    tbl = IceliteTable(_scratch("icelite_merge"))
+    base = write_dataframe_files(o, tbl.new_commit_dir("base"))
+    tbl.commit_append(base)
+    upd = (o.filter(F.col("o_orderkey") % 7 == 0)
+           .withColumn("o_orderstatus", F.lit("U"))
+           .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0))
+    ins = (o.filter((F.col("o_orderkey") % 113 == 0)
+                    & (F.col("o_orderkey") > 0))
+           .withColumn("o_orderkey", -F.col("o_orderkey"))
+           .withColumn("o_orderstatus", F.lit("N")))
+    tbl.merge_upsert(spark, upd.unionByName(ins),
+                     key_cols=("o_orderkey",), order_col="o_orderdate")
+    return (tbl.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_tp"),
+                 F.count_if(F.col("o_orderkey") < 0).cast("bigint")
+                 .alias("n_inserted")))
+
+
+@q("join_cbo_reordered", """
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(l.l_quantity), 2) AS sum_qty
+FROM lineitem l
+JOIN customer c ON 1 = 1
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+            AND c.c_custkey = o.o_custkey
+WHERE c.c_custkey < 100
+GROUP BY c.c_mktsegment
+""")
+def join_cbo_reordered(spark, sf):
+    """COST-BASED join reordering, driven by real catalog statistics:
+    the query is WRITTEN in the worst order (fact x dim first, the
+    connecting table last), tables get ANALYZE ... FOR ALL COLUMNS
+    row/column stats, and with spark.sql.cbo.joinReorder Catalyst
+    rewrites the tree so the selective customer<100 x orders join runs
+    first and the fact joins the (tiny) intermediate — the optimizer
+    decision that separates a 100 TB plan that finishes from one that
+    doesn't. The reorder itself is plan-asserted in
+    tests/test_plan_shape.py::test_cbo_reorders_join_tree; this key
+    oracles the VALUES so correctness under reordering is externally
+    checked too.
+
+    Scale notes: ANALYZE is one pass per table amortized over every
+    query on it; CBO feeds ndv/min/max into join cardinality
+    estimates, which also unlocks broadcast decisions AQE can only
+    make after a stage already ran."""
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    for name in ("lineitem", "orders", "customer"):
+        spark.sql(f"DROP TABLE IF EXISTS cbo_{name}")
+        (t(spark, sf, name).write.mode("overwrite")
+         .option("path", _scratch(f"cbo_{name}"))
+         .saveAsTable(f"cbo_{name}"))
+        spark.sql(f"ANALYZE TABLE cbo_{name} COMPUTE STATISTICS "
+                  "FOR ALL COLUMNS")
+    return spark.sql("""
+        SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+               ROUND(sum(l.l_quantity), 2) AS sum_qty
+        FROM cbo_lineitem l
+        JOIN cbo_customer c ON 1 = 1
+        JOIN cbo_orders o ON l.l_orderkey = o.o_orderkey
+                        AND c.c_custkey = o.o_custkey
+        WHERE c.c_custkey < 100
+        GROUP BY c.c_mktsegment""")
+
+
+@q("corpus_temperature_mix", """
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_docs) AS DOUBLE) AS total,
+         sum(sqrt(CAST(n_docs AS DOUBLE))) AS z
+  FROM s
+)
+SELECT source, n_docs,
+       ROUND(n_docs / total, 6) AS share,
+       ROUND(sqrt(CAST(n_docs AS DOUBLE)) / z, 6) AS weight,
+       ROUND((sqrt(CAST(n_docs AS DOUBLE)) / z) / (n_docs / total), 4)
+           AS boost
+FROM s, tot
+""")
+def corpus_temperature_mix(spark, sf):
+    """TEMPERATURE SAMPLING plan (T=2, i.e. alpha=0.5): per-source
+    target weights proportional to share^0.5 — the standard
+    multilingual/multi-source rebalancing (mT5/XLM-R style) that
+    up-weights tail sources without letting them dominate. alpha=0.5
+    is computed as sqrt(), which IEEE-754 rounds correctly on every
+    engine (pow(x,0.5) is not so guaranteed) — the reason this is
+    oracle-exact. `boost` is the over/under-sampling factor each
+    source gets vs its natural share; sample_weighted_topk /
+    sample_deterministic execute a plan like this downstream.
+
+    Scale notes: one map-side-combinable count per source + a 1-row
+    broadcast of the two totals; the 100 TB corpus collapses to
+    |sources| rows before any arithmetic."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    s = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = s.agg(F.sum("n_docs").cast("double").alias("total"),
+                F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"))
+    share = F.col("n_docs") / F.col("total")
+    weight = F.sqrt(F.col("n_docs").cast("double")) / F.col("z")
+    return (s.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs",
+                    F.round(share, 6).alias("share"),
+                    F.round(weight, 6).alias("weight"),
+                    F.round(weight / share, 4).alias("boost")))
+
+
+@q("corpus_epoch_shuffle", """
+SELECT CAST(row_number() OVER (
+           ORDER BY md5('epoch-7|' || CAST(doc_id AS VARCHAR)), doc_id)
+       AS BIGINT) AS rank,
+       doc_id
+FROM documents
+ORDER BY rank LIMIT 100
+""")
+def corpus_epoch_shuffle(spark, sf):
+    """DETERMINISTIC EPOCH SHUFFLE: global training order for epoch k
+    = sort by md5(seed || doc_id) — reproducible across reruns and
+    resumable mid-epoch (the order IS the rank, no RNG state to
+    checkpoint), different every epoch by changing the seed string.
+    First 100 positions returned, oracle-exact since md5 agrees
+    everywhere.
+
+    Scale notes: this is how you shuffle 100 TB — a distributed sort
+    on a uniform hash key (range-partitioned by sampled boundaries),
+    not a driver-side permutation; here the top-100 collapses to
+    TakeOrderedAndProject, so nothing global materializes."""
+    d = t(spark, sf, "documents")
+    h = F.md5(F.concat(F.lit("epoch-7|"), F.col("doc_id").cast("string")))
+    return (d.select("doc_id", h.alias("_h"))
+            .withColumn("rank", F.row_number().over(
+                W.orderBy("_h", "doc_id")).cast("bigint"))
+            .orderBy("rank").limit(100)
+            .select("rank", "doc_id"))
+
+
 from . import bpe  # noqa: E402,F401 — registers the BPE tokenizer keys

@@ -229,3 +229,39 @@ def test_dynamic_partition_pruning_in_fact_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert df.count() > 0
+
+
+def test_cbo_reorders_join_tree(spark):
+    # the key itself creates the analyzed cbo_* tables and turns CBO on
+    df_on = QUERIES["join_cbo_reordered"](spark, SF_DIR)
+    opt_on = df_on._jdf.queryExecution().optimizedPlan().toString()
+
+    def join_lines(p):
+        return [ln.strip() for ln in p.splitlines() if "Join Inner" in ln]
+
+    on_joins = join_lines(opt_on)
+    assert len(on_joins) == 2
+    # with stats + CBO the INNER (first-executed) join is the selective
+    # customer<100 x orders pair; the fact joins the small intermediate
+    assert "c_custkey" in on_joins[1] and "o_custkey" in on_joins[1]
+    assert "l_orderkey" in on_joins[0]
+
+    # same text with CBO off keeps the written association: the
+    # lineitem-orders join runs first and the reorder is genuinely
+    # CBO's doing, not the parser's
+    spark.conf.set("spark.sql.cbo.enabled", "false")
+    try:
+        off_joins = join_lines(
+            spark.sql("""
+                SELECT c.c_mktsegment, count(*) AS n
+                FROM cbo_lineitem l
+                JOIN cbo_customer c ON 1 = 1
+                JOIN cbo_orders o ON l.l_orderkey = o.o_orderkey
+                                AND c.c_custkey = o.o_custkey
+                WHERE c.c_custkey < 100
+                GROUP BY c.c_mktsegment
+            """)._jdf.queryExecution().optimizedPlan().toString())
+        assert off_joins != on_joins
+        assert "l_orderkey" in off_joins[1]
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
