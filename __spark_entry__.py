@@ -81,21 +81,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_distinct→dedup_exact). All 50 post-rotation keys re-proven
 # string-exact at sf0.01 under BOTH the tuned and the stock default
 # session before this registration.
+# Fifth rotation (round 4, late batch): the six keys oracled this
+# session in — layout_zorder, icelite_merge_upsert,
+# join_cbo_reordered, corpus_temperature_mix, corpus_epoch_shuffle,
+# ngram_novelty_curve (first external rows for the data-layout,
+# table-format-merge, CBO, and corpus-mix families). Out (driver-green
+# r01–r03, family still in-window): project_expr (expression family →
+# filter_correlated_agg/case logic), agg_collect_sorted (agg_hash +
+# agg_regression stay), date_funcs (ts_ohlc/ts_ewma keep temporal),
+# map_funcs + json_funcs (array_higher_order + json_variant stay),
+# win_sliding_rows (win_range_frame/win_turn_order stay). All 50
+# post-rotation keys re-proven string-exact at sf0.01 under BOTH the
+# tuned and the stock default session before this registration.
 # Everything after the window:
 # remaining oracled keys first (next in line if the window grows), then
 # rows-only keys (streams, sketches, sinks, iterative ops) last.
 _WINDOW = [
     "scan_pruned",
-    "project_expr",
+    "layout_zorder",
     "join_broadcast",
     "join_range", "join_salted_skew",
-    "agg_hash", "agg_collect_sorted",
+    "agg_hash", "icelite_merge_upsert",
     "win_range_frame", "win_turn_order",
     "topk_per_group",
     "set_except",
-    "str_regexp", "date_funcs",
-    "array_higher_order", "map_funcs", "json_funcs",
-    "recursive_cte", "json_variant", "win_sliding_rows",
+    "str_regexp", "join_cbo_reordered",
+    "array_higher_order", "corpus_temperature_mix",
+    "corpus_epoch_shuffle",
+    "recursive_cte", "json_variant", "ngram_novelty_curve",
     "filter_correlated_agg", "join_asof_tolerance",
     "dedup_materialize",
     "skyline_pareto", "ts_ohlc", "agg_regression",
