@@ -3442,4 +3442,76 @@ def corpus_epoch_shuffle(spark, sf):
             .select("rank", "doc_id"))
 
 
+@q("source_xml_roundtrip", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+       ROUND(sum(o_totalprice), 2) AS sum_tp,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+FROM orders
+""")
+def source_xml_roundtrip(spark, sf):
+    """XML ROUND-TRIP through Spark 4's native XML expressions:
+    serialize every order row with to_xml(struct(...)), parse it back
+    with from_xml, and aggregate the PARSED values — string-exact
+    against DuckDB aggregating the ORIGINAL table, so any loss in the
+    serialize→parse cycle (escaping, double formatting, schema
+    mismatch) breaks the oracle. Doubles survive because Spark writes
+    Java shortest-roundtrip repr and parses with parseDouble.
+
+    Scale notes: both expressions are JVM-side row-local (no UDF, no
+    shuffle before the final 1-row aggregate); this is the ingestion
+    path for XML feeds at scale — schema-on-read with columnar
+    downstream."""
+    o = t(spark, sf, "orders")
+    xml = o.select(F.to_xml(F.struct(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")).alias("x"))
+    schema = ("o_orderkey BIGINT, o_orderstatus STRING, "
+              "o_totalprice DOUBLE, o_orderpriority STRING")
+    p = xml.select(F.from_xml("x", schema).alias("p")).select("p.*")
+    return p.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_tp"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("n_status"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("n_prio"))
+
+
+@q("join_lateral_topk", """
+SELECT r.r_name AS region, l.nation, l.revenue
+FROM region r, LATERAL (
+  SELECT n.n_name AS nation, ROUND(sum(o.o_totalprice), 2) AS revenue
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY sum(o.o_totalprice) DESC, n.n_name LIMIT 2
+) l
+""")
+def join_lateral_topk(spark, sf):
+    """SQL LATERAL correlated derived table — top-2 nations by revenue
+    PER region, written as the lateral form every analyst reaches for
+    (and DuckDB/Postgres run natively). Catalyst decorrelates the
+    ORDER BY ... LIMIT subquery into a DomainJoin + per-domain window,
+    i.e. the same physical shape as topk_per_group — proving the
+    surface syntax and the hand-written window formulation meet in the
+    same plan family. Deterministic via the (revenue DESC, name)
+    tiebreak."""
+    for name in ("region", "nation", "customer", "orders"):
+        t(spark, sf, name).createOrReplaceTempView(f"lat_{name}")
+    return spark.sql("""
+      SELECT r.r_name AS region, l.nation, l.revenue
+      FROM lat_region r, LATERAL (
+        SELECT n.n_name AS nation,
+               ROUND(sum(o.o_totalprice), 2) AS revenue
+        FROM lat_nation n
+        JOIN lat_customer c ON c.c_nationkey = n.n_nationkey
+        JOIN lat_orders o ON o.o_custkey = c.c_custkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY sum(o.o_totalprice) DESC, n.n_name LIMIT 2
+      ) l""")
+
+
 from . import bpe  # noqa: E402,F401 — registers the BPE tokenizer keys
