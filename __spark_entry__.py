@@ -93,24 +93,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # win_sliding_rows (win_range_frame/win_turn_order stay). All 50
 # post-rotation keys re-proven string-exact at sf0.01 under BOTH the
 # tuned and the stock default session before this registration.
+# Sixth rotation (round 4, final batch — accelerating cumulative
+# external coverage, the round-3 VERDICT's top residual gap): eight
+# never-windowed keys in — str_printf_format, scalar_null_semantics,
+# agg_winsorized, win_rolling_median, cohort_overlap, profile_columns,
+# explode_outer_semantics, interval_merge. Out (driver-green
+# r01–r03, family kept): join_broadcast + join_range (join family:
+# salted_skew/cbo/asof x2/point_in_time/spatial stay), agg_hash
+# (regression + winsorized), win_range_frame (turn_order +
+# rolling_median), topk_per_group (knn_within_eps), str_regexp
+# (printf), array_higher_order (explode_outer), dedup_materialize
+# (exact/containment/scanner/tfidf). Same double-session sweep proof.
 # Everything after the window:
 # remaining oracled keys first (next in line if the window grows), then
 # rows-only keys (streams, sketches, sinks, iterative ops) last.
 _WINDOW = [
     "scan_pruned",
     "layout_zorder",
-    "join_broadcast",
-    "join_range", "join_salted_skew",
-    "agg_hash", "icelite_merge_upsert",
-    "win_range_frame", "win_turn_order",
-    "topk_per_group",
+    "str_printf_format",
+    "scalar_null_semantics", "join_salted_skew",
+    "agg_winsorized", "icelite_merge_upsert",
+    "win_rolling_median", "win_turn_order",
+    "cohort_overlap",
     "set_except",
-    "str_regexp", "join_cbo_reordered",
-    "array_higher_order", "corpus_temperature_mix",
+    "profile_columns", "join_cbo_reordered",
+    "explode_outer_semantics", "corpus_temperature_mix",
     "corpus_epoch_shuffle",
     "recursive_cte", "json_variant", "ngram_novelty_curve",
     "filter_correlated_agg", "join_asof_tolerance",
-    "dedup_materialize",
+    "interval_merge",
     "skyline_pareto", "ts_ohlc", "agg_regression",
     "text_repetition_filter", "pack_sequences_nextfit",
     "corpus_curation_e2e", "join_asof_nearest", "heavy_hitters_mg",
