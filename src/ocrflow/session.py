@@ -67,6 +67,11 @@ def build_session(master: str | None = None, app: str = "ocrflow",
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.session.timeZone", "UTC")
+         # INT96 (Spark's parquet default) carries NO min/max stats and
+         # is forbidden by the Iceberg spec; int64 micros restores
+         # footer stats so icelite's manifest data-skipping works on
+         # timestamp columns (test_partition_evolution relies on it)
+         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
          .config("spark.ui.enabled", "false")

@@ -840,3 +840,78 @@ def test_rollback_restores_state_and_survives_next_commit(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         tbl.rollback(999)
+
+
+def test_partition_evolution_daily_to_monthly_layouts(spark, tmp_path):
+    """PARTITION EVOLUTION (Iceberg's spec-evolution semantics): era-1
+    commits land hive-partitioned by DAY, era-2 commits by MONTH, in
+    the SAME table. Reads must (a) return the union transparently and
+    (b) prune across BOTH layouts for a time predicate — via the
+    commit-time ts stats, which are layout-independent (the runner's
+    derived-partition-column pattern keeps ts in the data files)."""
+    from pyspark.sql import functions as F
+
+    from ocrflow.icelite import IceliteTable, write_dataframe_files
+
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    base = spark.range(0, 240).select(
+        F.col("id").alias("event_id"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(hours=F.col("id").cast("int"))).alias("ts"))
+
+    era1 = (base.filter(F.col("ts") < "2024-01-06")
+            .withColumn("_day", F.to_date("ts")))
+    f1 = write_dataframe_files(era1, tbl.new_commit_dir("daily"),
+                               partition_by=("_day",))
+    tbl.commit_append(f1, stats_cols=("ts",))
+
+    era2 = (base.filter(F.col("ts") >= "2024-01-06")
+            .withColumn("_month", F.date_format("ts", "yyyy-MM")))
+    f2 = write_dataframe_files(era2, tbl.new_commit_dir("monthly"),
+                               partition_by=("_month",))
+    tbl.commit_append(f2, stats_cols=("ts",))
+
+    # (a) the full read unions both layouts with one schema
+    full = tbl.read(spark)
+    assert full.count() == 240
+    assert set(full.columns) == {"event_id", "ts"}
+
+    # (b) a one-day window prunes across BOTH layouts via ts stats:
+    # era-1 keeps exactly the matching day directory's files, era-2
+    # keeps only the (single) monthly file covering the day
+    lo, hi = "2024-01-03T00:00:00", "2024-01-03T23:59:59"
+    pruned = tbl.read(spark, stats_filter={"ts": (lo, hi)})
+    got = (pruned.filter((F.col("ts") >= "2024-01-03")
+                         & (F.col("ts") < "2024-01-04"))
+           .select("event_id").collect())
+    assert sorted(r.event_id for r in got) == list(range(48, 72))
+
+    # file-level evidence: recompute the manifest prune the way read()
+    # does and check the day query touches far fewer files than exist
+    snap = tbl.snapshot()
+    ents = snap["files"]
+    kept = [e for e in ents
+            if "ts" not in e.get("stats", {})
+            or not (e["stats"]["ts"][1] < lo or e["stats"]["ts"][0] > hi)]
+    kept_daily = [e for e in kept if "_day=" in e["path"]]
+    kept_monthly = [e for e in kept if "_month=" in e["path"]]
+    all_daily = [e for e in ents if "_day=" in e["path"]]
+    assert all(e["path"].count("_day=2024-01-03") for e in kept_daily)
+    assert len(kept_daily) < len(all_daily)
+    # the whole era-2 range starts Jan-6, so every monthly file prunes
+    assert kept_monthly == []
+
+    # and the mirror query on an era-2 day prunes every daily file
+    lo2, hi2 = "2024-01-08T00:00:00", "2024-01-08T23:59:59"
+    got2 = (tbl.read(spark, stats_filter={"ts": (lo2, hi2)})
+            .filter((F.col("ts") >= "2024-01-08")
+                    & (F.col("ts") < "2024-01-09"))
+            .select("event_id").collect())
+    assert sorted(r.event_id for r in got2) == list(range(168, 192))
+    kept2 = [e for e in ents
+             if "ts" not in e.get("stats", {})
+             or not (e["stats"]["ts"][1] < lo2 or e["stats"]["ts"][0] > hi2)]
+    assert [e for e in kept2 if "_day=" in e["path"]] == []
+    assert all("_month=2024-01" in e["path"]
+               for e in kept2 if "_month=" in e["path"])
+    assert any("_month=" in e["path"] for e in kept2)
