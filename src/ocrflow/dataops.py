@@ -3514,4 +3514,116 @@ def join_lateral_topk(spark, sf):
       ) l""")
 
 
+@q("scan_metadata_columns", """
+SELECT 'orders.parquet' AS file_name, CAST(count(*) AS BIGINT) AS n_rows,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders
+""")
+def scan_metadata_columns(spark, sf):
+    """HIDDEN METADATA COLUMNS (_metadata.file_name): per-input-file
+    row counts and key ranges — the lineage/debugging idiom that at
+    100 TB answers "which file produced these rows" without a custom
+    input_file_name() UDF column. The driver testdata ships each
+    table as exactly one parquet file, so the oracle pins the
+    literal file name; the VALUE verified is that Spark's hidden
+    column actually routes every row to its source file (count and
+    key range must match the table totals)."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    return (o.select(F.col("_metadata.file_name").alias("file_name"),
+                     "o_orderkey")
+            .groupBy("file_name")
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
+@q("udtf_analyze_polymorphic", """
+SELECT split_part(s, ',', 1) AS status, split_part(s, ',', 2) AS prio,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT o_orderstatus || ',' || o_orderpriority AS s FROM orders)
+GROUP BY 1, 2
+""")
+def udtf_analyze_polymorphic(spark, sf):
+    """POLYMORPHIC UDTF (PySpark 4 analyze()): the output schema is
+    computed AT PLAN TIME from a constant argument — here a
+    csv-splitter whose column count comes from the literal width
+    argument, the table-function analog of a generic library
+    operator. The UDTF output is verified value-exact against plain
+    string functions in DuckDB, so the analyze()-driven schema AND
+    the eval() row expansion are both externally checked.
+
+    Scale notes: UDTFs run row-local in the Python worker (Arrow
+    batches); the aggregate after is the only shuffle. Production use
+    is schema-carrying parsers (logs, kv-blobs) where the width is a
+    config constant."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+
+    class SplitCsv:
+        @staticmethod
+        def analyze(row: AnalyzeArgument, n: AnalyzeArgument):
+            schema = T.StructType()
+            for i in range(n.value):
+                schema = schema.add(f"c{i}", T.StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, row, n):
+            parts = (row or "").split(",")
+            yield tuple(parts[i] if i < len(parts) else None
+                        for i in range(n))
+
+    spark.udtf.register("split_csv", udtf(SplitCsv))
+    o = t(spark, sf, "orders")
+    (o.select(F.concat_ws(",", "o_orderstatus", "o_orderpriority")
+              .alias("s")).createOrReplaceTempView("udtf_csv_rows"))
+    return spark.sql("""
+        SELECT t.c0 AS status, t.c1 AS prio,
+               CAST(count(*) AS BIGINT) AS n
+        FROM udtf_csv_rows, LATERAL split_csv(s, 2) t
+        GROUP BY t.c0, t.c1""")
+
+
+@q("sink_dynamic_partition_overwrite", """
+WITH repl AS (
+  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0
+), final AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderstatus <> 'O'
+  UNION ALL SELECT * FROM repl
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(sum(o_totalprice), 2) AS sum_tp
+FROM final GROUP BY o_orderstatus
+""")
+def sink_dynamic_partition_overwrite(spark, sf):
+    """DYNAMIC PARTITION OVERWRITE (partitionOverwriteMode=dynamic):
+    seed a status-partitioned table, then overwrite with a frame that
+    only CONTAINS partition 'O' — dynamic mode replaces exactly the
+    partitions present in the written data and leaves every other
+    partition untouched (static mode would wipe them). The read-back
+    aggregate is string-exact vs DuckDB simulating replace-one-
+    partition relationally; the untouched partitions' sums prove
+    nothing else was rewritten.
+
+    Scale notes: this is the idempotent daily-backfill primitive — a
+    re-run of day D rewrites only day=D's files; at 100 TB the
+    alternative (MERGE or full overwrite) costs orders of magnitude
+    more I/O."""
+    out = _scratch("dyn_overwrite")
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    (o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out))
+    repl = (o.filter((F.col("o_orderstatus") == "O")
+                     & (F.col("o_orderkey") % 3 == 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0))
+    (repl.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("o_orderstatus").parquet(out))
+    back = spark.read.parquet(out)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_tp")))
+
+
 from . import bpe  # noqa: E402,F401 — registers the BPE tokenizer keys
