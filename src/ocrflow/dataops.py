@@ -3626,4 +3626,115 @@ def sink_dynamic_partition_overwrite(spark, sf):
                  F.round(F.sum("o_totalprice"), 2).alias("sum_tp")))
 
 
+@q("tpch_q1_shape", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+           AS sum_qty,
+       ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+           AS sum_base_price,
+       ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE), 2)
+           AS sum_disc_price,
+       ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))
+                      * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE), 2)
+           AS sum_charge,
+       ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 4) AS avg_qty,
+       ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 4) AS avg_price,
+       ROUND(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             / count(*), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1_shape(spark, sf):
+    """TPC-H Q1, the canonical pricing-summary scan-aggregate: one
+    pass over the fact, filter pushed to the scan, 4-group hash
+    aggregate with map-side partials — the query every columnar
+    engine's whole-stage codegen is tuned for. All money arithmetic
+    runs in DECIMAL (inputs are cents-scale, so the products are
+    EXACT and fold-order-independent — the only way a multi-term sum
+    can take a string-exact cross-engine gate), emitted as rounded
+    DOUBLE; averages divide the exact decimal sum by the group count.
+
+    Scale notes: at 100 TB this plan is scan-bound: no join, no
+    wide row, partial aggregation collapses each task to ≤|groups|
+    rows before the single 4-row exchange."""
+    li = (t(spark, sf, "lineitem")
+          .filter(F.col("l_shipdate") <= "1998-09-02"))
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    tax = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+                 F.round(F.sum(price).cast("double"), 2)
+                 .alias("sum_base_price"),
+                 F.round(F.sum(price * disc).cast("double"), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.sum(price * disc * tax).cast("double"), 2)
+                 .alias("sum_charge"),
+                 F.round(F.sum(qty).cast("double") / F.count("*"), 4)
+                 .alias("avg_qty"),
+                 F.round(F.sum(price).cast("double") / F.count("*"), 4)
+                 .alias("avg_price"),
+                 F.round(F.sum(F.col("l_discount").cast("decimal(4,2)"))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("avg_disc"),
+                 F.count("*").cast("bigint").alias("count_order")))
+
+
+@q("sft_loss_mask_spans", r"""
+WITH tr AS (
+  SELECT 'conv-' || lpad(CAST(doc_id % 50 AS VARCHAR), 8, '0') AS conv_id,
+         CAST(doc_id // 50 AS INT) AS turn_idx,
+         CASE WHEN CAST(doc_id // 50 AS INT) % 2 = 0
+              THEN 'user' ELSE 'assistant' END AS role,
+         len(regexp_split_to_array(trim(text), '\s+')) AS tok_n
+  FROM documents WHERE text IS NOT NULL
+), pos AS (
+  SELECT conv_id, turn_idx, role, tok_n,
+         CAST(sum(tok_n) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              AS BIGINT) AS tok_end
+  FROM tr
+)
+SELECT conv_id, turn_idx, tok_end - tok_n AS tok_start, tok_end
+FROM pos WHERE role = 'assistant'
+""")
+def sft_loss_mask_spans(spark, sf):
+    """LOSS-MASK SPANS for SFT packing: concatenate each
+    conversation's turns in stable order and emit the [tok_start,
+    tok_end) token ranges of the ASSISTANT turns — exactly the spans
+    a trainer unmasks (user/tool tokens contribute context, not
+    loss). One window exchange on conv_id computes every offset as a
+    running token count; downstream this composes with
+    pack_sequences_nextfit (the pack's base offset adds to each
+    span).
+
+    Scale notes: token counts are row-local; the only wide operation
+    is the per-conversation cumulative sum, partitioned on the same
+    key the reassembly already shuffles on — offsets are free if run
+    fused with A8."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    ti = (F.col("doc_id") / 50).cast("int")
+    tr = d.select(
+        F.concat(F.lit("conv-"),
+                 F.lpad((F.col("doc_id") % 50).cast("string"), 8, "0")
+                 ).alias("conv_id"),
+        ti.alias("turn_idx"),
+        F.when(ti % 2 == 0, F.lit("user")).otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("tok_n"))
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    pos = tr.withColumn("tok_end",
+                        F.sum("tok_n").over(w).cast("bigint"))
+    return (pos.filter(F.col("role") == "assistant")
+            .select("conv_id", "turn_idx",
+                    (F.col("tok_end") - F.col("tok_n")).alias("tok_start"),
+                    "tok_end"))
+
+
 from . import bpe  # noqa: E402,F401 — registers the BPE tokenizer keys
