@@ -30,6 +30,7 @@ SKIP_KEYS = {
     # auditable but slow; their plans are asserted in test_plan_shape
     "dedup_materialize", "dedup_materialize_lsh", "iter_pagerank",
     "ann_ivf_coarse", "sink_partitioned", "source_icelite_snapshot",
+    "source_python_datasource_stream",  # runs a streaming query
 }
 
 

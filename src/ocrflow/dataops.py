@@ -3737,4 +3737,46 @@ def sft_loss_mask_spans(spark, sf):
                     "tok_end"))
 
 
+@q("source_python_datasource_stream")  # rows-only: streaming source
+def source_python_datasource_stream(spark, sf):
+    """STREAMING Python DataSource (PySpark 4 simpleStreamReader):
+    the synthetic corpus arrives in 500-turn waves through the
+    pluggable streaming seam — offsets are plain positions, recovery
+    replay regenerates committed waves (readBetweenOffsets), and the
+    drained stream equals the batch read byte-for-byte
+    (tests/test_dataops.py::test_python_stream_source_equals_batch).
+    Spark's Python micro-batch wrapper does not support
+    Trigger.AvailableNow (it logs a single-batch fallback), so the
+    drain loop polls the bounded stream to completion — the pattern a
+    production job uses with a finite backfill.
+
+    Scale notes: planning is offset arithmetic on the driver; each
+    wave's generation is executor-side; the memory sink here stands
+    in for foreachBatch→icelite (stream_upsert_sink)."""
+    import tempfile
+
+    from .sources import register
+
+    register(spark)
+    ckpt = tempfile.mkdtemp(prefix="ocrflow_pyds_stream_")
+    name = "pyds_stream_out"
+    q_ = (spark.readStream.format("ocrflow_synth")
+          .option("turns", 2000).option("seed", 42)
+          .option("batch_turns", 500).load()
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .trigger(processingTime="0 seconds").start())
+    import time as _time
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.sql(f"SELECT count(*) c FROM {name}").first()["c"] >= 2000:
+            break
+        _time.sleep(0.5)
+    q_.stop()
+    return (spark.table(name)
+            .groupBy("role")
+            .agg(F.count("*").cast("bigint").alias("n_turns"),
+                 F.min("conv_id").alias("first_conv")))
+
+
 from . import bpe  # noqa: E402,F401 — registers the BPE tokenizer keys

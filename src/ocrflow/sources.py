@@ -19,7 +19,12 @@ partitions) would plug in.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _SliceParts(InputPartition):
@@ -59,6 +64,57 @@ class SynthTranscriptsReader(DataSourceReader):
                    row["text"], row["tool"], row["ts"])
 
 
+def _gen_slice(lo: int, hi: int, seed: int, monster_every: int,
+               monster_size: int, turns: int):
+    """Rows for global turn ids [lo, hi) — shared by the batch
+    partitions and the stream waves, so stream == batch by
+    construction."""
+    import numpy as np
+
+    from ocrflow.synth import _conv_lookup, gen_turn, plan_sizes
+
+    sizes = plan_sizes(turns, seed, monster_every, monster_size)
+    offsets = _conv_lookup(sizes)
+    ids = np.arange(lo, hi)
+    conv = np.searchsorted(offsets, ids, side="right") - 1
+    turn = ids - offsets[conv]
+    for ci, ti in zip(conv.tolist(), turn.tolist()):
+        row = gen_turn(int(ci), int(ti), seed)
+        yield (row["conv_id"], row["turn_idx"], row["role"],
+               row["text"], row["tool"], row["ts"])
+
+
+class SynthTranscriptsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the source (PySpark 4 simpleStreamReader):
+    the same deterministic corpus arrives in bounded WAVES of
+    ``batch_turns`` rows per micro-batch; the offset is just the
+    global turn position, so recovery replay (readBetweenOffsets)
+    regenerates exactly the committed wave — the pure-function analog
+    of a replayable log, and why stream == batch byte-for-byte."""
+
+    def __init__(self, options):
+        self.turns = int(options.get("turns", 1000))
+        self.seed = int(options.get("seed", 42))
+        self.monster_every = int(options.get("monster_every", 1000))
+        self.monster_size = int(options.get("monster_size", 100000))
+        self.batch_turns = int(options.get("batch_turns", 500))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = int(start["pos"])
+        end = min(pos + self.batch_turns, self.turns)
+        rows = list(_gen_slice(pos, end, self.seed, self.monster_every,
+                               self.monster_size, self.turns))
+        return (iter(rows), {"pos": end})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return _gen_slice(int(start["pos"]), int(end["pos"]), self.seed,
+                          self.monster_every, self.monster_size,
+                          self.turns)
+
+
 class SynthTranscriptsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -70,6 +126,9 @@ class SynthTranscriptsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return SynthTranscriptsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return SynthTranscriptsStreamReader(self.options)
 
 
 def register(spark) -> None:

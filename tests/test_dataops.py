@@ -547,3 +547,25 @@ def test_incremental_scan_recall_and_precision(spark):
     if high:
         recall_high = len(flagged & high) / len(high)
         assert recall_high >= 0.6, (recall_high, len(flagged), len(high))
+
+
+def test_python_stream_source_equals_batch(spark):
+    """The streaming face of the Python DataSource drains to exactly
+    the batch read — same rows, same bytes, across micro-batch waves
+    (and the key's aggregate is consistent with it)."""
+    import __spark_entry__ as E
+    from ocrflow.sources import register
+
+    Q = E.queries()
+    agg = {r["role"]: r["n_turns"]
+           for r in Q["source_python_datasource_stream"](spark, "").collect()}
+    assert sum(agg.values()) == 2000
+
+    register(spark)
+    batch = (spark.read.format("ocrflow_synth")
+             .option("turns", 2000).option("seed", 42)
+             .option("partitions", 8).load())
+    want = sorted(map(tuple, batch.collect()))
+    got = sorted(map(tuple, spark.table("pyds_stream_out")
+                 .select(*batch.columns).collect()))
+    assert got == want
