@@ -980,16 +980,42 @@ def _scratch(name: str, wipe: bool = True) -> str:
     return d
 
 
-@q("sink_partitioned")  # rows-only: writes then reads back
+@q("sink_partitioned", """
+WITH b AS (
+  SELECT user_id, substr(md5(CAST(user_id AS VARCHAR)), 1, 1) AS bucket
+  FROM events
+), probe AS (
+  SELECT substr(md5(CAST(min(user_id) AS VARCHAR)), 1, 1) AS target
+  FROM events
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM b, probe WHERE bucket = target GROUP BY bucket
+""")
 def sink_partitioned(spark, sf):
-    out = _scratch("sink_partitioned", wipe=False)  # overwrite mode reuses
+    """Hive-partitioned SINK round-trip, ORACLED (round 4 upgrade
+    from rows-only): bucket = first md5 hex char of the key (16-way,
+    engine-portable — the old xxhash64 bucket had no DuckDB twin),
+    write partitionBy(bucket), read back, and aggregate ONE bucket —
+    the probed bucket is the minimum user's (non-empty at every
+    scale by construction), so partition pruning scans exactly one
+    directory and the values must equal DuckDB computing the same
+    bucket relationally (the write→hive-layout→prune→read cycle
+    loses nothing)."""
+    out = _scratch("sink_partitioned", wipe=False)  # overwrite truncates
     e = t(spark, sf, "events").withColumn(
-        "bucket", F.pmod(F.xxhash64("user_id"), F.lit(8)))
+        "bucket", F.substring(F.md5(F.col("user_id").cast("string")), 1, 1))
     e.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    target = (e.agg(F.min("user_id").alias("mu"))
+              .select(F.substring(F.md5(F.col("mu").cast("string")), 1, 1)
+                      .alias("target")))
     back = spark.read.parquet(out)
-    # partition pruning: only bucket=3 files are scanned
-    return (back.filter(F.col("bucket") == 3)
-            .groupBy("bucket").agg(F.count("*").alias("n")))
+    return (back.crossJoin(F.broadcast(target))
+            .filter(F.col("bucket") == F.col("target"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.countDistinct("user_id").cast("bigint")
+                 .alias("n_users")))
 
 
 @q("source_python_datasource")  # rows-only: synthetic source, no oracle table
@@ -1008,8 +1034,17 @@ def source_python_datasource(spark, sf):
                  F.min("conv_id").alias("first_conv")))
 
 
-@q("source_icelite_snapshot")  # rows-only: snapshot-isolated scan
+@q("source_icelite_snapshot", """
+SELECT CAST(count(*) AS BIGINT) AS n_snapshot1,
+       max(event_id) AS max_id
+FROM events WHERE event_id % 2 = 0
+""")
 def source_icelite_snapshot(spark, sf):
+    """Snapshot isolation + TIME TRAVEL, ORACLED (round 4 upgrade
+    from rows-only): two commits (even ids, then odd ids); reading
+    snapshot 1 must see EXACTLY the even half — which DuckDB can
+    predict relationally, so the isolation property itself takes the
+    string-exact gate, not just a row count."""
     from .icelite import IceliteTable, write_dataframe_files
     tbl = IceliteTable(_scratch("icelite_snapshot"))  # wiped: snapshots must restart at 1
     e = t(spark, sf, "events")
