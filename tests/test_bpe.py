@@ -86,3 +86,43 @@ def test_spark_bpe_keys_deterministic_and_consistent(spark):
         want[r["lang"]] = want.get(r["lang"], 0) + n
     got = {lang: r["n_tokens"] for lang, r in stats.items()}
     assert got == want
+
+
+# --- property tests (hypothesis): random corpora, not just fixtures ---
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _word = st.text(alphabet="abcde", min_size=1, max_size=8)
+    _corpus = st.dictionaries(_word, st.integers(min_value=1, max_value=9),
+                              min_size=1, max_size=12)
+
+    @given(_corpus, st.integers(min_value=0, max_value=25))
+    @settings(max_examples=60, deadline=None)
+    def test_prop_applier_matches_trainer_everywhere(corpus, k):
+        merges = train_merges_from_counts(corpus, k)
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w in corpus:
+            sym = _word_symbols(w)
+            for a, b in merges:
+                sym = _merge_in_word(sym, (a, b), a + b)
+            assert segment_word(w, ranks) == sym
+
+    @given(_corpus, st.integers(min_value=1, max_value=25), _word)
+    @settings(max_examples=60, deadline=None)
+    def test_prop_roundtrip_on_unseen_words(corpus, k, unseen):
+        ranks = {p: i for i, p in
+                 enumerate(train_merges_from_counts(corpus, k))}
+        sym = segment_word(unseen, ranks)
+        assert "".join(sym) == unseen + WORD_END
+
+    @given(_corpus, st.integers(min_value=0, max_value=25))
+    @settings(max_examples=30, deadline=None)
+    def test_prop_training_is_deterministic(corpus, k):
+        # dict iteration order must not leak into the merge list:
+        # rebuild the corpus in reversed insertion order
+        rev = dict(reversed(list(corpus.items())))
+        assert (train_merges_from_counts(corpus, k)
+                == train_merges_from_counts(rev, k))
+except ImportError:  # pragma: no cover - hypothesis is in the image
+    pass
