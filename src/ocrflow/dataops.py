@@ -3819,4 +3819,50 @@ def source_python_datasource_stream(spark, sf):
                  F.min("conv_id").alias("first_conv")))
 
 
+@q("map_higher_order", """
+SELECT event_id,
+       value + 1.0 AS a_plus,
+       CAST((CASE WHEN value > 50 THEN 1 ELSE 0 END)
+            + (CASE WHEN value * 2 > 50 THEN 1 ELSE 0 END)
+            + (CASE WHEN k > 50 THEN 1 ELSE 0 END) AS INT) AS n_over_50,
+       value + value * 2 + k AS sum_vals,
+       value * 2 * 20.0 AS b_scaled
+FROM (SELECT event_id, value,
+             CAST(json_extract(props, '$.k') AS DOUBLE) AS k
+      FROM events WHERE props IS NOT NULL)
+""")
+def map_higher_order(spark, sf):
+    """MAP higher-order functions — transform_values, map_filter,
+    map_zip_with, and an aggregate fold over map_values — verified by
+    emitting SCALARS whose expected values DuckDB computes directly
+    from the source columns (map renderings are engine-specific; the
+    semantics are not). The map is constructed in-query from event
+    columns, so each HOF's output is a closed-form expression: every
+    Spark lambda must land exactly on DuckDB's arithmetic.
+
+    Scale notes: all row-local JVM expressions inside whole-stage
+    codegen; no UDF, no shuffle — HOFs are how you avoid exploding
+    maps into rows at 100 TB."""
+    e = t(spark, sf, "events").filter(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("double")
+    m = F.create_map(
+        F.lit("a"), F.col("value"),
+        F.lit("b"), F.col("value") * 2,
+        F.lit("c"), k)
+    m2 = F.create_map(F.lit("a"), F.lit(10.0),
+                      F.lit("b"), F.lit(20.0),
+                      F.lit("c"), F.lit(30.0))
+    plus1 = F.transform_values(m, lambda _, v: v + 1.0)
+    over = F.map_filter(m, lambda _, v: v > 50)
+    zipped = F.map_zip_with(m, m2, lambda _, v1, v2: v1 * v2)
+    folded = F.aggregate(F.map_values(m), F.lit(0.0),
+                         lambda acc, x: acc + x)
+    return e.select(
+        "event_id",
+        F.element_at(plus1, "a").alias("a_plus"),
+        F.size(over).cast("int").alias("n_over_50"),
+        folded.alias("sum_vals"),
+        F.element_at(zipped, "b").alias("b_scaled"))
+
+
 from . import bpe  # noqa: E402,F401 — registers the BPE tokenizer keys
