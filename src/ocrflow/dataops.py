@@ -3865,4 +3865,55 @@ def map_higher_order(spark, sf):
         F.element_at(zipped, "b").alias("b_scaled"))
 
 
+@q("agg_listagg", """
+SELECT o_orderstatus,
+       string_agg(o_orderpriority, '|' ORDER BY o_orderpriority,
+                  o_orderkey) AS prio_chain,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT * FROM orders WHERE o_orderkey % 97 = 0)
+GROUP BY o_orderstatus
+""")
+def agg_listagg(spark, sf):
+    """SQL:2023 LISTAGG (WITHIN GROUP ordered string aggregation) —
+    the ordered-concatenation surface analysts use for audit chains;
+    deterministic via the full (priority, orderkey) order key, so the
+    concatenated string is exactly DuckDB's ordered string_agg. The
+    %97 slice keeps the chains bounded (a LISTAGG over an unbounded
+    group is an anti-pattern at 100 TB — the collapsed string grows
+    with the group)."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return (o.groupBy("o_orderstatus")
+            .agg(F.expr("listagg(o_orderpriority, '|') WITHIN GROUP "
+                        "(ORDER BY o_orderpriority, o_orderkey)")
+                 .alias("prio_chain"),
+                 F.count("*").cast("bigint").alias("n")))
+
+
+@q("scalar_try_functions", """
+SELECT o_orderkey,
+       o_totalprice / NULLIF(CAST(o_orderkey % 7 AS DOUBLE), 0)
+           AS safe_div,
+       TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num
+FROM orders WHERE o_orderkey % 13 = 0
+""")
+def scalar_try_functions(spark, sf):
+    """ERROR-SAFE scalar functions (try_divide / try_cast): division
+    by zero and unparseable casts yield NULL instead of failing the
+    job — the semantics ANSI mode makes mandatory to think about,
+    and the difference between a 100 TB job that finishes with
+    auditable NULLs and one that dies at hour nine on a single bad
+    row. Oracled against DuckDB's NULLIF-guarded division and
+    TRY_CAST (identical NULL surface, engine-diverse mechanism)."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    return o.select(
+        "o_orderkey",
+        F.try_divide("o_totalprice",
+                     (F.col("o_orderkey") % 7).cast("double"))
+        .alias("safe_div"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int")
+        .alias("prio_num"))
+
+
 from . import bpe  # noqa: E402,F401 — registers the BPE tokenizer keys
