@@ -3916,4 +3916,46 @@ def scalar_try_functions(spark, sf):
         .alias("prio_num"))
 
 
+@q("agg_session_window", """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id, sid
+""")
+def agg_session_window(spark, sf):
+    """NATIVE batch session windows (F.session_window, the engine
+    primitive) verified against the classic gaps-and-islands SQL —
+    an ALGORITHM-diverse oracle: Spark's built-in merging-session
+    aggregation must produce exactly the lag-flag + running-sum
+    islands construction (session end = last event + gap, per the
+    session_window contract).
+
+    Scale notes: session_window aggregates in one exchange on
+    (user_id) with Spark merging overlapping sessions internally —
+    no window-function pass over the raw events, which is what makes
+    it the 100 TB form; the islands formulation (sessionize_batch)
+    stays as the portable twin."""
+    e = t(spark, sf, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (e.groupBy("user_id", sw)
+            .agg(F.count("*").cast("bigint").alias("n_events"))
+            .select("user_id",
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events"))
+
+
 from . import bpe  # noqa: E402,F401 — registers the BPE tokenizer keys
