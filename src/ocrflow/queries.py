@@ -3771,3 +3771,365 @@ def single_source_parts(spark, sf):
             .join(p, F.col("l_partkey") == F.col("p_partkey"))
             .select("p_partkey", "p_brand", "p_retailprice",
                     F.col("n_supp").cast("bigint").alias("n_suppliers")))
+
+
+# =========================================================================
+# Round-4 continuation: conditional aggs, pipe SQL, TPC-H widening,
+# linear interpolation, bounded BFS
+# =========================================================================
+
+@q("agg_filter_clause", """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+       CAST(count(DISTINCT o_custkey)
+            FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big_cust,
+       ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+                  FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 2)
+           AS sum_f_price
+FROM orders
+GROUP BY o_orderpriority
+""")
+def agg_filter_clause(spark, sf):
+    """Conditional aggregation (SQL FILTER clause semantics) in one
+    pass: per-priority open-order counts, distinct big spenders, and
+    finished-order revenue — three differently-filtered aggregates
+    that would otherwise be three scans + a join. The DataFrame side
+    expresses each as agg(when(cond, x)): count/sum ignore the NULLs
+    the when() emits, which is exactly FILTER's semantics, and all
+    three stay inside one partial-aggregating hash aggregate. Money
+    sums run in DECIMAL(14,2) (cents-scale inputs ⇒ exact,
+    fold-order-free). At 100 TB this is the pattern that replaces N
+    filtered sub-scans with one: scan once, combine map-side."""
+    o = t(spark, sf, "orders")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.count(F.when(F.col("o_orderstatus") == "O", 1))
+                 .cast("bigint").alias("n_open"),
+                 F.countDistinct(
+                     F.when(F.col("o_totalprice") > 150000,
+                            F.col("o_custkey"))).cast("bigint")
+                 .alias("n_big_cust"),
+                 F.round(F.sum(F.when(F.col("o_orderstatus") == "F", price))
+                         .cast("double"), 2).alias("sum_f_price")))
+
+
+@q("tpch_q10_shape", """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+         sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS r
+  FROM customer c
+  JOIN orders o   ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY 1, 2, 3, 4
+)
+SELECT c_custkey, c_name, n_name,
+       ROUND(CAST(r AS DOUBLE), 2) AS revenue,
+       ROUND(c_acctbal, 2) AS acctbal
+FROM rev
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def tpch_q10_shape(spark, sf):
+    """TPC-H Q10 (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter. Plan shape: the date
+    filter pushes into the orders scan and the returnflag filter into
+    lineitem BEFORE either join; orders⋈lineitem shuffles on the
+    orderkey, the customer join on custkey, and nation broadcasts.
+    Revenue is DECIMAL-exact, so the ORDER BY ... LIMIT 20 cut is
+    deterministic (custkey tiebreak); Spark runs it as
+    TakeOrderedAndProject — no global sort materializes. At 100 TB
+    the quarter predicate prunes partitions if orders is
+    date-partitioned, and AQE picks the build sides."""
+    c = t(spark, sf, "customer")
+    o = (t(spark, sf, "orders")
+         .filter((F.col("o_orderdate") >= "1997-01-01")
+                 & (F.col("o_orderdate") < "1997-04-01")))
+    li = (t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    n = t(spark, sf, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)"))
+    g = (c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+         .agg(F.sum(rev).alias("r")))
+    return (g.select("c_custkey", "c_name", "n_name",
+                     F.round(F.col("r").cast("double"), 2).alias("revenue"),
+                     F.round("c_acctbal", 2).alias("acctbal"))
+            .orderBy(F.col("revenue").desc(), "c_custkey").limit(20))
+
+
+@q("tpch_q14_shape", """
+SELECT ROUND(CAST(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1 - l.l_discount AS DECIMAL(4,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1 - l.l_discount AS DECIMAL(4,2)))
+                    AS DOUBLE), 4) AS promo_share_pct,
+       ROUND(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(4,2)))
+                  AS DOUBLE), 2) AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-02-01'
+""")
+def tpch_q14_shape(spark, sf):
+    """TPC-H Q14 (promotion effect): share of one month's revenue from
+    promo-class parts. A fact-to-dim join where the dim (part) is the
+    broadcast side and the month predicate prunes the fact scan; both
+    the conditional and total sums ride ONE hash aggregate (CASE
+    inside sum, DECIMAL-exact), so the query is a single scan + BHJ +
+    1-row aggregate. The percentage divides the two exact sums in
+    double, rounded — the standard engine-portable form."""
+    li = (t(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1997-02-01"))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    p = t(spark, sf, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)"))
+    promo = F.when(F.col("p_type") == "PROMO", rev) \
+             .otherwise(F.lit(0).cast("decimal(12,2)"))
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        F.round(F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"), 4).alias("promo_share_pct"),
+        F.round(F.sum(rev).cast("double"), 2).alias("total_revenue"))
+
+
+@q("tpch_q19_shape", """
+SELECT ROUND(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(4,2)))
+                  AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 25)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 5 AND 40)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 50)
+""")
+def tpch_q19_shape(spark, sf):
+    """TPC-H Q19 (discounted revenue, disjunctive brackets): an
+    equi-join on partkey whose residual predicate is an OR of
+    per-bracket conjunctions mixing build-side (brand/size) and
+    probe-side (quantity) columns. Catalyst keeps the equi-key as the
+    hash join key and evaluates the disjunction as a post-join filter;
+    the single-side conjuncts it can factor out (brand IN (...),
+    size <= 25, quantity <= 50) are pushed below the join into each
+    scan. This is the canonical 'predicate too tangled to push whole,
+    push what factors' query — at 100 TB the factored IN-list on the
+    broadcast dim side is what keeps the probe cheap."""
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    b = F.col("p_brand")
+    s = F.col("p_size")
+    qy = F.col("l_quantity")
+    br = (((b == "Brand#12") & s.between(1, 15) & qy.between(1, 25))
+          | ((b == "Brand#23") & s.between(1, 20) & qy.between(5, 40))
+          | ((b == "Brand#34") & s.between(1, 25) & qy.between(10, 50)))
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)"))
+    return j.filter(br).agg(
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        F.count("*").cast("bigint").alias("n_items"))
+
+
+@q("sql_pipe_syntax", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2)))
+                  AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag, l_linestatus
+""")
+def sql_pipe_syntax(spark, sf):
+    """Spark 4 SQL pipe syntax (|> operators): the same
+    filter→extend→aggregate written as a left-to-right pipeline
+    instead of nested SELECTs. The pipe form parses to the IDENTICAL
+    logical plan as the classic form (the oracle), so Catalyst's
+    pushdown/pruning/codegen apply unchanged — pipe syntax is sugar,
+    not a different engine path; this key pins that equivalence."""
+    t(spark, sf, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql("""
+        FROM pipe_lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |> EXTEND CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l_discount AS DECIMAL(4,2)) AS rev
+        |> AGGREGATE ROUND(CAST(sum(rev) AS DOUBLE), 2) AS revenue,
+                     CAST(count(*) AS BIGINT) AS n_items
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, revenue, n_items
+    """)
+
+
+@q("ts_interpolate_linear", """
+WITH obs AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         min(value) AS val
+  FROM events WHERE user_id < 30 AND value IS NOT NULL
+  GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1
+), grid AS (
+  SELECT s.user_id,
+         unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM span s
+), g AS (
+  SELECT gr.user_id, gr.bucket, o.val,
+         row_number() OVER (PARTITION BY gr.user_id ORDER BY gr.bucket)
+             AS rn
+  FROM grid gr LEFT JOIN obs o USING (user_id, bucket)
+), fwd AS (
+  SELECT *, count(val) OVER (PARTITION BY user_id ORDER BY rn) AS gf,
+         count(val) OVER (PARTITION BY user_id ORDER BY rn DESC) AS gb
+  FROM g
+), isl AS (
+  SELECT user_id, bucket, rn, val,
+         max(val) OVER (PARTITION BY user_id, gf) AS pv,
+         min(rn)  OVER (PARTITION BY user_id, gf) AS prn,
+         max(val) OVER (PARTITION BY user_id, gb) AS nv,
+         max(rn)  OVER (PARTITION BY user_id, gb) AS nrn
+  FROM fwd
+)
+SELECT user_id, bucket, val IS NOT NULL AS is_obs,
+       floor((CASE WHEN val IS NOT NULL THEN val
+              ELSE pv + (nv - pv) * (CAST(rn - prn AS DOUBLE)
+                                     / CAST(nrn - prn AS DOUBLE))
+              END) * 10000 + 0.5) / 10000 AS val_filled
+FROM isl
+""")
+def ts_interpolate_linear(spark, sf):
+    """Linear interpolation over a regularized hourly grid: the
+    pandas `interpolate(method='linear')` semantics, distributed.
+    Gap-fill first (per-user hourly sequence between first and last
+    observation), then two running non-null counts assign every grid
+    row a forward island (rooted at the previous observation) and a
+    backward island (rooted at the next one); per-island min/max
+    recover (prev_val, prev_rn, next_val, next_rn) WITHOUT ignore-
+    nulls window support, and the fill is the exact linear blend over
+    integer row offsets — the same IEEE double expression on both
+    engines, so it survives string-exact comparison after rounding.
+    Every window here shares ONE partitioning (user_id), so all six
+    window functions ride a single exchange; at 100 TB the grid
+    explode is per-user-bounded and never materializes a global
+    calendar cross join."""
+    e = (t(spark, sf, "events")
+         .filter((F.col("user_id") < 30) & F.col("value").isNotNull()))
+    obs = (e.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+           .agg(F.min("value").alias("val")))
+    span = obs.groupBy("user_id").agg(F.min("bucket").alias("lo"),
+                                      F.max("bucket").alias("hi"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR")))
+        .alias("bucket"))
+    g = (grid.join(obs, ["user_id", "bucket"], "left")
+         .withColumn("rn", F.row_number().over(
+             W.partitionBy("user_id").orderBy("bucket"))))
+    wf = W.partitionBy("user_id").orderBy("rn")
+    wb = W.partitionBy("user_id").orderBy(F.col("rn").desc())
+    g = (g.withColumn("gf", F.count("val").over(wf))
+         .withColumn("gb", F.count("val").over(wb)))
+    wgf = W.partitionBy("user_id", "gf")
+    wgb = W.partitionBy("user_id", "gb")
+    g = (g.withColumn("pv", F.max("val").over(wgf))
+         .withColumn("prn", F.min("rn").over(wgf))
+         .withColumn("nv", F.max("val").over(wgb))
+         .withColumn("nrn", F.max("rn").over(wgb)))
+    frac = ((F.col("rn") - F.col("prn")).cast("double")
+            / (F.col("nrn") - F.col("prn")).cast("double"))
+    # half-up rounding via floor(x*10^4 + 0.5): the SAME IEEE double
+    # expression on both engines (round() itself breaks ties
+    # differently on doubles across engines — found by the sweep)
+    raw = F.when(F.col("val").isNotNull(), F.col("val")) \
+           .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    return g.select(
+        "user_id", "bucket", F.col("val").isNotNull().alias("is_obs"),
+        (F.floor(raw * 10000 + 0.5) / 10000).alias("val_filled"))
+
+
+@q("graph_shortest_hops", """
+WITH RECURSIVE cell AS (
+  SELECT DISTINCT to_timestamp(epoch(ts)::BIGINT // 600 * 600) AS h,
+         event_type, user_id
+  FROM events
+), nxt AS (
+  SELECT user_id AS u,
+         lead(user_id) OVER (PARTITION BY h, event_type
+                             ORDER BY user_id) AS v
+  FROM cell
+), e0 AS (
+  SELECT DISTINCT u, v FROM nxt WHERE v IS NOT NULL
+), edges AS (
+  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+), seeds AS (
+  SELECT DISTINCT user_id AS node FROM events WHERE user_id % 29 = 0
+), walk(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.v, w.dist + 1
+  FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.dist < 4
+)
+SELECT node, CAST(min(dist) AS INT) AS dist
+FROM walk GROUP BY node
+""")
+def graph_shortest_hops(spark, sf):
+    """Bounded-hop BFS (shortest path length ≤ 4) over a co-presence
+    graph, against a recursive-CTE oracle. Two scale decisions:
+
+    1. The graph itself uses CHAIN-LINKING, not cliques: users active
+       in the same 10-minute × event_type cell are sorted and linked
+       consecutively (lead() over the cell), so a hot cell of size m
+       contributes m-1 edges instead of m(m-2)/2 — same connectivity,
+       linear edge count. This is the construction that keeps
+       co-occurrence graphs buildable at 100 TB, where one viral cell
+       would otherwise emit billions of clique edges.
+    2. BFS expands level-by-level with a DISTINCT frontier (bounded
+       by |V| regardless of path multiplicity) and takes min(dist) at
+       the end; each level's frontier is persisted so the lazy plan
+       stays linear in levels instead of exponential. On a real
+       cluster, checkpoint the frontier every few levels to truncate
+       lineage; the per-level shuffle key (node) is stable, so the
+       edge side's hash exchange is reused across levels.
+
+    The oracle's recursive UNION (not UNION ALL) dedups rows
+    globally, which is exactly the bounded-frontier semantics."""
+    ev = t(spark, sf, "events")
+    cell = (ev.select(
+        F.window("ts", "10 minutes")["start"].alias("h"),
+        "event_type", "user_id").distinct())
+    wcell = W.partitionBy("h", "event_type").orderBy("user_id")
+    e0 = (cell.withColumn("v", F.lead("user_id").over(wcell))
+          .filter(F.col("v").isNotNull())
+          .select(F.col("user_id").alias("u"), "v").distinct())
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().persist()
+    seeds = (ev.filter(F.col("user_id") % 29 == 0)
+             .select(F.col("user_id").alias("node")).distinct())
+    levels = [seeds.withColumn("dist", F.lit(0))]
+    frontier = seeds
+    for k in range(1, 5):
+        frontier = (frontier.join(
+            edges, frontier["node"] == edges["u"])
+            .select(F.col("v").alias("node")).distinct().persist())
+        levels.append(frontier.withColumn("dist", F.lit(k)))
+    allv = levels[0]
+    for lv in levels[1:]:
+        allv = allv.unionByName(lv)
+    return (allv.groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist")))
