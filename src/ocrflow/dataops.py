@@ -3959,3 +3959,260 @@ def agg_session_window(spark, sf):
 
 
 from . import bpe  # noqa: E402,F401 — registers the BPE tokenizer keys
+
+
+# =========================================================================
+# Round-4 continuation: splits, quantization, data-quality audit,
+# incremental table reads, readability
+# =========================================================================
+
+@q("split_train_test", """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd'
+              THEN 'test'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+              THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM s GROUP BY split
+""")
+def split_train_test(spark, sf):
+    """Deterministic train/val/test split — the reproducibility
+    contract every training pipeline needs: membership is a pure
+    function of the stable key (md5 hex prefix thresholds at ~5% /
+    ~5% / 90%), so the split is identical across engines, reruns,
+    repartitions, and incremental arrivals (a new doc lands in its
+    split without reshuffling old ones — no rand(), no global sort,
+    no sampleBy seed coupling to partitioning). Emits per-split
+    counts and checksums; the split column itself is what a real
+    pipeline writes as a partition key. One scan, one 3-group
+    aggregate; at 100 TB membership evaluates inside the scan."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (F.when(h < "0ccd", "test")
+             .when(h < "1999", "val").otherwise("train"))
+    return (d.select(split.alias("split"), "doc_id", "n_chars")
+            .groupBy("split")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("doc_id").cast("bigint").alias("id_sum"),
+                 F.sum("n_chars").cast("bigint").alias("chars_sum")))
+
+
+@q("emb_quantize_int8", """
+WITH s AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127
+             AS scale
+  FROM embeddings
+), qt AS (
+  SELECT vec_id, label, scale,
+         list_transform(
+             embedding,
+             x -> least(127, greatest(-127, CAST(floor(
+                      CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))))
+             AS qv
+  FROM s WHERE scale > 0
+)
+SELECT vec_id, label, scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, a -> abs(a))) AS BIGINT) AS q_l1,
+       CAST(len(list_filter(qv, a -> abs(a) = 127)) AS BIGINT) AS n_sat
+FROM qt
+""")
+def emb_quantize_int8(spark, sf):
+    """Symmetric per-vector int8 quantization — the embedding
+    compression step before ANN index build (4x smaller vectors, SIMD
+    int8 dot products): scale = max|x|/127, q_i = clamp(round-half-up
+    (x_i/scale)). Everything is higher-order array functions on the
+    JVM (transform/aggregate/filter) — no UDF, no explode, no
+    shuffle: the whole operator is a narrow map over the vector
+    column. Rounding is floor(x+0.5) so the expression is the SAME
+    IEEE double computation on both engines (round() tie-breaking on
+    doubles is engine-specific), making even the float scale column
+    string-exact. At 100 TB this pattern (per-row array math inside
+    the scan) is the difference between a metadata-speed pass and a
+    Python-worker bottleneck."""
+    e = t(spark, sf, "embeddings")
+    xd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    e = e.withColumn("scale", F.array_max(xd) / F.lit(127.0)) \
+         .filter(F.col("scale") > 0)
+    qv = F.transform(
+        "embedding",
+        lambda x: F.least(
+            F.lit(127).cast("long"),
+            F.greatest(F.lit(-127).cast("long"),
+                       F.floor(x.cast("double") / F.col("scale") + 0.5))))
+    e = e.withColumn("qv", qv)
+    zero = F.lit(0).cast("long")
+    return e.select(
+        "vec_id", "label", "scale",
+        F.aggregate("qv", zero, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate("qv", zero, lambda a, x: a + F.abs(x)).alias("q_l1"),
+        F.size(F.filter("qv", lambda a: F.abs(a) == 127))
+        .cast("bigint").alias("n_sat"))
+
+
+@q("dq_constraint_checks", """
+SELECT 'fk_lineitem_orders' AS check_name,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_bad
+UNION ALL
+SELECT 'fk_orders_customer',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'pk_orders_dup',
+       CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+            AS BIGINT)
+UNION ALL
+SELECT 'null_custkey',
+       CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+            AS BIGINT)
+UNION ALL
+SELECT 'range_quantity',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+UNION ALL
+SELECT 'enum_orderstatus',
+       CAST((SELECT count(*) FROM orders
+             WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+UNION ALL
+SELECT 'nonpos_totalprice',
+       CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+            AS BIGINT)
+""")
+def dq_constraint_checks(spark, sf):
+    """Declarative data-quality audit (the expectations/constraints
+    pass every ingest runs before promoting a batch): referential
+    integrity via anti-joins, primary-key uniqueness, null/range/enum
+    checks — emitted as one (check_name, violation_count) frame a
+    gate can assert on. Single-table checks share ONE scan each
+    (conditional aggregates, map-side combined); the two FK checks
+    are anti-joins where the parent side's KEY COLUMN ONLY is
+    projected (orders: 1 column, customer: 1 column) — at 100 TB the
+    parent key set is the broadcast/bloom side, and NULL child keys
+    count as violations on both engines (NULL never equi-matches, so
+    anti keeps it), which is the semantics an FK check wants."""
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    c = t(spark, sf, "customer")
+    one = lambda name, df: df.agg(  # noqa: E731
+        F.count("*").cast("bigint").alias("n_bad")).select(
+        F.lit(name).alias("check_name"), "n_bad")
+    fk_li = one("fk_lineitem_orders",
+                li.select("l_orderkey").join(
+                    o.select("o_orderkey"),
+                    F.col("l_orderkey") == F.col("o_orderkey"),
+                    "left_anti"))
+    fk_o = one("fk_orders_customer",
+               o.select("o_custkey").join(
+                   c.select("c_custkey"),
+                   F.col("o_custkey") == F.col("c_custkey"), "left_anti"))
+    scans = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("bigint")
+        .alias("pk_orders_dup"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).cast("bigint")
+        .alias("null_custkey"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1))
+        .cast("bigint").alias("enum_orderstatus"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).cast("bigint")
+        .alias("nonpos_totalprice"))
+    rng = li.agg(F.count(F.when((F.col("l_quantity") < 1)
+                                | (F.col("l_quantity") > 50), 1))
+                 .cast("bigint").alias("range_quantity"))
+    long_scans = scans.unpivot([], [c for c in scans.columns],
+                               "check_name", "n_bad")
+    long_rng = rng.unpivot([], ["range_quantity"], "check_name", "n_bad")
+    return (fk_li.unionByName(fk_o)
+            .unionByName(long_scans.select("check_name", "n_bad"))
+            .unionByName(long_rng.select("check_name", "n_bad")))
+
+
+@q("source_icelite_incremental", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+FROM events WHERE event_id % 3 <> 0
+""")
+def source_icelite_incremental(spark, sf):
+    """Incremental (CDC-style) table read, ORACLED: three append
+    commits partition events by id mod 3; the incremental scan from
+    snapshot 1 to snapshot 3 must surface EXACTLY the rows of commits
+    2+3 — which DuckDB predicts relationally, so the append-diff
+    semantics (not just a row count) take the string-exact gate. The
+    plan is manifest-only: the added-file set is computed from two
+    manifest JSONs, no data file is opened until the scan of the
+    added files themselves. This is the primitive that turns the
+    nightly full-table ETL into an incremental one at 100 TB."""
+    from .icelite import IceliteTable, write_dataframe_files
+    tbl = IceliteTable(_scratch("icelite_incremental"))
+    e = t(spark, sf, "events")
+    for r in (0, 1, 2):
+        fs = write_dataframe_files(e.filter(F.col("event_id") % 3 == r),
+                                   tbl.new_commit_dir(f"c{r}"))
+        tbl.commit_append(fs)
+    inc = tbl.incremental_read(spark, from_snapshot_id=1,
+                               to_snapshot_id=3)
+    return inc.agg(F.count("*").cast("bigint").alias("n_rows"),
+                   F.sum("event_id").cast("bigint").alias("id_sum"),
+                   F.countDistinct("event_id").cast("bigint")
+                   .alias("n_distinct"))
+
+
+@q("text_readability", r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[^ \t\n]+')) AS BIGINT)
+             AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sents,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syll
+  FROM documents WHERE text IS NOT NULL AND lang = 'en'
+)
+SELECT doc_id, n_words, n_sents, n_syll,
+       floor((206.835
+              - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+              - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)))
+             * 100 + 0.5) / 100 AS flesch
+FROM c WHERE n_words > 0
+""")
+def text_readability(spark, sf):
+    """Flesch reading-ease scoring — the classic quality signal for
+    training-corpus curation (too-low readability flags OCR garbage
+    and boilerplate; too-high flags word lists). Words, sentences,
+    and a vowel-group syllable proxy are all JVM regexp_count — one
+    narrow pass inside the scan, no UDF, no shuffle; the score is
+    the same IEEE expression on both engines (floor half-up, see
+    emb_quantize_int8). The syllable proxy is the standard vowel-run
+    approximation; swap in a dictionary UDF only when its precision
+    is actually needed — at 100 TB the regexp form is free and the
+    UDF form is the pipeline's bottleneck."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.col("lang") == "en")))
+    d = d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[^ \t\n]+")).cast("bigint")
+        .alias("n_words"),
+        F.greatest(F.regexp_count("text", F.lit("[.!?]+")), F.lit(1))
+        .cast("bigint").alias("n_sents"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).cast("bigint")
+        .alias("n_syll"))
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (F.col("n_words").cast("double")
+                                / F.col("n_sents").cast("double"))
+              - F.lit(84.6) * (F.col("n_syll").cast("double")
+                               / F.col("n_words").cast("double")))
+    return (d.filter(F.col("n_words") > 0)
+            .select("doc_id", "n_words", "n_sents", "n_syll",
+                    (F.floor(flesch * 100 + 0.5) / 100).alias("flesch")))

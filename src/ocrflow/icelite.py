@@ -720,6 +720,47 @@ class IceliteTable:
             out = out.unionByName(p)
         return out
 
+    def incremental_read(self, spark, from_snapshot_id: int,
+                         to_snapshot_id: int | None = None):
+        """Incremental APPEND scan: the rows added strictly AFTER
+        ``from_snapshot_id`` up to and including ``to_snapshot_id``
+        (default: current) — Iceberg's incremental read
+        (``start-snapshot-id``/``end-snapshot-id``), the primitive CDC
+        consumers and incremental ETL build on. Planned purely from
+        manifests: the file set of ``to`` minus the file set of
+        ``from``; zero data files are opened for planning.
+
+        Append-only contract, checked not assumed: if the range
+        contains a replace/compaction (a ``from`` file missing from
+        ``to``) or merge-on-read deletes, a row-level diff is not
+        expressible as a file-set difference and this raises — the
+        Iceberg behavior for non-append snapshots in an incremental
+        scan. Callers handle those snapshots via a full-snapshot
+        refresh instead."""
+        from_snap = self.snapshot(from_snapshot_id)
+        to_snap = self.snapshot(to_snapshot_id)
+        if from_snap is None or to_snap is None:
+            raise ValueError("incremental_read: unknown snapshot id")
+        if to_snap["snapshot_id"] < from_snap["snapshot_id"]:
+            raise ValueError("incremental_read: to < from")
+        if to_snap.get("delete_files"):
+            raise ValueError(
+                "incremental_read: range contains merge-on-read deletes; "
+                "not an append-only range")
+        from_paths = {e["path"] for e in from_snap["files"]}
+        to_paths = {e["path"] for e in to_snap["files"]}
+        if not from_paths <= to_paths:
+            raise ValueError(
+                "incremental_read: range contains a replace/compaction; "
+                "not an append-only range")
+        added = sorted(to_paths - from_paths)
+        if not added:
+            schema = spark.read.parquet(
+                os.path.join(self.path, to_snap["files"][0]["path"])).schema
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(
+            *[os.path.join(self.path, p) for p in added])
+
 
 def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq

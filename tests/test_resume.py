@@ -915,3 +915,37 @@ def test_partition_evolution_daily_to_monthly_layouts(spark, tmp_path):
     assert all("_month=2024-01" in e["path"]
                for e in kept2 if "_month=" in e["path"])
     assert any("_month=" in e["path"] for e in kept2)
+
+
+def test_icelite_incremental_read(spark, tmp_path):
+    """Incremental append scan: file-set diff between snapshots, with
+    the append-only contract enforced (replace/compaction and MOR
+    deletes in the range must raise, empty range yields an empty
+    frame with the table schema)."""
+    from ocrflow.icelite import IceliteTable, write_dataframe_files
+
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    for lo, hi in ((0, 10), (10, 25), (25, 30)):
+        fs = write_dataframe_files(
+            spark.range(lo, hi).toDF("id"), tbl.new_commit_dir())
+        tbl.commit_append(fs)
+
+    inc = tbl.incremental_read(spark, from_snapshot_id=1,
+                               to_snapshot_id=3)
+    assert sorted(r.id for r in inc.collect()) == list(range(10, 30))
+    # single-commit slice
+    assert tbl.incremental_read(spark, 2, 3).count() == 5
+    # empty range = same snapshot on both ends: empty frame, schema kept
+    empty = tbl.incremental_read(spark, 3, 3)
+    assert empty.count() == 0 and empty.columns == ["id"]
+    with pytest.raises(ValueError, match="to < from"):
+        tbl.incremental_read(spark, 3, 1)
+    # a compaction breaks the append-only file-set contract
+    tbl.compact(spark)
+    with pytest.raises(ValueError, match="replace/compaction"):
+        tbl.incremental_read(spark, 1, tbl.current_snapshot_id())
+    # MOR deletes in the range are equally non-append
+    from pyspark.sql import functions as F
+    tbl.delete_where_mor(spark, F.col("id") == 7, key_cols=("id",))
+    with pytest.raises(ValueError, match="merge-on-read"):
+        tbl.incremental_read(spark, 1, tbl.current_snapshot_id())
