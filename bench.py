@@ -40,6 +40,9 @@ HEADLINE = [
     # round-4 additions: the subquadratic containment scanner and the
     # source-novelty curve (both new families this round)
     "dedup_containment_scanner", "ngram_novelty_curve",
+    # round-4 continuation: iterative BFS (graph family) and pure
+    # array-math quantization (vector family)
+    "graph_shortest_hops", "emb_quantize_int8",
 ]
 
 
@@ -100,6 +103,7 @@ def main() -> None:
         "corpus_curation_e2e", "skyline_pareto",
         "heavy_hitters_mg",                                     # r03
         "dedup_containment_scanner", "ngram_novelty_curve",     # r04
+        "graph_shortest_hops", "emb_quantize_int8",             # r04 cont.
     }
     r01_subtotal = round(sum(v for k, v in timings.items()
                              if k not in later_additions), 3)
