@@ -104,18 +104,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # rolling_median), topk_per_group (knn_within_eps), str_regexp
 # (printf), array_higher_order (explode_outer), dedup_materialize
 # (exact/containment/scanner/tfidf). Same double-session sweep proof.
+# Seventh rotation (round-4 continuation session): four of the
+# session's twelve new keys in, each a FIRST external row for its
+# family — graph_shortest_hops (graph/iterative), emb_quantize_int8
+# (vector array-math), dq_constraint_checks (data-quality audit),
+# source_icelite_incremental (incremental/CDC table read). Out (the
+# only four remaining keys driver-green in ALL of r01–r03):
+# scan_pruned (scan family: scan_parquet/scan_pruned 3x driver-green,
+# plan-assertions live in tests, layout_zorder + the icelite sources
+# keep the scan/source side in-window), join_salted_skew (join family
+# richly represented), win_turn_order (win_rolling_median stays),
+# set_except (3x green; set family externally verified r01–r03,
+# locally oracle-gated every run). All 50 post-rotation keys
+# re-proven string-exact at sf0.01 under BOTH the tuned and the stock
+# default session before this registration.
 # Everything after the window:
 # remaining oracled keys first (next in line if the window grows), then
 # rows-only keys (streams, sketches, sinks, iterative ops) last.
 _WINDOW = [
-    "scan_pruned",
+    "graph_shortest_hops",
     "layout_zorder",
     "str_printf_format",
-    "scalar_null_semantics", "join_salted_skew",
+    "scalar_null_semantics", "emb_quantize_int8",
     "agg_winsorized", "icelite_merge_upsert",
-    "win_rolling_median", "win_turn_order",
+    "win_rolling_median", "dq_constraint_checks",
     "cohort_overlap",
-    "set_except",
+    "source_icelite_incremental",
     "profile_columns", "join_cbo_reordered",
     "explode_outer_semantics", "corpus_temperature_mix",
     "corpus_epoch_shuffle",

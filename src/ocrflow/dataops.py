@@ -4216,3 +4216,65 @@ def text_readability(spark, sf):
     return (d.filter(F.col("n_words") > 0)
             .select("doc_id", "n_words", "n_sents", "n_syll",
                     (F.floor(flesch * 100 + 0.5) / 100).alias("flesch")))
+
+
+@q("mv_incremental_refresh", """
+SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 2)
+           AS revenue
+FROM orders WHERE o_orderdate IS NOT NULL
+GROUP BY 1
+""")
+def mv_incremental_refresh(spark, sf):
+    """Incremental materialized-view maintenance — the composition the
+    CDC primitives exist FOR: a daily revenue rollup is built from the
+    initial load, then a late-arriving batch lands in the base table
+    and the rollup is refreshed by aggregating ONLY the incremental
+    rows (icelite.incremental_read), joining the delta to the current
+    rollup on the affected days, and MERGE-upserting the combined
+    partials (generation column = latest-wins order). The oracle is
+    the full recompute over ALL base data — string-exact equality
+    proves the incremental path is lossless, the property that lets a
+    100 TB pipeline refresh a rollup by touching |delta| + |affected
+    days| instead of rescanning the base table. Revenue partials stay
+    DECIMAL end-to-end (exact, fold-order-free) and only round to
+    double at the read edge."""
+    from .icelite import IceliteTable, write_dataframe_files
+
+    base = IceliteTable(_scratch("mv_base"))
+    o = t(spark, sf, "orders").filter(F.col("o_orderdate").isNotNull())
+    for tag, pred in (("load", F.col("o_orderkey") % 3 != 0),
+                      ("late", F.col("o_orderkey") % 3 == 0)):
+        fs = write_dataframe_files(o.filter(pred),
+                                   base.new_commit_dir(tag))
+        base.commit_append(fs)
+
+    def day_agg(df):
+        return (df.groupBy(F.to_date("o_orderdate").alias("day"))
+                .agg(F.count("*").cast("bigint").alias("n_orders"),
+                     F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+                     .cast("decimal(26,2)").alias("rev_d")))
+
+    mv = IceliteTable(_scratch("mv_rollup"))
+    full1 = day_agg(base.read(spark, snapshot_id=1)) \
+        .withColumn("gen", F.lit(1))
+    mv.commit_append(write_dataframe_files(full1, mv.new_commit_dir("g1")))
+
+    delta = day_agg(base.incremental_read(spark, 1, 2))
+    old = mv.read(spark)
+    combined = (delta.alias("d").join(old.alias("m"), "day", "left")
+                .select("day",
+                        (F.coalesce(F.col("m.n_orders"), F.lit(0))
+                         + F.col("d.n_orders")).cast("bigint")
+                        .alias("n_orders"),
+                        (F.coalesce(F.col("m.rev_d"),
+                                    F.lit(0).cast("decimal(26,2)"))
+                         + F.col("d.rev_d")).cast("decimal(26,2)")
+                        .alias("rev_d"),
+                        F.lit(2).alias("gen")))
+    mv.merge_upsert(spark, combined, key_cols=("day",), order_col="gen")
+    return (mv.read(spark)
+            .select("day", "n_orders",
+                    F.round(F.col("rev_d").cast("double"), 2)
+                    .alias("revenue")))

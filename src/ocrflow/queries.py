@@ -4133,3 +4133,110 @@ def graph_shortest_hops(spark, sf):
         allv = allv.unionByName(lv)
     return (allv.groupBy("node")
             .agg(F.min("dist").cast("int").alias("dist")))
+
+
+@q("agg_bitmap_distinct", """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""")
+def agg_bitmap_distinct(spark, sf):
+    """EXACT distinct counting via bitmap aggregation (Spark 3.5+
+    bitmap_construct_agg / bitmap_count) — the scalable alternative to
+    count(DISTINCT): distinct state becomes fixed-size 4 KB bitmap
+    buckets that combine map-side, instead of Expand + per-value
+    shuffle rows. Two-level plan: group by (event_type, bucket) with
+    bitmap_construct_agg over in-bucket bit positions, then sum
+    bitmap_count per group — both levels partial-aggregate. The
+    oracle is plain count(DISTINCT), pinning that the bitmap path is
+    EXACT, not approximate. At 100 TB with high-cardinality keys this
+    is the difference between a shuffle of |distinct values| rows and
+    a shuffle of |groups x buckets| bitmaps."""
+    # each distinct column gets its OWN bucket grouping — folding both
+    # into one (event_type, user_bucket, event_bucket) aggregate would
+    # double-count bitmaps across the bucket cross product
+    ev = t(spark, sf, "events")
+    users = (ev.groupBy("event_type",
+                        F.expr("bitmap_bucket_number(user_id)").alias("b"))
+             .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+                  .alias("bm"))
+             .groupBy("event_type")
+             .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint")
+                  .alias("n_users")))
+    events_ = (ev.groupBy("event_type",
+                          F.expr("bitmap_bucket_number(event_id)").alias("b"))
+               .agg(F.expr(
+                   "bitmap_construct_agg(bitmap_bit_position(event_id))")
+                   .alias("bm"))
+               .groupBy("event_type")
+               .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint")
+                    .alias("n_events")))
+    return users.join(events_, "event_type")
+
+
+@q("join_hint_shuffle_hash", """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 2)
+           AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def join_hint_shuffle_hash(spark, sf):
+    """Join strategy HINTS: the same equi-join forced to
+    SHUFFLE_HASH — no sort on either side, build the smaller
+    (customer) side's hash table per partition. The result is
+    identical to the unhinted plan (same oracle as a plain join),
+    pinning that hints change the physical strategy, never the
+    semantics; tests/test_plan_shape.py asserts ShuffledHashJoin
+    actually appears. When to reach for it at 100 TB: both sides too
+    big to broadcast, one side small enough to hash per-task, and
+    sort-merge's double sort is the measured bottleneck (skewless
+    keys — SHJ cannot spill its build side the way SMJ spills
+    sorts)."""
+    o = t(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c.hint("shuffle_hash"),
+               F.col("o_custkey") == F.col("c_custkey"))
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+                         .cast("double"), 2).alias("total_price")))
+
+
+@q("array_funcs_v2", """
+WITH b AS (
+  SELECT l_orderkey, l_linenumber,
+         [l_linenumber, nullif(CAST(l_quantity AS INT), 25), 7] AS arr
+  FROM lineitem WHERE l_orderkey < 200
+)
+SELECT l_orderkey, l_linenumber,
+       list_concat(list_concat(list_slice(arr, 1, 1), [99]),
+                   list_slice(arr, 2, len(arr))) AS ins,
+       list_filter(arr, x -> x IS NOT NULL) AS cmp,
+       list_prepend(0, arr) AS pre,
+       arr[2] AS tea2,
+       arr[5] AS tea5
+FROM b
+""")
+def array_funcs_v2(spark, sf):
+    """Spark 3.5/4 array additions — array_insert (position
+    semantics), array_compact (null removal), array_prepend, and
+    try_element_at's out-of-range-is-NULL contract — against DuckDB's
+    list algebra (insert expressed as slice+concat, proving the
+    position semantics match; DuckDB indexing is natively
+    NULL-on-out-of-range). All JVM expression-tree work inside one
+    projection: no UDF, no shuffle, codegen-friendly — the baseline
+    every array manipulation in a 100 TB pipeline should meet before
+    anyone reaches for explode."""
+    li = t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 200)
+    arr = F.array(F.col("l_linenumber"),
+                  F.nullif(F.col("l_quantity").cast("int"), F.lit(25)),
+                  F.lit(7))
+    b = li.select("l_orderkey", "l_linenumber", arr.alias("arr"))
+    return b.select(
+        "l_orderkey", "l_linenumber",
+        F.array_insert("arr", 2, F.lit(99)).alias("ins"),
+        F.array_compact("arr").alias("cmp"),
+        F.array_prepend("arr", F.lit(0)).alias("pre"),
+        F.try_element_at("arr", F.lit(2)).alias("tea2"),
+        F.try_element_at("arr", F.lit(5)).alias("tea5"))

@@ -265,3 +265,21 @@ def test_cbo_reorders_join_tree(spark):
         assert "l_orderkey" in off_joins[1]
     finally:
         spark.conf.set("spark.sql.cbo.enabled", "true")
+
+
+def test_shuffle_hash_hint_takes_effect(spark):
+    """The shuffle_hash hint must flip the strategy to
+    ShuffledHashJoin (no per-side sorts); semantics are pinned by the
+    key's shared oracle with the unhinted join."""
+    plan = _plan(QUERIES["join_hint_shuffle_hash"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bitmap_distinct_two_level_partial_agg(spark):
+    """The bitmap distinct-count plan must be aggregates over bitmap
+    buckets — no Expand node (count-DISTINCT's expand-based rewrite)
+    in either branch."""
+    plan = _plan(QUERIES["agg_bitmap_distinct"](spark, SF_DIR))
+    assert "bitmapCount" in plan and "partial_bitmap_construct_agg" in plan
+    assert "Expand" not in plan
