@@ -4278,3 +4278,84 @@ def mv_incremental_refresh(spark, sf):
             .select("day", "n_orders",
                     F.round(F.col("rev_d").cast("double"), 2)
                     .alias("revenue")))
+
+
+@q("source_icelite_wap", """
+WITH pub_before AS (
+  SELECT count(*) AS n, sum(event_id) AS s
+  FROM events WHERE event_id % 2 = 0
+), pub_after AS (
+  SELECT count(*) AS n, sum(event_id) AS s FROM events
+)
+SELECT CAST(b.n AS BIGINT) AS n_before, CAST(b.s AS BIGINT) AS sum_before,
+       CAST(a.n AS BIGINT) AS n_after, CAST(a.s AS BIGINT) AS sum_after
+FROM pub_before b, pub_after a
+""")
+def source_icelite_wap(spark, sf):
+    """WRITE-AUDIT-PUBLISH over icelite named refs — the staging
+    pattern production tables use so bad batches never reach readers:
+    the staged commit exists as a snapshot + 'audit' tag while every
+    reader follows the 'published' ref; only after validation does
+    the published ref move. Both reader views are relationally
+    predictable, so the ISOLATION property (readers pinned to the
+    pre-publish half mid-stage) and the publish step both take the
+    string-exact gate. Refs are metadata-only (one JSON pointer) —
+    staging copies zero data, and expire_snapshots honors refs, so a
+    tagged audit snapshot cannot be GC'd mid-review."""
+    from .icelite import IceliteTable, write_dataframe_files
+    tbl = IceliteTable(_scratch("icelite_wap"))
+    e = t(spark, sf, "events")
+    s1 = tbl.commit_append(write_dataframe_files(
+        e.filter(F.col("event_id") % 2 == 0), tbl.new_commit_dir("load")))
+    tbl.set_ref("published", s1)
+    s2 = tbl.commit_append(write_dataframe_files(
+        e.filter(F.col("event_id") % 2 == 1), tbl.new_commit_dir("stage")))
+    tbl.set_ref("audit", s2)
+    # readers mid-stage: pinned to the published half
+    before = (tbl.read(spark, ref="published")
+              .agg(F.count("*").cast("bigint").alias("n_before"),
+                   F.sum("event_id").cast("bigint").alias("sum_before")))
+    # audit gate passes (the staged half is non-empty) → publish
+    assert tbl.read(spark, ref="audit").limit(1).count() == 1
+    tbl.set_ref("published", s2)
+    tbl.drop_ref("audit")
+    after = (tbl.read(spark, ref="published")
+             .agg(F.count("*").cast("bigint").alias("n_after"),
+                  F.sum("event_id").cast("bigint").alias("sum_after")))
+    return before.crossJoin(after)
+
+
+@q("ts_seasonal_naive_forecast", """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.day, a.n, b.n AS n_pred,
+       CAST(abs(a.n - b.n) AS BIGINT) AS abs_err
+FROM daily a JOIN daily b
+  ON a.event_type = b.event_type AND a.day = b.day + 7
+""")
+def ts_seasonal_naive_forecast(spark, sf):
+    """Seasonal-naive backtest (forecast = value one season ago), the
+    baseline every demand-forecast pipeline must beat: daily counts
+    per series, predicted by the same weekday last week via a
+    CALENDAR self-join (day = day-7) rather than lag(7) — row-offset
+    lag silently misaligns when days are missing, the classic
+    backtest bug. Counts are integer-exact so the whole key takes the
+    string-exact gate without rounding. One aggregate + one
+    self-join on (series, day); at 100 TB the daily rollup is tiny
+    relative to raw events, so the join cost is negligible and the
+    aggregate partial-combines inside the scan."""
+    ev = t(spark, sf, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").cast("bigint").alias("n")))
+    a, b = daily.alias("a"), daily.alias("b")
+    return (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                   & (F.col("a.day") == F.date_add(F.col("b.day"), 7)))
+            .select(F.col("a.event_type").alias("event_type"),
+                    F.col("a.day").alias("day"),
+                    F.col("a.n").alias("n"),
+                    F.col("b.n").alias("n_pred"),
+                    F.abs(F.col("a.n") - F.col("b.n")).cast("bigint")
+                    .alias("abs_err")))

@@ -538,17 +538,69 @@ class IceliteTable:
                            f"snap-{snapshot_id}.json")
         return snapshot_id
 
+    # -- named refs (tags / publish pointers) ----------------------------
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.meta_dir, "refs.json")
+
+    def refs(self) -> dict:
+        p = self._refs_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def set_ref(self, name: str, snapshot_id: int) -> None:
+        """Create or move a NAMED REF to a snapshot — Iceberg's
+        tags/branch heads. Refs make the write-audit-publish pattern
+        expressible: writers commit (snapshot N), tag it for audit,
+        and readers keep following a 'published' ref that only moves
+        AFTER validation — staging is invisible without any copy of
+        the data. Atomic via write-to-temp + rename; referenced
+        snapshots are protected from expire_snapshots."""
+        try:
+            known = self.snapshot(snapshot_id) is not None
+        except FileNotFoundError:
+            known = False
+        if not known:
+            raise ValueError(f"icelite: cannot ref unknown snapshot "
+                             f"{snapshot_id}")
+        refs = self.refs()
+        refs[name] = snapshot_id
+        tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_path())
+
+    def drop_ref(self, name: str) -> None:
+        refs = self.refs()
+        refs.pop(name, None)
+        tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_path())
+
+    def ref_snapshot_id(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"icelite: unknown ref {name!r}")
+        return refs[name]
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshot manifests
         (Iceberg's expire_snapshots). Time travel to expired ids stops
         working — by design, that is what releases their files for
-        remove_orphan_files(). The CURRENT pointer is never expired.
+        remove_orphan_files(). The CURRENT pointer is never expired,
+        and neither is any snapshot a named ref points to (Iceberg's
+        tag-retention rule — a published/tagged snapshot outlives the
+        keep-last horizon until its ref is dropped).
         Returns the expired snapshot ids.
         """
         snaps = self.snapshots()
         current = self.current_snapshot_id()
         keep = {s["snapshot_id"] for s in snaps[-max(keep_last, 1):]}
         keep.add(current)
+        keep.update(self.refs().values())
         expired = []
         for s in snaps:
             sid = s["snapshot_id"]
@@ -610,10 +662,12 @@ class IceliteTable:
 
     def read(self, spark, snapshot_id: int | None = None,
              path_filter: str | None = None, merge_schema: bool = False,
-             stats_filter: dict | None = None, as_of_ts: float | None = None):
-        """Snapshot-isolated scan (time travel when snapshot_id or
-        as_of_ts given; as_of_ts resolves via snapshot_id_as_of and the
-        two are mutually exclusive).
+             stats_filter: dict | None = None, as_of_ts: float | None = None,
+             ref: str | None = None):
+        """Snapshot-isolated scan (time travel when snapshot_id,
+        as_of_ts, or a named ``ref`` is given; the three selectors are
+        mutually exclusive — as_of_ts resolves via snapshot_id_as_of,
+        ref via ref_snapshot_id).
 
         ``path_filter`` prunes files whose relative path does not
         contain the given substring (e.g. "conv_bucket=3/") BEFORE any
@@ -638,10 +692,13 @@ class IceliteTable:
         mergeSchema for pre-signature manifests and for merge-on-read
         snapshots. Off by default.
         """
+        if sum(x is not None for x in (snapshot_id, as_of_ts, ref)) > 1:
+            raise ValueError(
+                "pass at most one of snapshot_id / as_of_ts / ref")
         if as_of_ts is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id or as_of_ts, not both")
             snapshot_id = self.snapshot_id_as_of(as_of_ts)
+        if ref is not None:
+            snapshot_id = self.ref_snapshot_id(ref)
         snap = self.snapshot(snapshot_id)
         all_entries = snap["files"] if snap is not None else []
         entries = all_entries

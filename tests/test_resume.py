@@ -949,3 +949,33 @@ def test_icelite_incremental_read(spark, tmp_path):
     tbl.delete_where_mor(spark, F.col("id") == 7, key_cols=("id",))
     with pytest.raises(ValueError, match="merge-on-read"):
         tbl.incremental_read(spark, 1, tbl.current_snapshot_id())
+
+
+def test_icelite_named_refs(spark, tmp_path):
+    """Named refs: read(ref=), atomic moves, selector exclusivity,
+    and the Iceberg tag-retention rule (refs protect snapshots from
+    expire_snapshots)."""
+    from ocrflow.icelite import IceliteTable, write_dataframe_files
+
+    tbl = IceliteTable(str(tmp_path / "tbl"))
+    for lo, hi in ((0, 5), (5, 12), (12, 20)):
+        fs = write_dataframe_files(
+            spark.range(lo, hi).toDF("id"), tbl.new_commit_dir())
+        tbl.commit_append(fs)
+    tbl.set_ref("published", 1)
+    assert tbl.read(spark, ref="published").count() == 5
+    tbl.set_ref("published", 2)                      # ref move
+    assert tbl.read(spark, ref="published").count() == 12
+    with pytest.raises(ValueError, match="unknown ref"):
+        tbl.read(spark, ref="nope")
+    with pytest.raises(ValueError, match="at most one"):
+        tbl.read(spark, snapshot_id=1, ref="published")
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        tbl.set_ref("x", 99)
+    # tag retention: snapshot 1 is NOT ref'd → expired; 2 is ref'd → kept
+    expired = tbl.expire_snapshots(keep_last=1)
+    assert expired == [1]
+    assert tbl.read(spark, ref="published").count() == 12
+    # dropping the ref releases it for the next expiry pass
+    tbl.drop_ref("published")
+    assert tbl.expire_snapshots(keep_last=1) == [2]
