@@ -4240,3 +4240,342 @@ def array_funcs_v2(spark, sf):
         F.array_prepend("arr", F.lit(0)).alias("pre"),
         F.try_element_at("arr", F.lit(2)).alias("tea2"),
         F.try_element_at("arr", F.lit(5)).alias("tea5"))
+
+
+# =========================================================================
+# TPC-H widening: q4 / q7 / q8 / q9 / q17 / q21 / q22 shapes
+# (adapted to the driver schema: no receiptdate/shipmode/partsupp/phone;
+# predicates probed non-empty at sf0.001 AND sf0.01)
+# =========================================================================
+
+@q("tpch_q4_shape", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""")
+def tpch_q4_shape(spark, sf):
+    """TPC-H Q4 (order-priority checking): EXISTS decorrelates to a
+    LEFT SEMI join whose condition mixes the equi key (orderkey) with
+    a non-equi residual (shipdate > orderdate) — the semi join
+    dedupes matches for free, no DISTINCT needed. The date range
+    pushes into the orders scan; at 100 TB the semi join's build side
+    is the filtered orders slice, far smaller than lineitem."""
+    o = (t(spark, sf, "orders")
+         .filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1996-07-01")))
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(li, (F.col("l_orderkey") == F.col("o_orderkey"))
+                  & (F.col("l_shipdate") > F.col("o_orderdate")),
+                  "left_semi")
+    return (semi.groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("order_count")))
+
+
+@q("tpch_q7_shape", """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(ROUND(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(4,2))), 2)
+            AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+""")
+def tpch_q7_shape(spark, sf):
+    """TPC-H Q7 (volume shipping): cross-border revenue by
+    (supplier nation, customer nation, year). Five joins where BOTH
+    nation dims broadcast (aliased to distinct plan subtrees) and the
+    inequality between the two broadcast attributes becomes a cheap
+    post-join filter; the fact chain lineitem→orders→customer
+    shuffles on its keys. The canonical 'snowflake with two paths to
+    the same dim' plan — at 100 TB the win is that the n1<>n2 filter
+    runs at broadcast-attribute width, never touching the fact
+    columns."""
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    li = t(spark, sf, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n1 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)"))
+    j = (s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(c, F.col("c_custkey") == F.col("o_custkey"))
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+         .filter(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+                 F.count("*").cast("bigint").alias("n_items")))
+
+
+@q("tpch_q8_shape", """
+WITH rev AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         r.r_name AS cust_region, n1.n_name AS supp_nation,
+         sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS v,
+         sum(CASE WHEN n1.n_name = 'NATION_1'
+             THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l.l_discount AS DECIMAL(4,2))
+             ELSE CAST(0 AS DECIMAL(12,2)) END) AS v1
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  JOIN region r   ON n2.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2, 3
+)
+SELECT o_year, cust_region,
+       ROUND(CAST(sum(v1) AS DOUBLE) / CAST(sum(v) AS DOUBLE), 4)
+           AS mkt_share,
+       CAST(ROUND(sum(v), 2) AS DOUBLE) AS total_revenue
+FROM rev GROUP BY 1, 2
+""")
+def tpch_q8_shape(spark, sf):
+    """TPC-H Q8 (national market share): NATION_1's share of revenue
+    per (year, customer region). One joined aggregate carries both
+    the conditional and total DECIMAL sums (no second pass, no join
+    back); the share divides two exact decimals in double at the very
+    end. The dim chain customer→nation→region collapses into
+    broadcasts; this is the shape where conditional aggregation
+    replaces the naive 'aggregate twice and join' plan — half the
+    shuffles at any scale."""
+    li = t(spark, sf, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey",
+                                      "o_orderdate")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n1 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"))
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_regionkey").alias("n2_region"))
+    r = t(spark, sf, "region").select("r_regionkey",
+                                      F.col("r_name").alias("cust_region"))
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)"))
+    v1 = F.when(F.col("supp_nation") == "NATION_1", rev) \
+          .otherwise(F.lit(0).cast("decimal(12,2)"))
+    j = (li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(c, F.col("c_custkey") == F.col("o_custkey"))
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+         .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey")))
+    g = (j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"),
+                   "cust_region", "supp_nation")
+         .agg(F.sum(rev).alias("v"), F.sum(v1).alias("v1")))
+    return (g.groupBy("o_year", "cust_region")
+            .agg(F.round(F.sum("v1").cast("double")
+                         / F.sum("v").cast("double"), 4).alias("mkt_share"),
+                 F.round(F.sum("v"), 2).cast("double")
+                 .alias("total_revenue")))
+
+
+@q("tpch_q9_shape", """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(ROUND(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(4,2))
+                      - CAST(l.l_quantity AS DECIMAL(12,2))
+                        * CAST(p.p_retailprice AS DECIMAL(12,2))
+                        * CAST(0.1 AS DECIMAL(2,1))), 2) AS DOUBLE)
+           AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%a%'
+GROUP BY 1, 2
+""")
+def tpch_q9_shape(spark, sf):
+    """TPC-H Q9 (product-type profit), adapted: no partsupp table in
+    the driver schema, so supply cost is the deterministic proxy
+    0.1 x retailprice x quantity — the PLAN is the point: a 5-way
+    join where the part filter (LIKE) prunes the probe early, part/
+    supplier/nation broadcast, and profit is a multi-term DECIMAL
+    expression summed exactly (products of cents-scale decimals are
+    exact rationals, so the multi-term sum survives the string-exact
+    gate — same device as tpch_q1_shape)."""
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    p = (t(spark, sf, "part").filter(F.col("p_name").like("%a%"))
+         .select("p_partkey", "p_retailprice"))
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    n = t(spark, sf, "nation").select("n_nationkey",
+                                      F.col("n_name").alias("nation"))
+    profit = (F.col("l_extendedprice").cast("decimal(12,2)")
+              * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+              - F.col("l_quantity").cast("decimal(12,2)")
+              * F.col("p_retailprice").cast("decimal(12,2)")
+              * F.lit(0.1).cast("decimal(2,1)"))
+    j = (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")))
+    return (j.groupBy("nation",
+                      F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.round(F.sum(profit), 2).cast("double").alias("profit")))
+
+
+@q("tpch_q17_shape", """
+WITH pa AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_small_lots,
+       ROUND(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+                  AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa    ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23' AND l.l_quantity < 0.5 * pa.avg_qty
+""")
+def tpch_q17_shape(spark, sf):
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    scalar subquery avg(l_quantity per part) decorrelates to a
+    group-by + join-back — computed over ALL parts once, then the
+    brand filter prunes the probe. The avg comparison is
+    cross-engine-deterministic because quantities are integral:
+    their double sum is EXACT, so sum/count is the same IEEE
+    division on both engines. At 100 TB the per-part aggregate is
+    |parts|-sized — broadcastable — and the 'compute avg only for
+    the filtered brand' optimization (pushing the brand filter into
+    pa) would change semantics; keeping them separate is
+    correctness, not a missed optimization."""
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    p = (t(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+         .select("p_partkey"))
+    j = (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+         .join(pa.withColumnRenamed("l_partkey", "pa_key"),
+               F.col("pa_key") == F.col("l_partkey"))
+         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty")))
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_small_lots"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                .cast("double") / 7.0, 2).alias("avg_yearly"))
+
+
+@q("tpch_q21_shape", """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""")
+def tpch_q21_shape(spark, sf):
+    """TPC-H Q21 (suppliers who kept waiting), adapted to shipdate:
+    the last shipper in multi-supplier finished orders. The EXISTS /
+    NOT EXISTS pair decorrelates to a LEFT SEMI then LEFT ANTI join
+    against the same lineitem relation on the same orderkey — the
+    plan Spark reuses one exchange for; the anti join's residual
+    (later shipdate, different supplier) runs post-match. Top-20 via
+    TakeOrderedAndProject with the name tiebreak. The classic
+    'self-join three ways on one fact' query; at 100 TB all three
+    legs shuffle on l_orderkey, so they co-partition and the extra
+    legs are cheap."""
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    o = (t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey"))
+    l1 = li.alias("l1")
+    l2 = li.select(F.col("l_orderkey").alias("k2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = li.select(F.col("l_orderkey").alias("k3"),
+                   F.col("l_suppkey").alias("s3"),
+                   F.col("l_shipdate").alias("d3"))
+    cand = (l1.join(o, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+            .join(l2, (F.col("k2") == F.col("l1.l_orderkey"))
+                  & (F.col("s2") != F.col("l1.l_suppkey")), "left_semi")
+            .join(l3, (F.col("k3") == F.col("l1.l_orderkey"))
+                  & (F.col("s3") != F.col("l1.l_suppkey"))
+                  & (F.col("d3") > F.col("l1.l_shipdate")), "left_anti"))
+    return (cand.join(F.broadcast(s),
+                      F.col("l1.l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count("*").cast("bigint").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name").limit(20))
+
+
+@q("tpch_q22_shape", """
+WITH t AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         sum(CAST(c_acctbal AS DECIMAL(14,2))) AS tot
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT substr(c.c_name, -1) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       ROUND(CAST(sum(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE), 2)
+           AS total_bal
+FROM customer c, t
+WHERE CAST(c.c_acctbal AS DECIMAL(14,2)) * t.cnt > t.tot
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+""")
+def tpch_q22_shape(spark, sf):
+    """TPC-H Q22 (global sales opportunity), adapted: above-average-
+    balance customers with NO recent orders, bucketed by name suffix.
+    Two portability devices: (1) the 'above average' cut is computed
+    MULTIPLICATIVELY (bal x count > total, all DECIMAL-exact) —
+    dividing would make the cutoff a float and the boundary
+    engine-dependent; (2) the anti join is time-scoped or it is
+    vacuously empty (every customer has SOME order — the
+    segment_clicks_no_purchase lesson). The 1-row aggregate comes
+    back as a broadcast; the anti join runs against the date-pruned
+    orders slice only."""
+    c = t(spark, sf, "customer")
+    tot = (c.filter(F.col("c_acctbal") > 0)
+           .agg(F.count("*").cast("bigint").alias("cnt"),
+                F.sum(F.col("c_acctbal").cast("decimal(14,2)"))
+                .alias("tot")))
+    recent = (t(spark, sf, "orders")
+              .filter(F.col("o_orderdate") >= "1999-01-01")
+              .select("o_custkey"))
+    return (c.crossJoin(F.broadcast(tot))
+            .filter(F.col("c_acctbal").cast("decimal(14,2)") * F.col("cnt")
+                    > F.col("tot"))
+            .join(recent, F.col("o_custkey") == F.col("c_custkey"),
+                  "left_anti")
+            .groupBy(F.substring("c_name", -1, 1).alias("bucket"))
+            .agg(F.count("*").cast("bigint").alias("n_cust"),
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(14,2)"))
+                         .cast("double"), 2).alias("total_bal")))
