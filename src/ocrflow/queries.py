@@ -4579,3 +4579,306 @@ def tpch_q22_shape(spark, sf):
             .agg(F.count("*").cast("bigint").alias("n_cust"),
                  F.round(F.sum(F.col("c_acctbal").cast("decimal(14,2)"))
                          .cast("double"), 2).alias("total_bal")))
+
+
+# =========================================================================
+# TPC-H widening, batch 2: q2 / q11 / q12 / q13 / q15 / q16 / q20 shapes
+# (driver schema has no partsupp/shipmode/comment — the part<->supplier
+# relation rides the lineitem bridge and textual predicates use the
+# columns that exist; every predicate probed non-empty at sf0.001 AND
+# sf0.01)
+# =========================================================================
+
+@q("tpch_q2_shape", """
+WITH px AS (
+  SELECT DISTINCT l.l_partkey, l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type = 'STANDARD' AND p.p_size <= 5
+), ranked AS (
+  SELECT px.l_partkey AS p_key, s.s_suppkey, s.s_name, s.s_acctbal,
+         n.n_name,
+         row_number() OVER (PARTITION BY px.l_partkey
+                            ORDER BY s.s_acctbal ASC, s.s_suppkey ASC)
+             AS rk
+  FROM px
+  JOIN supplier s ON s.s_suppkey = px.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT p_key AS p_partkey, s_suppkey, s_name,
+       ROUND(CAST(s_acctbal AS DOUBLE), 2) AS min_acctbal, n_name
+FROM ranked WHERE rk = 1
+""")
+def tpch_q2_shape(spark, sf):
+    """TPC-H Q2 (minimum cost supplier), adapted: no partsupp, so the
+    part<->supplier relation is DISTINCT(l_partkey, l_suppkey) off the
+    lineitem bridge, and 'min supplycost' becomes min s_acctbal with
+    the s_suppkey tiebreak (ties otherwise make the winner
+    engine-dependent). The correlated '= (SELECT min ...)' of the
+    original decorrelates to ONE window pass instead of an aggregate +
+    join-back — same result, one shuffle fewer. Supplier, nation,
+    region all broadcast; the region filter prunes before ranking."""
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    p = (t(spark, sf, "part")
+         .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 5))
+         .select("p_partkey"))
+    px = (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+          .select("l_partkey", "l_suppkey").distinct())
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_acctbal",
+                                        "s_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = (t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+         .select("r_regionkey"))
+    j = (px.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey")))
+    w = W.partitionBy("l_partkey").orderBy(F.col("s_acctbal").asc(),
+                                           F.col("s_suppkey").asc())
+    return (j.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("l_partkey").alias("p_partkey"), "s_suppkey",
+                    "s_name",
+                    F.round(F.col("s_acctbal").cast("double"), 2)
+                    .alias("min_acctbal"), "n_name"))
+
+
+@q("tpch_q11_shape", """
+WITH pv AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS v
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_12'
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_parts, sum(v) AS total FROM pv
+)
+SELECT pv.l_partkey AS p_partkey,
+       CAST(ROUND(pv.v, 2) AS DOUBLE) AS part_value
+FROM pv, tot
+WHERE pv.v * tot.n_parts > tot.total
+""")
+def tpch_q11_shape(spark, sf):
+    """TPC-H Q11 (important stock), adapted: per-part traded value
+    through NATION_12's suppliers, keeping parts whose value exceeds
+    the average part value. Two portability devices carried from
+    tpch_q22_shape: the cut is MULTIPLICATIVE on exact decimals
+    (v * n > total — a fractional threshold would be a float
+    boundary), and it is RELATIVE (above average), so the result is
+    non-empty at every scale short of all-equal values, unlike the
+    original's fraction-of-total which needs per-SF retuning. The
+    1-row total comes back as a broadcast nested-loop join."""
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey",
+                                         "l_extendedprice", "l_discount")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = (t(spark, sf, "nation").filter(F.col("n_name") == "NATION_12")
+         .select("n_nationkey"))
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)"))
+    pv = (li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+          .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+          .groupBy("l_partkey").agg(F.sum(rev).alias("v")))
+    tot = pv.agg(F.count("*").cast("bigint").alias("n_parts"),
+                 F.sum("v").alias("total"))
+    return (pv.crossJoin(F.broadcast(tot))
+            .filter(F.col("v") * F.col("n_parts") > F.col("total"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.round(F.col("v"), 2).cast("double")
+                    .alias("part_value")))
+
+
+@q("tpch_q12_shape", """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+""")
+def tpch_q12_shape(spark, sf):
+    """TPC-H Q12 (shipping mode / priority), adapted: no l_shipmode
+    column, so the grouping rides l_linestatus and the year window
+    rides l_shipdate (no receiptdate). The shape is the point: one
+    fact-fact join where BOTH conditional counts come out of a single
+    aggregate pass — the naive two-filter/two-agg/join plan doubles
+    the shuffle for the same answer. The shipdate range pushes into
+    the lineitem scan before the join."""
+    li = (t(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01"))
+          .select("l_orderkey", "l_linestatus"))
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("bigint")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint")
+                 .alias("low_line_count")))
+
+
+@q("tpch_q13_shape", """
+WITH co AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY 1
+""")
+def tpch_q13_shape(spark, sf):
+    """TPC-H Q13 (customer order-count distribution), adapted: the
+    'special requests' comment filter becomes a priority exclusion
+    INSIDE the join condition — the filter must ride the ON clause,
+    not a WHERE, or customers whose every order is urgent fall out
+    instead of counting as zero. count(o_orderkey) counts non-nulls,
+    so unmatched customers contribute c_count=0 rows to the
+    histogram. Two aggregates: the first shuffles on custkey (the
+    join's own key — co-partitioned, no extra exchange), the second
+    on the tiny c_count domain."""
+    c = t(spark, sf, "customer").select("c_custkey")
+    o = (t(spark, sf, "orders")
+         .filter(F.col("o_orderpriority") != "1-URGENT")
+         .select("o_custkey", "o_orderkey"))
+    co = (c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(F.count("o_orderkey").cast("bigint").alias("c_count")))
+    return (co.groupBy("c_count")
+            .agg(F.count("*").cast("bigint").alias("custdist")))
+
+
+@q("tpch_q15_shape", """
+WITH sr AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - l_discount AS DECIMAL(4,2))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(ROUND(sr.total_rev, 2) AS DOUBLE) AS total_revenue
+FROM sr JOIN supplier s ON s.s_suppkey = sr.l_suppkey
+WHERE sr.total_rev = (SELECT max(total_rev) FROM sr)
+""")
+def tpch_q15_shape(spark, sf):
+    """TPC-H Q15 (top supplier): the revenue view + 'equals the max'
+    correlation. The equality is safe under the string-exact gate
+    ONLY because total_rev stays DECIMAL end-to-end — the max and the
+    per-supplier values are the same exact rationals on both engines,
+    so ties (all suppliers tied at the max included, per spec) break
+    identically. The 1-row max broadcasts back against the grouped
+    view; Spark reuses the sr subplan for both sides."""
+    li = (t(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1997-04-01")))
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)"))
+    sr = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    mx = sr.agg(F.max("total_rev").alias("mx"))
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (sr.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_rev") == F.col("mx"))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.round(F.col("total_rev"), 2).cast("double")
+                    .alias("total_revenue")))
+
+
+@q("tpch_q16_shape", """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO' AND p.p_size <= 10
+  AND l.l_suppkey NOT IN (
+    SELECT s.s_suppkey FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_0')
+GROUP BY 1, 2, 3
+""")
+def tpch_q16_shape(spark, sf):
+    """TPC-H Q16 (parts/supplier relationship), adapted: supplier
+    variety per (brand, type, size) over the lineitem bridge, with
+    the 'complaint suppliers' exclusion standing in as NATION_0's
+    suppliers. NOT IN over a provably non-null key list compiles to a
+    LEFT ANTI join (with nullable keys it would need the
+    null-aware single-column plan — the classic NOT IN trap);
+    count(DISTINCT) shuffles once on the group keys with the distinct
+    folded into the aggregate's first phase."""
+    p = (t(spark, sf, "part")
+         .filter((F.col("p_brand") != "Brand#1")
+                 & (F.col("p_type") != "PROMO") & (F.col("p_size") <= 10))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    excl = (t(spark, sf, "supplier")
+            .join(F.broadcast(t(spark, sf, "nation")
+                              .filter(F.col("n_name") == "NATION_0")
+                              .select("n_nationkey")),
+                  F.col("n_nationkey") == F.col("s_nationkey"))
+            .select("s_suppkey"))
+    return (li.join(F.broadcast(excl),
+                    F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+            .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint")
+                 .alias("supplier_cnt")))
+
+
+@q("tpch_q20_shape", """
+WITH sq AS (
+  SELECT l.l_suppkey, sum(l.l_quantity) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type = 'PROMO'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_supp, sum(qty) AS total FROM sq
+)
+SELECT s.s_suppkey, s.s_name, n.n_name,
+       CAST(sq.qty AS DOUBLE) AS promo_qty
+FROM sq
+JOIN supplier s ON s.s_suppkey = sq.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey, tot
+WHERE sq.qty * tot.n_supp > tot.total
+""")
+def tpch_q20_shape(spark, sf):
+    """TPC-H Q20 (potential part promotion), adapted: suppliers who
+    moved an above-average quantity of PROMO parts in 1997 (the
+    original's 'availqty > half of shipped' needs partsupp). The
+    above-average cut is exact across engines because l_quantity is
+    integral — integer-valued doubles sum exactly below 2^53, so
+    qty * n > total is the same comparison on both sides, no decimal
+    casts needed. The per-supplier aggregate is |suppliers|-sized;
+    everything after it broadcasts."""
+    p = (t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+         .select("p_partkey"))
+    li = (t(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01"))
+          .select("l_partkey", "l_suppkey", "l_quantity"))
+    sq = (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+          .groupBy("l_suppkey").agg(F.sum("l_quantity").alias("qty")))
+    tot = sq.agg(F.count("*").cast("bigint").alias("n_supp"),
+                 F.sum("qty").alias("total"))
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (sq.crossJoin(F.broadcast(tot))
+            .filter(F.col("qty") * F.col("n_supp") > F.col("total"))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+            .select("s_suppkey", "s_name", "n_name",
+                    F.col("qty").cast("double").alias("promo_qty")))
