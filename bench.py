@@ -43,6 +43,9 @@ HEADLINE = [
     # round-4 continuation: iterative BFS (graph family) and pure
     # array-math quantization (vector family)
     "graph_shortest_hops", "emb_quantize_int8",
+    # round-4 TPC-H completion: the broadcast-heavy snowflake and the
+    # semi+anti self-join, representing the 14 shapes added this round
+    "tpch_q7_shape", "tpch_q21_shape",
 ]
 
 
@@ -104,6 +107,7 @@ def main() -> None:
         "heavy_hitters_mg",                                     # r03
         "dedup_containment_scanner", "ngram_novelty_curve",     # r04
         "graph_shortest_hops", "emb_quantize_int8",             # r04 cont.
+        "tpch_q7_shape", "tpch_q21_shape",                      # r04 tpch
     }
     r01_subtotal = round(sum(v for k, v in timings.items()
                              if k not in later_additions), 3)
