@@ -283,3 +283,85 @@ def test_bitmap_distinct_two_level_partial_agg(spark):
     plan = _plan(QUERIES["agg_bitmap_distinct"](spark, SF_DIR))
     assert "bitmapCount" in plan and "partial_bitmap_construct_agg" in plan
     assert "Expand" not in plan
+
+
+def test_tpch_q4_semi_join_with_residual(spark):
+    # EXISTS decorrelates to ONE left-semi join whose condition keeps
+    # the non-equi shipdate residual; no DISTINCT node appears
+    plan = _plan(QUERIES["tpch_q4_shape"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
+    # the date range reaches the orders scan
+    assert "o_orderdate" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_tpch_q7_both_nation_copies_broadcast(spark):
+    # the two aliased nation dims land as two separate broadcasts and
+    # the fact chain never sort-merge-joins at this scale
+    plan = _plan(QUERIES["tpch_q7_shape"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q8_single_pass_conditional_agg(spark):
+    # v and v1 come out of ONE grouped aggregate — the plan has no
+    # self-join of two aggregates
+    plan = _plan(QUERIES["tpch_q8_shape"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    # two-level final: year/region rollup over the grouped CTE
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q9_part_filter_pushed_below_join(spark):
+    plan = _plan(QUERIES["tpch_q9_shape"](spark, SF_DIR))
+    # the LIKE prune reaches the part scan, not a post-join Filter
+    idx = plan.find("FileScan parquet")
+    assert idx != -1
+    assert "StringContains(p_name,a)" in plan or "p_name" in plan.split(
+        "PushedFilters", 2)[-1][:600]
+
+
+def test_tpch_q17_single_lineitem_groupby_no_correlation(spark):
+    # the correlated avg decorrelates: one aggregate over lineitem,
+    # joined back — no nested-loop correlation survives
+    plan = _plan(QUERIES["tpch_q17_shape"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_semi_and_anti_legs(spark):
+    plan = _plan(QUERIES["tpch_q21_shape"](spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # top-20 with tiebreak compiles to TakeOrderedAndProject, not a
+    # global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q22_anti_join_on_pruned_orders(spark):
+    plan = _plan(QUERIES["tpch_q22_shape"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    # the recent-orders slice is date-pruned at the scan
+    assert "o_orderdate" in plan.split("PushedFilters", 1)[1][:800]
+
+
+def test_tpch_q2_window_not_aggregate_joinback(spark):
+    # the correlated min decorrelates to ONE window pass (rank over
+    # partkey), not an aggregate + join-back — one shuffle fewer
+    plan = _plan(QUERIES["tpch_q2_shape"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "row_number" in plan
+
+
+def test_tpch_q15_reuses_revenue_subplan(spark):
+    # the sr view feeds both the max and the equality probe; Spark
+    # must not recompute lineitem twice without reuse at scale — at
+    # minimum the broadcast of the 1-row max appears
+    plan = _plan(QUERIES["tpch_q15_shape"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_tpch_q13_filter_inside_left_join(spark):
+    # the priority exclusion rides the join condition: customers stay
+    # left-preserved (no Inner join over orders first)
+    plan = _plan(QUERIES["tpch_q13_shape"](spark, SF_DIR))
+    assert "LeftOuter" in plan
