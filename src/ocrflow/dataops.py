@@ -4359,3 +4359,121 @@ def ts_seasonal_naive_forecast(spark, sf):
                     F.col("b.n").alias("n_pred"),
                     F.abs(F.col("a.n") - F.col("b.n")).cast("bigint")
                     .alias("abs_err")))
+
+
+@q("udtf_partitioned_input", """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_days
+FROM g GROUP BY 1
+""")
+def udtf_partitioned_input(spark, sf):
+    """UDTF WITH A PARTITIONED TABLE ARGUMENT (PySpark 4
+    `f(TABLE(v) PARTITION BY k ORDER BY ts)`): Spark routes each
+    partition's rows, in order, through ONE UDTF instance — eval()
+    accumulates, terminate() emits — i.e. the table-function analog
+    of applyInPandas without materializing the group. Here: per
+    customer, order count and the longest gap in days between
+    consecutive orders (ties broken by orderkey so the order, and
+    therefore the gap sequence, is deterministic). Verified
+    value-exact against the window-lag formulation in DuckDB, so the
+    partition routing, intra-partition ordering, AND terminate()
+    semantics are all externally checked.
+
+    Scale notes: PARTITION BY shuffles once on the key (same exchange
+    a groupBy would need); state is O(1) per partition — no
+    collect_list blowup for long histories, which is exactly when
+    this beats the window formulation (a lag() window buffers frames
+    per partition; the UDTF streams)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="custkey bigint, n_orders bigint, max_gap_days bigint")
+    class OrderGaps:
+        def __init__(self):
+            self._key = None
+            self._n = 0
+            self._prev = None
+            self._max_gap = 0
+
+        def eval(self, row):
+            self._key = row["o_custkey"]
+            ts = row["o_orderdate"]
+            self._n += 1
+            if self._prev is not None:
+                gap = (ts - self._prev).days
+                if gap > self._max_gap:
+                    self._max_gap = gap
+            self._prev = ts
+
+        def terminate(self):
+            if self._key is not None:
+                yield self._key, self._n, self._max_gap
+
+    spark.udtf.register("order_gaps", OrderGaps)
+    (t(spark, sf, "orders")
+     .select("o_custkey", "o_orderdate", "o_orderkey")
+     .createOrReplaceTempView("udtf_part_orders"))
+    return spark.sql("""
+        SELECT * FROM order_gaps(
+          TABLE(udtf_part_orders)
+          PARTITION BY o_custkey ORDER BY (o_orderdate, o_orderkey))""")
+
+
+@q("vocab_coverage_topk", """
+WITH tok AS (
+  SELECT lower(u.w) AS w
+  FROM documents d,
+       unnest(string_split_regex(d.text, '\\s+')) AS u(w)
+  WHERE length(u.w) > 0
+), freq AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1
+), vocab AS (
+  SELECT w FROM freq ORDER BY f DESC, w LIMIT 256
+), tot AS (
+  SELECT sum(f) AS total FROM freq
+)
+SELECT CAST((SELECT count(*) FROM freq) AS BIGINT) AS n_types,
+       CAST(tot.total AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.w IS NOT NULL THEN freq.f ELSE 0 END)
+            AS BIGINT) AS covered_tokens
+FROM freq LEFT JOIN vocab v USING (w), tot
+GROUP BY tot.total
+""")
+def vocab_coverage_topk(spark, sf):
+    """TOKENIZER VOCAB COVERAGE: what fraction of corpus tokens does
+    a top-K frequency vocabulary cover — the go/no-go metric before
+    committing a vocab size for tokenizer training (coverage knees
+    sharply; Zipf means the top few hundred types cover most tokens).
+    Emits exact counts (types, total tokens, covered tokens) rather
+    than the ratio so the oracle stays integer-exact; the rate is
+    covered/total downstream. Vocab selection tie-breaks
+    frequency-then-word so the K-th slot is deterministic across
+    engines.
+
+    Scale notes: one explode + two hash aggregates; the vocab is
+    K-sized — broadcast — so coverage is a map-side join against the
+    frequency table, no second shuffle of the corpus. At 100 TB the
+    token explosion dominates; it is the same single pass any
+    frequency count needs."""
+    toks = (t(spark, sf, "documents")
+            .select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+            .filter(F.length("w") > 0)
+            .select(F.lower("w").alias("w")))
+    freq = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("f"))
+    vocab = (freq.orderBy(F.col("f").desc(), "w").limit(256)
+             .select(F.col("w").alias("vw")))
+    tot = freq.agg(F.sum("f").cast("bigint").alias("total"),
+                   F.count("*").cast("bigint").alias("n_types"))
+    return (freq.join(F.broadcast(vocab), freq.w == F.col("vw"), "left")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("n_types", "total")
+            .agg(F.sum(F.when(F.col("vw").isNotNull(), F.col("f"))
+                       .otherwise(F.lit(0))).cast("bigint")
+                 .alias("covered_tokens"))
+            .select("n_types", F.col("total").alias("n_tokens"),
+                    "covered_tokens"))
