@@ -4477,3 +4477,340 @@ def vocab_coverage_topk(spark, sf):
                  .alias("covered_tokens"))
             .select("n_types", F.col("total").alias("n_tokens"),
                     "covered_tokens"))
+
+
+@q("dedup_kgram_exact", """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(tk[i:i+5], ' ')) AS gh
+  FROM toks, unnest(range(1, len(tk) - 6 + 2)) AS u(i)
+  WHERE len(tk) >= 6
+),
+keep AS (
+  SELECT gh FROM g GROUP BY gh HAVING count(*) BETWEEN 2 AND 20
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_grams
+FROM g a JOIN keep USING (gh) JOIN g b USING (gh)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+""")
+def dedup_kgram_exact(spark, sf):
+    """EXACT LONG-K-GRAM SUBSTRING DEDUP (the suffix-array
+    train-data-dedup family, approximated with fixed-width k-token
+    grams): emit every doc pair sharing at least one exact 6-token
+    window, with the count of shared grams — the memorization-risk
+    signal that MinHash misses (MinHash scores whole-doc overlap; a
+    200-word doc quoting one 6-gram from another scores ~0 Jaccard
+    but IS an exact substring copy). Candidates are JOIN-FREE on the
+    Spark side: per-doc distinct gram hashes, a window count over the
+    gram key (riding the gather's own exchange) drops singleton AND
+    hot grams (boilerplate grams shared by >20 docs would emit
+    O(df²) pairs; docs carrying them are caught by exact/minhash
+    dedup instead — same pre-gather cap discipline as
+    minhash_lsh_pairs), then collect_list + i<j pair expansion
+    JVM-side. The oracle runs the SAME spec relationally (self-join
+    with an identical 2..20 gram-frequency band), so the parity is
+    lossless — the cap is part of the contract on both engines.
+
+    Scale notes: one wide exchange on 16-byte gram hashes; pair
+    output bounded by grams × cap²/2; the gram explosion is ~tokens
+    per doc (distinct-ified per doc before the shuffle, so repeated
+    boilerplate inside one doc costs nothing downstream)."""
+    k = 6
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+         .select("doc_id",
+                 F.split(F.lower(F.trim("text")), r"\s+").alias("tk")))
+    grams = (d.filter(F.size("tk") >= k)
+             .select("doc_id", F.explode(F.array_distinct(F.transform(
+                 F.sequence(F.lit(1), F.size("tk") - k + 1),
+                 lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i, k))))))
+                 .alias("gh")))
+    wn = F.count("*").over(W.partitionBy("gh"))
+    banded = (grams.withColumn("n", wn)
+              .filter((F.col("n") >= 2) & (F.col("n") <= 20)))
+    grouped = (banded.groupBy("gh")
+               .agg(F.collect_list("doc_id").alias("ids")))
+    pair_expr = F.expr("""
+        flatten(transform(ids, (x, i) ->
+            transform(slice(ids, i + 2, size(ids)),
+                      y -> struct(least(x, y) AS a, greatest(x, y) AS b))))
+    """)
+    return (grouped.select(F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+            .agg(F.count("*").cast("bigint").alias("shared_grams")))
+
+
+@q("text_hashed_linear_score", """
+WITH tok AS (
+  SELECT doc_id, u.w AS w
+  FROM documents d,
+       unnest(regexp_split_to_array(lower(trim(d.text)), '\\s+')) AS u(w)
+  WHERE d.text IS NOT NULL AND length(trim(d.text)) > 0
+), feat AS (
+  SELECT doc_id,
+         instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1 AS bucket
+  FROM tok
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum((bucket % 7) - 3) AS BIGINT) AS score_num
+FROM feat GROUP BY doc_id
+""")
+def text_hashed_linear_score(spark, sf):
+    """FASTTEXT-STYLE HASHED LINEAR QUALITY SCORER: tokens hash into
+    a fixed bucket space, a tiny weight vector is broadcast once per
+    executor, and the doc score is the mean bucket weight — the
+    standard cheap quality-classifier shape (hash trick + linear
+    head) used to gate pretraining corpora. Weights here are a
+    deterministic function of the bucket id ((b % 7) - 3, INTEGER) so
+    the score numerator is integer-exact and oracle-portable; a real
+    deployment swaps the 16-row table for trained weights — the plan
+    shape (explode → broadcast-join weights → hash agg) is identical.
+    The bucket hash is the engine-portable md5-first-hex-char idiom
+    (instr over the hex alphabet renders identically in Spark and
+    DuckDB); production would use xxhash64 % B. Emits (n_feats,
+    score_num) instead of the float mean so parity is string-exact;
+    score = score_num / n_feats downstream.
+
+    Scale notes: one explode + one hash agg on doc_id; the weight
+    join is broadcast (16 rows — model weights ride the task binary,
+    never a shuffle), so corpus cost is the same single token pass
+    every frequency scan needs."""
+    weights = spark.createDataFrame(
+        [(b, (b % 7) - 3) for b in range(16)], "bucket int, wt int")
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+         .select("doc_id",
+                 F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                 .alias("w")))
+    feat = d.select(
+        "doc_id",
+        F.expr("instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1")
+        .alias("bucket"))
+    return (feat.join(F.broadcast(weights), "bucket")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_feats"),
+                 F.sum("wt").cast("bigint").alias("score_num")))
+
+
+@q("sql_udf_scalar", """
+WITH c AS (
+  SELECT CASE WHEN l_quantity < 10 THEN 'low'
+              WHEN l_quantity < 30 THEN 'mid'
+              ELSE 'high' END AS qclass,
+         l_returnflag
+  FROM lineitem
+)
+SELECT l_returnflag, qclass, CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY 1, 2
+""")
+def sql_udf_scalar(spark, sf):
+    """SQL SCALAR UDF (Spark 4 `CREATE FUNCTION ... RETURNS ... RETURN
+    expr`): the function body is pure SQL, so Catalyst INLINES it into
+    the calling plan — unlike a Python UDF there is no serialization
+    boundary, no codegen break, and predicate pushdown/codegen work
+    straight through the call site. The right tool for shared business
+    logic (bucketing rules, classification cases) that must run at
+    full JVM speed on 100 TB. Verified value-exact against the
+    inlined CASE expression in DuckDB — proving the definition,
+    resolution, and inlining semantics, not just the arithmetic."""
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION qty_class(q DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN q < 10 THEN 'low'
+                    WHEN q < 30 THEN 'mid'
+                    ELSE 'high' END""")
+    t(spark, sf, "lineitem").createOrReplaceTempView("sqludf_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, qty_class(l_quantity) AS qclass,
+               CAST(count(*) AS BIGINT) AS n
+        FROM sqludf_lineitem GROUP BY 1, 2""")
+
+
+@q("execute_immediate", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE o_totalprice > 150000.0
+GROUP BY o_orderpriority
+""")
+def execute_immediate(spark, sf):
+    """EXECUTE IMMEDIATE (Spark 4): a SQL string composed at runtime
+    is parsed and run with positional `USING` binds — the dynamic-SQL
+    escape hatch for metadata-driven jobs (a curation driver that
+    builds per-source gate queries from a config table). Binds are
+    bound as typed literals by the parser, never spliced, so the
+    dynamic surface stays injection-safe. Oracled against the static
+    form of the same query."""
+    t(spark, sf, "orders").createOrReplaceTempView("exec_imm_orders")
+    return spark.sql("""
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+         FROM exec_imm_orders WHERE o_totalprice > ? GROUP BY 1'
+        USING 150000.0D""")
+
+
+@q("str_collation", """
+WITH mc AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg
+  FROM customer
+)
+SELECT CAST(count(DISTINCT lower(seg)) AS BIGINT) AS n_ci,
+       CAST(count(DISTINCT seg) AS BIGINT) AS n_cs,
+       CAST(sum(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_building
+FROM mc
+""")
+def str_collation(spark, sf):
+    """STRING COLLATIONS (Spark 4 `collate(s, 'UTF8_LCASE')`): string
+    comparison semantics become a TYPE property — DISTINCT, equality,
+    and GROUP BY under a case-insensitive collation need no lower()
+    rewrites, and because the collation is part of the data type the
+    optimizer can still prune/push (a lower(col) wrapper would defeat
+    min/max stats pruning; a collated column keeps it). The corpus
+    mixes the case deterministically (even keys upper, odd lower),
+    then counts distinct segments case-insensitively vs case-
+    sensitively and filters on collated equality. Counts are
+    representative-independent, so the parity vs DuckDB's lower()
+    formulation is exact even though the two engines may pick
+    different group representatives."""
+    mc = t(spark, sf, "customer").select(
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment")).alias("seg"))
+    ci = F.collate("seg", "UTF8_LCASE")
+    return mc.agg(
+        F.count_distinct(ci).cast("bigint").alias("n_ci"),
+        F.count_distinct(F.col("seg")).cast("bigint").alias("n_cs"),
+        F.sum(F.when(ci == F.lit("building"), 1).otherwise(0))
+        .cast("bigint").alias("n_building"))
+
+
+@q("agg_hll_sketch_merge")  # rows-only: Datasketches HLL binary has no DuckDB twin
+def agg_hll_sketch_merge(spark, sf):
+    """DATASKETCHES HLL (Spark 3.5+ hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate): per-group cardinality sketches that MERGE —
+    the property approx_count_distinct's opaque HLL++ lacks. At 100 TB
+    this is the pattern for incremental distinct-user counts: sketch
+    each partition/day once (one pass), persist the 1-4 KB sketch
+    binaries, and answer any rollup (all-time, trailing-28-day, per
+    cohort) by unioning sketches — never rescanning the raw data.
+    Emits per-event-type estimate AND exact distinct, plus an 'ALL'
+    row whose estimate comes from UNIONING the per-type sketches (not
+    re-scanning); tests/test_dataops.py asserts every estimate within
+    5% of exact (12-bit sketches: ~1.6% expected error)."""
+    e = (t(spark, sf, "events")
+         .select("event_type", "user_id"))
+    per = (e.groupBy("event_type")
+           .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+                F.count_distinct("user_id").cast("bigint").alias("exact")))
+    per_out = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est"), "exact")
+    total = (per.agg(F.hll_union_agg("sk").alias("sk"),
+                     F.lit(None).cast("bigint").alias("_"))
+             .select(F.lit("ALL").alias("event_type"),
+                     F.hll_sketch_estimate("sk").cast("bigint").alias("est")))
+    exact_all = (e.agg(F.count_distinct("user_id").cast("bigint")
+                       .alias("exact")))
+    total = total.crossJoin(exact_all)
+    return per_out.unionByName(total)
+
+
+@q("ts_ewma_blocked", """
+WITH o AS (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1 AS BIGINT) AS rn0
+  FROM events WHERE value IS NOT NULL
+), p AS (
+  SELECT user_id, event_id, value,
+         rn0 // 2048 AS blk,
+         CAST(rn0 % 2048 AS DOUBLE) AS pos
+  FROM o
+), w AS (
+  SELECT user_id, event_id, blk, pos,
+         sum(value * pow(0.9, -pos)) OVER wb AS sn,
+         sum(pow(0.9, -pos)) OVER wb AS sd,
+         max(pos) OVER (PARTITION BY user_id, blk) AS mx
+  FROM p
+  WINDOW wb AS (PARTITION BY user_id, blk ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), be AS (
+  SELECT user_id, blk,
+         lag(sn * pow(0.9, 2047.0))
+           OVER (PARTITION BY user_id ORDER BY blk) AS ce,
+         lag(sd * pow(0.9, 2047.0))
+           OVER (PARTITION BY user_id ORDER BY blk) AS cd
+  FROM w WHERE pos = mx
+)
+SELECT w.user_id, w.event_id,
+       ROUND((w.sn * pow(0.9, w.pos)
+                + coalesce(be.ce, 0.0) * pow(0.9, w.pos + 1.0))
+             / (w.sd * pow(0.9, w.pos)
+                + coalesce(be.cd, 0.0) * pow(0.9, w.pos + 1.0)), 4)
+         + 0.0 AS ewma
+FROM w JOIN be ON w.user_id = be.user_id AND w.blk = be.blk
+""")
+def ts_ewma_blocked(spark, sf):
+    """UNBOUNDED-HISTORY EWMA (α=0.9, adjust-normalized) — the scale
+    path that removes ts_ewma's documented rn≈6,726 overflow ceiling.
+    The closed form's α^(-rn) grows without bound; here each key's
+    history is cut into fixed 2048-row blocks, the closed form runs
+    WITHIN a block (worst exponent α^(-2047) ≈ 1e93 — two hundred
+    orders of magnitude of headroom), and history older than the
+    current block enters as a single carry term: the previous block's
+    end-of-block sums, decayed by α^(pos+1). One block of lookback is
+    EXACT to double precision for any history length — terms two or
+    more blocks back carry weight ≤ α^2048 ≈ 1e-94, below one ulp of
+    the current row's own α^0 term — so this equals the true EWMA at
+    every output digit with NO history limit. Block-end sums are taken
+    from the ordered prefix sum at the block's last row (not a hash
+    re-aggregation), so both engines fold identical terms in identical
+    order and the oracle — the SAME blocked construction — is
+    string-exact. tests/test_dataops.py drives a 20,000-row synthetic
+    key (3× past the old overflow ceiling) and checks against pandas
+    ewm(adjust=True) to 1e-9 with zero Inf/NaN.
+
+    Scale notes: one exchange on (user_id, blk) for the block windows,
+    one on user_id for the block-carry lag (tiny: one row per block),
+    and the carry join rides the block window's partitioning. State
+    per window partition is one block — 2048 rows — regardless of key
+    history length; the closed form's unbounded per-key state is gone."""
+    B, A = 2048, 0.9
+    ev = (t(spark, sf, "events").filter(F.col("value").isNotNull()))
+    o = ev.select(
+        "user_id", "event_id", "value",
+        (F.row_number().over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")) - 1)
+        .alias("rn0"))
+    p = o.select(
+        "user_id", "event_id", "value",
+        (F.col("rn0") / B).cast("bigint").alias("blk"),
+        (F.col("rn0") % B).cast("double").alias("pos"))
+    wb = (W.partitionBy("user_id", "blk").orderBy("pos")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w = p.select(
+        "user_id", "event_id", "blk", "pos",
+        F.sum(F.col("value") * F.pow(F.lit(A), -F.col("pos"))).over(wb)
+        .alias("sn"),
+        F.sum(F.pow(F.lit(A), -F.col("pos"))).over(wb).alias("sd"),
+        F.max("pos").over(W.partitionBy("user_id", "blk")).alias("mx"))
+    be = (w.filter(F.col("pos") == F.col("mx"))
+          .select("user_id", "blk",
+                  F.lag(F.col("sn") * F.pow(F.lit(A), F.lit(float(B - 1))))
+                  .over(W.partitionBy("user_id").orderBy("blk")).alias("ce"),
+                  F.lag(F.col("sd") * F.pow(F.lit(A), F.lit(float(B - 1))))
+                  .over(W.partitionBy("user_id").orderBy("blk")).alias("cd")))
+    j = w.join(be, ["user_id", "blk"])
+    decay = F.pow(F.lit(A), F.col("pos") + 1.0)
+    num = (F.col("sn") * F.pow(F.lit(A), F.col("pos"))
+           + F.coalesce(F.col("ce"), F.lit(0.0)) * decay)
+    den = (F.col("sd") * F.pow(F.lit(A), F.col("pos"))
+           + F.coalesce(F.col("cd"), F.lit(0.0)) * decay)
+    return j.select("user_id", "event_id",
+                    (F.round(num / den, 4) + 0.0).alias("ewma"))

@@ -569,3 +569,82 @@ def test_python_stream_source_equals_batch(spark):
     got = sorted(map(tuple, spark.table("pyds_stream_out")
                  .select(*batch.columns).collect()))
     assert got == want
+
+
+def test_hll_sketch_estimates_within_bound(spark):
+    rows = D.agg_hll_sketch_merge(spark, SF_DIR).collect()
+    assert len(rows) >= 2  # at least one event_type plus the ALL row
+    got_all = False
+    for r in rows:
+        assert r["exact"] > 0
+        rel = abs(r["est"] - r["exact"]) / r["exact"]
+        assert rel < 0.05, (r["event_type"], r["est"], r["exact"])
+        if r["event_type"] == "ALL":
+            got_all = True
+    assert got_all
+
+
+def test_ewma_blocked_unbounded_history(spark):
+    # 20,000 rows on ONE key — 3x past the closed form's rn~6,726
+    # double-overflow ceiling. The blocked form must stay finite and
+    # match pandas ewm(adjust=True) everywhere.
+    import datetime
+    import math
+    import pandas as pd
+
+    n = 20_000
+    base = datetime.datetime(2024, 1, 1)
+    vals = [float((i * 37 % 100) + 1) for i in range(n)]
+    pdf = pd.DataFrame({
+        "user_id": 1, "event_id": range(n),
+        "value": vals,
+        "ts": [base + datetime.timedelta(seconds=i) for i in range(n)],
+    })
+    sdf = spark.createDataFrame(pdf)
+    tmp = tempfile.mkdtemp(prefix="ocrflow_ewma_")
+    sdf.write.parquet(os.path.join(tmp, "events.parquet"))
+    out = (D.ts_ewma_blocked(spark, tmp)
+           .orderBy("event_id").toPandas())
+    assert len(out) == n
+    assert not out["ewma"].isna().any()
+    assert all(math.isfinite(v) for v in out["ewma"])
+    expect = pd.Series(vals).ewm(alpha=0.1, adjust=True).mean()
+    # alpha here is the DECAY ratio 0.9 => pandas alpha = 1 - 0.9 = 0.1
+    diff = (out["ewma"].reset_index(drop=True)
+            - expect.round(4).reset_index(drop=True)).abs()
+    assert diff.max() < 2e-4, diff.max()  # 4dp rounding on our side only
+
+
+def test_kgram_dedup_finds_planted_quote(spark):
+    # doc B quotes a 6-token window from doc A verbatim inside
+    # otherwise-unrelated text: whole-doc Jaccard is tiny, but the
+    # exact-substring scanner must pair them.
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = src.filter("doc_id = 11").first()
+    quote = " ".join(one["text"].split()[:6])
+    filler = " ".join(f"zz{i}q" for i in range(40))
+    planted_text = f"{filler} {quote} {filler}"
+    planted = spark.createDataFrame(
+        [(97531, planted_text, one["lang"], one["source"],
+          len(planted_text))], src.schema)
+    tmp = tempfile.mkdtemp(prefix="ocrflow_kgram_")
+    src.unionByName(planted).write.parquet(
+        os.path.join(tmp, "documents.parquet"))
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in D.dedup_kgram_exact(spark, tmp).collect()}
+    assert (11, 97531) in pairs
+
+
+def test_kgram_hot_gram_cap_bounds_boilerplate(spark):
+    # 200 docs all sharing one boilerplate 6-gram: an uncapped scanner
+    # emits 200*199/2 = 19,900 pairs from that gram alone; the 2..20
+    # frequency band must drop it entirely.
+    boiler = "standard legal disclaimer applies to everything"
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c", "en", "x",
+             60) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    tmp = tempfile.mkdtemp(prefix="ocrflow_kgramcap_")
+    df.write.parquet(os.path.join(tmp, "documents.parquet"))
+    assert D.dedup_kgram_exact(spark, tmp).count() == 0
