@@ -4814,3 +4814,100 @@ def ts_ewma_blocked(spark, sf):
            + F.coalesce(F.col("cd"), F.lit(0.0)) * decay)
     return j.select("user_id", "event_id",
                     (F.round(num / den, 4) + 0.0).alias("ewma"))
+
+
+def _gear_table() -> "np.ndarray":
+    """256-entry gear table for content-defined chunking, derived from
+    md5 of each byte value — deterministic across processes, runs, and
+    executors (no RNG, so the A-series determinism contract holds)."""
+    import hashlib
+    return np.array(
+        [int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "big")
+         for b in range(256)], dtype=np.uint64)
+
+
+_CDC_WIN, _CDC_MASK, _CDC_MIN, _CDC_MAX = 16, np.uint64(0x3F), 32, 256
+
+
+def _cdc_boundaries(data: bytes) -> list[int]:
+    """Chunk boundary offsets (exclusive ends) for one payload.
+
+    Gear rolling hash over a 16-byte window, vectorized as 16 shifted
+    adds (the window rolls out by the uint64 left-shift, so no
+    per-byte Python loop); a position ends a chunk when the hash's low
+    6 bits are zero (~64-byte average), subject to 32-byte minimum and
+    256-byte forced maximum — the FastCDC-style normalization that
+    bounds both tiny-chunk overhead and resync distance."""
+    n = len(data)
+    if n == 0:
+        return []
+    arr = np.frombuffer(data, dtype=np.uint8)
+    g = _GEAR[arr]
+    h = np.zeros(n, dtype=np.uint64)
+    for k in range(_CDC_WIN):
+        h[k:] += g[: n - k] << np.uint64(k)
+    cand = np.nonzero((h & _CDC_MASK) == 0)[0]
+    out, last = [], 0
+    ci, m = 0, len(cand)
+    while last < n:
+        # skip candidates inside the minimum-size zone
+        while ci < m and cand[ci] < last + _CDC_MIN:
+            ci += 1
+        if ci < m and cand[ci] < last + _CDC_MAX:
+            cut = int(cand[ci]) + 1
+        else:
+            cut = min(last + _CDC_MAX, n)
+        out.append(cut)
+        last = cut
+    return out
+
+
+_GEAR = _gear_table()
+
+
+@q("doc_cdc_chunks")  # rows-only: the gear rolling hash has no SQL twin
+def doc_cdc_chunks(spark, sf):
+    """CONTENT-DEFINED CHUNKING (FastCDC/gear family): chunk
+    boundaries are a function of the CONTENT's rolling hash, not of
+    byte offsets — so inserting a prefix into a document shifts every
+    byte position yet the boundaries RESYNC within one window+max of
+    the edit, and all downstream chunks keep their hashes. That is the
+    property fixed-size chunking lacks and exactly why CDC is the
+    backbone of shift-robust near-dup detection: two documents that
+    share a long run of content share the chunk hashes of that run no
+    matter where it sits, so chunk-hash grouping (the same join-free
+    gather idiom as minhash_lsh_pairs) finds insert/delete edits that
+    whole-doc hashing and even shingle MinHash score poorly.
+    tests/test_dataops.py proves the resync property (prefix edit →
+    downstream chunk hashes identical), repartition-invariance, and
+    the size bounds.
+
+    Scale notes: embarrassingly parallel — one mapInPandas pass, zero
+    shuffles; the kernel is numpy-vectorized (16 shifted adds for the
+    whole batch's hash lattice, no per-byte Python). Chunk rows are
+    ~5x the doc count at the 64-byte average; the downstream pair scan
+    groups on 16-byte chunk hashes with the standard pre-gather cap."""
+    schema = ("doc_id long, chunk_idx int, start int, "
+              "length int, chunk_hash string")
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                data = text.encode("utf-8")
+                prev = 0
+                for idx, end in enumerate(_cdc_boundaries(data)):
+                    rows.append((doc_id, idx, prev, end - prev,
+                                 hashlib.md5(data[prev:end]).hexdigest()))
+                    prev = end
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_idx", "start", "length",
+                               "chunk_hash"])
+
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("doc_id", "text"))
+    return d.mapInPandas(chunk_batches, schema)

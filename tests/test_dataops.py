@@ -648,3 +648,52 @@ def test_kgram_hot_gram_cap_bounds_boilerplate(spark):
     tmp = tempfile.mkdtemp(prefix="ocrflow_kgramcap_")
     df.write.parquet(os.path.join(tmp, "documents.parquet"))
     assert D.dedup_kgram_exact(spark, tmp).count() == 0
+
+
+def test_cdc_chunks_resync_after_prefix_edit(spark):
+    # THE content-defined-chunking property: a prefix insertion shifts
+    # every byte offset, but boundaries resync and all downstream
+    # chunk hashes survive. Fixed-size chunking shares ~0 here.
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = src.filter("n_chars > 400").first()
+    base, edited = one["text"], "INSERTED PREFIX EDIT " + one["text"]
+    df = spark.createDataFrame(
+        [(1, base, "en", "x", len(base)), (2, edited, "en", "x", len(edited))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    tmp = tempfile.mkdtemp(prefix="ocrflow_cdc_")
+    df.write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = D.doc_cdc_chunks(spark, tmp).collect()
+    h1 = [r["chunk_hash"] for r in out if r["doc_id"] == 1]
+    h2 = [r["chunk_hash"] for r in out if r["doc_id"] == 2]
+    shared = set(h1) & set(h2)
+    # all but the first few chunks of each doc must be identical
+    assert len(shared) >= max(1, len(h1) - 3), (len(shared), len(h1))
+    # and the shared run is the TAIL: the last chunks agree exactly
+    assert h1[-3:] == h2[-3:]
+
+
+def test_cdc_chunks_deterministic_across_partitioning(spark):
+    # same corpus written as 1 file vs 8 files: different scan
+    # partitioning and Arrow batch boundaries, identical chunk rows.
+    src = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+           .filter(F.col("text").isNotNull()))
+    t1 = tempfile.mkdtemp(prefix="ocrflow_cdc1_")
+    t8 = tempfile.mkdtemp(prefix="ocrflow_cdc8_")
+    src.coalesce(1).write.parquet(os.path.join(t1, "documents.parquet"))
+    src.repartition(8).write.parquet(os.path.join(t8, "documents.parquet"))
+    a = sorted(map(tuple, D.doc_cdc_chunks(spark, t1).collect()))
+    b = sorted(map(tuple, D.doc_cdc_chunks(spark, t8).collect()))
+    assert a == b and a
+
+
+def test_cdc_chunk_size_bounds(spark):
+    rows = D.doc_cdc_chunks(spark, SF_DIR).collect()
+    assert rows
+    last_idx = {}
+    for r in rows:
+        last_idx[r["doc_id"]] = max(last_idx.get(r["doc_id"], -1),
+                                    r["chunk_idx"])
+    for r in rows:
+        assert r["length"] <= 256
+        if r["chunk_idx"] < last_idx[r["doc_id"]]:
+            assert r["length"] >= 32, (r["doc_id"], r["chunk_idx"])
