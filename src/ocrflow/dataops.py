@@ -4911,3 +4911,65 @@ def doc_cdc_chunks(spark, sf):
          .filter(F.col("text").isNotNull())
          .select("doc_id", "text"))
     return d.mapInPandas(chunk_batches, schema)
+
+
+@q("text_sentence_dedup", """
+WITH sent AS (
+  SELECT doc_id, trim(u.s) AS s
+  FROM documents d,
+       unnest(regexp_split_to_array(d.text, '[.!?] +')) AS u(s)
+  WHERE d.text IS NOT NULL AND length(trim(u.s)) >= 20
+), freq AS (
+  SELECT md5(lower(s)) AS sh, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM sent GROUP BY 1
+), per AS (
+  SELECT sent.doc_id,
+         CAST(count(*) AS BIGINT) AS n_sents,
+         CAST(sum(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler
+  FROM sent JOIN freq f ON md5(lower(sent.s)) = f.sh
+  GROUP BY sent.doc_id
+)
+SELECT doc_id, n_sents, n_boiler,
+       CASE WHEN n_boiler * 2 >= n_sents THEN 1 ELSE 0 END AS drop_flag
+FROM per
+""")
+def text_sentence_dedup(spark, sf):
+    """SENTENCE-LEVEL BOILERPLATE DEDUP (the CCNet recipe, at sentence
+    granularity): hash every sentence, count how many DISTINCT docs
+    carry it across the corpus, and score each doc by its share of
+    corpus-repeated sentences — navboxes, cookie banners, and licence
+    footers repeat across thousands of pages while real prose doesn't,
+    so a doc whose sentences are mostly corpus-duplicates is
+    boilerplate even when its full-doc hash is unique. Emits per-doc
+    sentence count, repeated-sentence count (df >= 3), and the
+    majority-boilerplate drop flag. Sentence split is '[.!?] +' on
+    both engines (RE2-safe — DuckDB has no lookbehind), sentences
+    under 20 chars skipped (fragments alias too easily).
+
+    Scale notes: explode → distinct-doc count per 16-byte sentence
+    hash (one wide exchange, map-side partial) → hash-join back and
+    per-doc aggregate. The join is on the sentence hash — at 100 TB
+    broadcast the hot tail instead: df >= 3 sentences are a tiny
+    fraction of distinct sentences, so semi-join the frequency table
+    filtered to df >= 3 (the complement defaults to df < 3), shrinking
+    the join build side by orders of magnitude; the plan here keeps
+    the general join since the sandbox corpus fits."""
+    sent = (t(spark, sf, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id",
+                    F.explode(F.split("text", r"[.!?] +")).alias("s0"))
+            .select("doc_id", F.trim("s0").alias("s"))
+            .filter(F.length("s") >= 20)
+            .select("doc_id", F.md5(F.lower("s")).alias("sh")))
+    freq = (sent.groupBy("sh")
+            .agg(F.count_distinct("doc_id").cast("bigint").alias("df")))
+    per = (sent.join(freq, "sh")
+           .groupBy("doc_id")
+           .agg(F.count("*").cast("bigint").alias("n_sents"),
+                F.sum(F.when(F.col("df") >= 3, 1).otherwise(0))
+                .cast("bigint").alias("n_boiler")))
+    return per.select(
+        "doc_id", "n_sents", "n_boiler",
+        F.when(F.col("n_boiler") * 2 >= F.col("n_sents"), 1).otherwise(0)
+        .alias("drop_flag"))
