@@ -46,6 +46,9 @@ HEADLINE = [
     # round-4 TPC-H completion: the broadcast-heavy snowflake and the
     # semi+anti self-join, representing the 14 shapes added this round
     "tpch_q7_shape", "tpch_q21_shape",
+    # round-4 session-5: the exact-substring scanner (memorization-risk
+    # family) and the unbounded-history blocked EWMA
+    "dedup_kgram_exact", "ts_ewma_blocked",
 ]
 
 
@@ -108,6 +111,7 @@ def main() -> None:
         "dedup_containment_scanner", "ngram_novelty_curve",     # r04
         "graph_shortest_hops", "emb_quantize_int8",             # r04 cont.
         "tpch_q7_shape", "tpch_q21_shape",                      # r04 tpch
+        "dedup_kgram_exact", "ts_ewma_blocked",                 # r04 s5
     }
     r01_subtotal = round(sum(v for k, v in timings.items()
                              if k not in later_additions), 3)

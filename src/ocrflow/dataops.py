@@ -4973,3 +4973,96 @@ def text_sentence_dedup(spark, sf):
         "doc_id", "n_sents", "n_boiler",
         F.when(F.col("n_boiler") * 2 >= F.col("n_sents"), 1).otherwise(0)
         .alias("drop_flag"))
+
+
+@q("udf_grouped_arrow", """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(max(n_chars) - min(n_chars) AS BIGINT) AS char_range
+FROM documents WHERE text IS NOT NULL
+GROUP BY lang
+""")
+def udf_grouped_arrow(spark, sf):
+    """GROUPED-MAP OVER RAW ARROW (PySpark 4 applyInArrow): the group
+    arrives as a pyarrow.Table — no pandas materialization, no
+    object-dtype copies — and the UDF answers with a pyarrow.Table.
+    This is the right grouped-map surface when the kernel is pure
+    columnar compute (here pyarrow.compute aggregations): pandas
+    conversion is the dominant overhead of applyInPandas for wide
+    numeric data, and Arrow-in/Arrow-out removes it while keeping the
+    same shuffle shape (one exchange on the group key). Integer-only
+    outputs, so the oracle is exact; the point externally verified is
+    the grouping/ferry semantics of the Arrow path itself.
+
+    Scale notes: identical distribution contract to applyInPandas —
+    one hash exchange on lang, each group streamed through one worker;
+    per-group state is the group itself, so this surface (like any
+    grouped-map) is for bounded groups — unbounded keys belong in
+    window/agg formulations."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        n = table.num_rows
+        chars = table.column("n_chars")
+        total = pc.sum(chars).as_py() or 0
+        mx, mn = pc.max(chars).as_py(), pc.min(chars).as_py()
+        return pa.table({
+            "lang": [table.column("lang")[0].as_py()],
+            "n_docs": pa.array([n], pa.int64()),
+            "total_chars": pa.array([total], pa.int64()),
+            "char_range": pa.array([mx - mn], pa.int64()),
+        })
+
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("lang", "n_chars"))
+    return d.groupBy("lang").applyInArrow(
+        stats, "lang string, n_docs long, total_chars long, char_range long")
+
+
+@q("text_markdown_strip", """
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text,
+             '\\[([^\\]]*)\\]\\([^\\)]*\\)', '\\1', 'g'),
+             '(^|\\n)#{1,6} ', '\\1', 'g'),
+             '\\*\\*([^\\*]*)\\*\\*', '\\1', 'g'),
+             '`([^`]*)`', '\\1', 'g')) AS clean
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, md5(clean) AS clean_md5,
+       CAST(length(clean) AS BIGINT) AS n_clean_chars
+FROM c
+""")
+def text_markdown_strip(spark, sf):
+    """MARKDOWN BOILERPLATE STRIP (the A2-normalize sibling for
+    markdown payloads): links [text](url) collapse to their anchor
+    text, ATX headings lose the #-prefix, bold and inline code lose
+    their markers — the order matters (links first, so '#' inside a
+    URL can't be mistaken for a heading). All four rewrites are
+    RE2-safe regexes (no lookaround, no backrefs beyond group 1) so
+    Spark's Java regex and DuckDB's RE2 produce byte-identical
+    output, verified by the md5 fingerprint per doc — the same
+    fingerprint-equality style the extraction kernel's golden tests
+    use. Pure JVM regexp_replace chain: one narrow projection, no
+    shuffle, codegen-fused.
+
+    Scale notes: this composes in front of the segmentation kernel as
+    a zero-shuffle map stage; at 100 TB the regex cost rides the same
+    scan the gate already pays."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("text"),
+                        r"\[([^\]]*)\]\([^\)]*\)", r"$1"),
+                    r"(^|\n)#{1,6} ", r"$1"),
+                r"\*\*([^\*]*)\*\*", r"$1"),
+            r"`([^`]*)`", r"$1"))
+    return d.select("doc_id", F.md5(clean).alias("clean_md5"),
+                    F.length(clean).cast("bigint").alias("n_clean_chars"))
