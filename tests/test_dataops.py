@@ -697,3 +697,19 @@ def test_cdc_chunk_size_bounds(spark):
         assert r["length"] <= 256
         if r["chunk_idx"] < last_idx[r["doc_id"]]:
             assert r["length"] >= 32, (r["doc_id"], r["chunk_idx"])
+
+
+def test_ann_pq_adc_recall_vs_bruteforce(spark):
+    # PQ+ADC with exact re-rank of the ADC pool: the pool only has to
+    # CONTAIN the true neighbors; the re-rank restores exact order.
+    truth = {}
+    for r in D.ann_bruteforce_cosine(spark, SF_DIR).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in D.ann_pq_adc(spark, SF_DIR).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(truth)
+    hits = sum(len(truth[q] & got[q]) for q in truth)
+    total = sum(len(truth[q]) for q in truth)
+    recall = hits / total
+    assert recall >= 0.6, recall
