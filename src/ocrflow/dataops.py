@@ -5140,3 +5140,101 @@ def ann_pq_adc(spark, sf, m_sub: int = 4, k_codes: int = 16,
             .filter(F.col("rank") <= topk)
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     "rank", F.round("cos", 4).alias("cos")))
+
+
+@q("sql_session_variable", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       ROUND(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS revenue
+FROM orders WHERE o_totalprice > 150000.0
+GROUP BY o_orderpriority
+""")
+def sql_session_variable(spark, sf):
+    """SQL SESSION VARIABLES (Spark 4 DECLARE VARIABLE / SET VAR): a
+    typed server-side variable referenced by name in later statements
+    — the mechanism for parameterizing multi-statement SQL jobs
+    without string templating (values bind typed, injection-safe,
+    and one SET flips every consuming statement). The revenue sum
+    accumulates in exact cents (BIGINT) before one double division,
+    the engine-portable money idiom used across the suite. Oracled
+    against the static form."""
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE")
+    spark.sql("SET VAR price_floor = 150000.0")
+    t(spark, sf, "orders").createOrReplaceTempView("sessvar_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+               ROUND(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / 100.0, 2) AS revenue
+        FROM sessvar_orders WHERE o_totalprice > price_floor
+        GROUP BY o_orderpriority""")
+
+
+@q("sql_scripting_while", """
+WITH RECURSIVE mx AS (
+  SELECT CAST(floor(max(o_totalprice)) AS BIGINT) AS m FROM orders
+), dbl AS (
+  SELECT 0 AS n, CAST(1 AS BIGINT) AS p
+  UNION ALL
+  SELECT n + 1, p * 2 FROM dbl, mx WHERE p <= mx.m
+)
+SELECT max(n) AS n_doublings, max(p) AS bound
+FROM dbl
+""")
+def sql_scripting_while(spark, sf):
+    """SQL SCRIPTING (Spark 4 BEGIN...END with DECLARE + WHILE): a
+    procedural loop runs server-side — here doubling a BIGINT bound
+    until it clears the corpus's max order price and reporting the
+    doubling count, i.e. a tiny iterative computation expressed as a
+    script instead of driver-side Python. The oracle computes the
+    SAME fixpoint with a recursive CTE — algorithm-diverse engines,
+    identical integer result, so the scripting control flow (variable
+    state across iterations, loop exit condition) is what's being
+    verified. Real use: retry/compaction loops and threshold searches
+    that would otherwise round-trip through the driver per iteration.
+
+    Scale notes: each iteration is a driver-coordinated statement like
+    any SQL; the data-touching statement here runs ONCE (max()), the
+    loop is pure variable arithmetic — the pattern to copy, since a
+    WHILE loop that rescans the fact table each pass would be the
+    anti-pattern."""
+    t(spark, sf, "orders").createOrReplaceTempView("script_orders")
+    return spark.sql("""
+        BEGIN
+          DECLARE m BIGINT;
+          DECLARE p BIGINT DEFAULT 1;
+          DECLARE n BIGINT DEFAULT 0;
+          SET m = (SELECT CAST(floor(max(o_totalprice)) AS BIGINT)
+                   FROM script_orders);
+          WHILE p <= m DO
+            SET p = p * 2;
+            SET n = n + 1;
+          END WHILE;
+          SELECT n AS n_doublings, p AS bound;
+        END""")
+
+
+@q("agg_approx_top_k", """
+WITH c AS (
+  SELECT o_orderpriority AS item, CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+)
+SELECT item, cnt FROM c
+""")
+def agg_approx_top_k(spark, sf):
+    """approx_top_k (Spark 4.1): the heavy-hitter sketch as a native
+    aggregate. The sketch tracks up to `maxItemsTracked` items
+    exactly and only degrades past that — so with k >= the column's
+    distinct count the result IS the exact frequency table, which is
+    the regime this key pins against the oracle (the sketch's
+    in-bound behavior is the contract; heavy_hitters_mg covers the
+    bounded-memory out-of-bound regime with its own exact verify).
+    Tie order among equal counts is sketch-internal, so the output is
+    exploded to rows and compared as an unordered set — the
+    deterministic content, not the nondeterministic ordering, is what
+    parity checks."""
+    o = t(spark, sf, "orders")
+    res = o.agg(F.expr(
+        "approx_top_k(o_orderpriority, 10)").alias("tk"))
+    return (res.select(F.explode("tk").alias("e"))
+            .select(F.col("e.item").alias("item"),
+                    F.col("e.count").cast("bigint").alias("cnt")))
