@@ -5238,3 +5238,72 @@ def agg_approx_top_k(spark, sf):
     return (res.select(F.explode("tk").alias("e"))
             .select(F.col("e.item").alias("item"),
                     F.col("e.count").cast("bigint").alias("cnt")))
+
+
+@q("sink_jsonl_roundtrip", """
+SELECT doc_id, md5(text) AS text_md5, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE text IS NOT NULL
+""")
+def sink_jsonl_roundtrip(spark, sf):
+    """JSONL SINK + SOURCE ROUND-TRIP — the exchange format every LLM
+    data pipeline exports to and ingests from. The full documents
+    table is written as JSON-lines through the real writer (one JSON
+    object per line, UTF-8), read back SCHEMA-ON-READ with an explicit
+    DDL schema (never inferSchema in production — a second full scan
+    and type drift), and every row is fingerprinted (md5 of the text
+    payload) against the ORIGINAL parquet via the oracle — so any
+    loss in JSON string escaping (quotes, backslashes, control
+    chars, non-BMP unicode) or numeric round-trip breaks string-exact
+    parity row by row, not just in an aggregate.
+
+    Scale notes: write and read are both embarrassingly parallel
+    (line-splittable format); the only cross-engine hazard is
+    encoding, which is exactly what the per-row md5 pins. Scratch
+    path is keyed by the sf dir so driver (sf0.01) and test (sf0.001)
+    runs never collide."""
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/ocrflow_jsonl_{tag}"
+    d = (t(spark, sf, "documents").filter(F.col("text").isNotNull())
+         .select("doc_id", "text", "lang", "n_chars"))
+    d.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, n_chars long").json(path)
+    return back.select("doc_id", F.md5("text").alias("text_md5"),
+                       "lang", F.col("n_chars").cast("bigint"))
+
+
+@q("source_csv_text_roundtrip", """
+SELECT doc_id, md5(text) AS text_md5, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE text IS NOT NULL
+""")
+def source_csv_text_roundtrip(spark, sf):
+    """CSV TEXT-PAYLOAD ROUND-TRIP with explicit dialect options
+    (header, QUOTE_ALL quoting, escape, multiLine read) — the
+    free-text companion to source_csv_roundtrip (which proves the
+    schema/FAILFAST discipline on integer columns):
+    the documents table — free text with commas, quotes, whatever the
+    corpus carries — goes through the real CSV writer and comes back
+    schema-on-read; per-row md5 of the text against the original
+    parquet (oracle side) proves the dialect round-trips the payload
+    byte-for-byte. quoteAll forces quoting so embedded delimiters
+    never ambiguate; multiLine on the read side tolerates quoted
+    newlines (none in this corpus, but the option is the production
+    default for text payloads and must not corrupt clean rows).
+
+    Scale notes: CSV with multiLine sacrifices line-splittability
+    (quoted newlines make split points content-dependent) — the read
+    parallelizes per FILE, so the writer's file count becomes the
+    read parallelism; that is the documented trade and why JSONL
+    (sink_jsonl_roundtrip) is the preferred exchange format."""
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/ocrflow_csv_{tag}"
+    d = (t(spark, sf, "documents").filter(F.col("text").isNotNull())
+         .select("doc_id", "text", "n_chars"))
+    (d.write.mode("overwrite")
+     .options(header=True, quoteAll=True, escape='"')
+     .csv(path))
+    back = (spark.read
+            .options(header=True, multiLine=True, escape='"')
+            .schema("doc_id long, text string, n_chars long").csv(path))
+    return back.select("doc_id", F.md5("text").alias("text_md5"),
+                       F.col("n_chars").cast("bigint"))
