@@ -1954,9 +1954,9 @@ def ts_ewma(spark, sf):
     one window exchange. The α^(-j) terms grow as the history does —
     α=0.9 overflows double at rn ≈ 6,726, so a raise_error guard
     fires LOUDLY past rn 6,500 instead of silently emitting Inf/NaN;
-    for the unbounded 10^12-turn regime, chunk each key by row-block
-    and carry the block-boundary EWMA forward (two-pass, same plan
-    shape), or drop to the applyInPandas recursive form. The oracle
+    for the unbounded 10^12-turn regime use ts_ewma_blocked
+    (dataops.py): 2048-row blocks + a lag-1 block carry, exact to
+    double precision at ANY history length, no guard needed. The oracle
     runs the SAME closed form, so both engines fold identical terms
     in identical order — string-exact after 4 dp."""
     e = t(spark, sf, "events").filter(F.col("value").isNotNull())
