@@ -5307,3 +5307,41 @@ def source_csv_text_roundtrip(spark, sf):
             .schema("doc_id long, text string, n_chars long").csv(path))
     return back.select("doc_id", F.md5("text").alias("text_md5"),
                        F.col("n_chars").cast("bigint"))
+
+
+@q("ps_api_groupby", """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents WHERE text IS NOT NULL
+GROUP BY lang
+""")
+def ps_api_groupby(spark, sf):
+    """PANDAS API ON SPARK (pyspark.pandas): the drop-in pandas
+    surface executing distributed — a groupby/agg written exactly as
+    pandas users write it, compiled to the same Catalyst plan the
+    DataFrame DSL produces (one hash aggregate, map-side combined).
+    The bridge in and out is explicit (DataFrame.pandas_api →
+    ps.DataFrame → to_spark), never a driver collect; integer
+    aggregates keep the oracle exact. The point externally verified
+    is the API bridge itself — a pandas-literate user gets correct
+    distributed results without learning the DSL. Index semantics are
+    the known cost of this surface (ps attaches a distributed default
+    index when one is needed); this op never materializes one —
+    groupby(as_index=False) keeps the key a column."""
+    import pyspark.pandas as ps  # noqa: F401
+
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("lang", "n_chars"))
+    pdf = d.pandas_api()
+    out = (pdf.groupby("lang", as_index=False)
+           .agg(n_docs=("n_chars", "count"),
+                total_chars=("n_chars", "sum"),
+                max_chars=("n_chars", "max")))
+    return (out.to_spark()
+            .select("lang",
+                    F.col("n_docs").cast("bigint"),
+                    F.col("total_chars").cast("bigint"),
+                    F.col("max_chars").cast("bigint")))
