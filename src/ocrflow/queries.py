@@ -4882,3 +4882,80 @@ def tpch_q20_shape(spark, sf):
             .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
             .select("s_suppkey", "s_name", "n_name",
                     F.col("qty").cast("double").alias("promo_qty")))
+
+
+@q("assoc_pairs_support", """
+WITH b AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS items
+  FROM lineitem GROUP BY l_orderkey
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_orders FROM b
+), pairs AS (
+  SELECT x.item_a, x.item_b, CAST(count(*) AS BIGINT) AS pair_cnt
+  FROM b, LATERAL (
+    SELECT a.i AS item_a, c.i AS item_b
+    FROM unnest(b.items) a(i) JOIN unnest(b.items) c(i) ON a.i < c.i
+  ) x
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), item AS (
+  SELECT i AS l_partkey, CAST(count(*) AS BIGINT) AS item_cnt
+  FROM b, unnest(b.items) t(i) GROUP BY 1
+)
+SELECT p.item_a, p.item_b, p.pair_cnt,
+       ia.item_cnt AS cnt_a, ib.item_cnt AS cnt_b,
+       ROUND(CAST(p.pair_cnt AS DOUBLE) / ia.item_cnt, 6) AS conf_a_to_b,
+       ROUND(CAST(p.pair_cnt AS DOUBLE) * n.n_orders
+             / (ia.item_cnt * ib.item_cnt), 4) AS lift
+FROM pairs p
+JOIN item ia ON p.item_a = ia.l_partkey
+JOIN item ib ON p.item_b = ib.l_partkey, n
+""")
+def assoc_pairs_support(spark, sf):
+    """Market-basket association pairs (support / confidence / lift) —
+    the co-occurrence primitive behind recommendation candidates and
+    frequent-itemset mining. Baskets are orders, items their distinct
+    part keys, gathered ONCE per order (collect_set rides a single
+    exchange on the basket key); candidate pairs are then expanded
+    INSIDE the sorted item array (nested transform, i < j) — so the
+    fanout is bounded by basket size squared (TPC-H baskets hold ≤ 7
+    items), never by a self-join that re-shuffles the item table. The
+    basket frame is reused three ways (pair counts, per-item supports,
+    basket total); Catalyst dedups the identical scan+gather subtree
+    via ReusedExchange. Per-item supports are |parts|-sized and
+    broadcast to the pair counts; lift multiplies before dividing in
+    the SAME association order on both engines (fp parity).
+
+    At 100 TB: one wide exchange on basket id + one on the pair key —
+    both unavoidable (they ARE the aggregation keys); a retail-scale
+    hot basket is bounded by a basket-size cap upstream, and the
+    HAVING minsup prunes the pair tail before the support joins."""
+    li = t(spark, sf, "lineitem")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("items")))
+    pair_expr = F.expr("""
+        flatten(transform(items, x ->
+            transform(filter(items, y -> y > x),
+                      y -> struct(x AS item_a, y AS item_b))))
+    """)
+    pairs = (baskets.select(F.explode(pair_expr).alias("pr"))
+             .groupBy(F.col("pr.item_a").alias("item_a"),
+                      F.col("pr.item_b").alias("item_b"))
+             .agg(F.count("*").cast("bigint").alias("pair_cnt"))
+             .filter(F.col("pair_cnt") >= 3))
+    item = (baskets.select(F.explode("items").alias("l_partkey"))
+            .groupBy("l_partkey")
+            .agg(F.count("*").cast("bigint").alias("item_cnt")))
+    n = baskets.agg(F.count("*").cast("double").alias("n_orders"))
+    ia = item.select(F.col("l_partkey").alias("item_a"),
+                     F.col("item_cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("item_b"),
+                     F.col("item_cnt").alias("cnt_b"))
+    return (pairs.join(F.broadcast(ia), "item_a")
+            .join(F.broadcast(ib), "item_b")
+            .crossJoin(F.broadcast(n))
+            .select("item_a", "item_b", "pair_cnt", "cnt_a", "cnt_b",
+                    F.round(F.col("pair_cnt").cast("double")
+                            / F.col("cnt_a"), 6).alias("conf_a_to_b"),
+                    F.round(F.col("pair_cnt").cast("double") * F.col("n_orders")
+                            / (F.col("cnt_a") * F.col("cnt_b")), 4)
+                    .alias("lift")))

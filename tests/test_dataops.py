@@ -713,3 +713,65 @@ def test_ann_pq_adc_recall_vs_bruteforce(spark):
     total = sum(len(truth[q]) for q in truth)
     recall = hits / total
     assert recall >= 0.6, recall
+
+
+def test_edit_candidates_cap_bounds_hot_grams(spark):
+    # degenerate corpus: 300 identical 26-char docs → every 4-gram's
+    # posting bucket holds 300 rows. Capped, hot buckets drop before
+    # the gather (0 candidates); uncapped, every unordered pair
+    # surfaces (lev 0 ≤ 4).
+    from ocrflow.dataops import edit_candidates
+    txt = "abcdefghijklmnopqrstuvwxyz"  # 26 chars: past the sentinel range
+    docs = spark.createDataFrame(
+        [(i, txt, len(txt)) for i in range(300)],
+        "doc_id long, text string, ln int")
+    assert edit_candidates(docs).count() == 0
+    assert edit_candidates(docs, max_bucket=None).count() == 300 * 299 // 2
+
+
+def test_edit_candidates_sentinel_covers_tiny_docs(spark):
+    # two 8-char docs, 2 substitutions spaced so they share ZERO
+    # 4-grams — the q-gram pigeonhole fails below d*q+q = 20 chars, so
+    # only the sentinel bucket can surface the pair (lev = 2 ≤ 4).
+    from ocrflow.dataops import edit_candidates
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh", 8), (2, "abXdeYgh", 8)],
+        "doc_id long, text string, ln int")
+    assert [(r["doc_a"], r["doc_b"])
+            for r in edit_candidates(docs).collect()] == [(1, 2)]
+
+
+def test_edit_candidates_join_free_and_cap_pre_gather(spark):
+    # scale contract: candidate generation has NO join and the bsz cap
+    # filter sits BELOW the collect_list aggregate in the printed
+    # (top-down) plan — same gather-and-expand shape as the LSH and
+    # containment scanners.
+    from ocrflow.dataops import edit_candidates
+    docs = spark.createDataFrame(
+        [(i, "doc %03d body text" % (i % 7), 17) for i in range(50)],
+        "doc_id long, text string, ln int")
+    plan = edit_candidates(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.index("bsz") > plan.index("collect_list")
+
+
+def test_edit_scanner_agrees_with_allpairs(spark):
+    # no-false-negatives proof: the two-stage scanner reproduces the
+    # exact all-pairs answer row-for-row on the real corpus.
+    from ocrflow.dataops import EDIT_D, dedup_edit_scanner
+    d = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+         .filter(F.col("text").isNotNull() & (F.col("n_chars") < 200))
+         .select("doc_id", "text", F.char_length("text").alias("ln")))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"),
+                 F.col("ln").alias("la"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"),
+                 F.col("ln").alias("lb"))
+    exact = sorted(map(tuple, (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(F.abs(F.col("la") - F.col("lb")) <= EDIT_D)
+        .filter(F.levenshtein("ta", "tb") <= EDIT_D)
+        .select("doc_a", "doc_b",
+                F.levenshtein("ta", "tb").alias("edit_dist"))).collect()))
+    scan = sorted(map(tuple, dedup_edit_scanner(spark, SF_DIR).collect()))
+    assert scan == exact and len(exact) > 0
