@@ -49,6 +49,9 @@ HEADLINE = [
     # round-4 session-5: the exact-substring scanner (memorization-risk
     # family) and the unbounded-history blocked EWMA
     "dedup_kgram_exact", "ts_ewma_blocked",
+    # round-4 session-7: the edit-distance q-gram scanner (completes the
+    # near-dup scanner triad) and the in-array market-basket expansion
+    "dedup_edit_scanner", "assoc_pairs_support",
 ]
 
 
@@ -112,6 +115,7 @@ def main() -> None:
         "graph_shortest_hops", "emb_quantize_int8",             # r04 cont.
         "tpch_q7_shape", "tpch_q21_shape",                      # r04 tpch
         "dedup_kgram_exact", "ts_ewma_blocked",                 # r04 s5
+        "dedup_edit_scanner", "assoc_pairs_support",            # r04 s7
     }
     r01_subtotal = round(sum(v for k, v in timings.items()
                              if k not in later_additions), 3)

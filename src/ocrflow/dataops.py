@@ -5539,3 +5539,104 @@ def ps_api_groupby(spark, sf):
                     F.col("n_docs").cast("bigint"),
                     F.col("total_chars").cast("bigint"),
                     F.col("max_chars").cast("bigint")))
+
+
+@q("dq_stat_drift_psi", """
+WITH lab AS (
+  SELECT CAST(least(greatest(floor(o_totalprice / 60000.0), 0), 9)
+              AS INTEGER) AS bin,
+         CASE WHEN o_orderdate < DATE '1996-01-01'
+              THEN 'base' ELSE 'cur' END AS era
+  FROM orders
+), tot AS (
+  SELECT count(*) FILTER (era = 'base') AS nb,
+         count(*) FILTER (era = 'cur') AS nc
+  FROM lab
+), c AS (
+  SELECT bin,
+         count(*) FILTER (era = 'base') AS n_base,
+         count(*) FILTER (era = 'cur') AS n_cur
+  FROM lab GROUP BY bin
+)
+SELECT bin,
+       ROUND((n_base + 1.0) / (nb + 10.0), 6) AS share_base,
+       ROUND((n_cur + 1.0) / (nc + 10.0), 6) AS share_cur,
+       ROUND(((n_cur + 1.0) / (nc + 10.0) - (n_base + 1.0) / (nb + 10.0))
+             * ln(((n_cur + 1.0) / (nc + 10.0))
+                  / ((n_base + 1.0) / (nb + 10.0))), 8) AS psi_term
+FROM c, tot
+""")
+def dq_stat_drift_psi(spark, sf):
+    """Column-distribution DRIFT between a baseline and a current data
+    era — the Population Stability Index every production table
+    monitor computes before letting a new batch into training. Orders
+    before 1996 are the baseline era, the rest current; o_totalprice
+    is bucketed into 10 fixed-width bins (deterministic floor/clamp —
+    no engine-specific histogram), per-era shares are LAPLACE-SMOOTHED
+    ((n+1)/(N+bins)) so empty bins never produce ln(0), and each bin
+    reports its PSI term (p_cur − p_base)·ln(p_cur/p_base); the
+    monitor's alert threshold (Σ terms > 0.2) is one sum away. The
+    share and PSI expressions are written with the SAME operation
+    order on both engines for fp parity.
+
+    At 100 TB: one pass over the fact (conditional counts ride a
+    single 10-group aggregate — partial map-side combine makes the
+    shuffle 10 rows per partition), era totals broadcast. Bin edges
+    are FIXED, not data-derived, so the job needs no quantile pre-pass
+    and incremental eras can be compared without recomputing history."""
+    o = t(spark, sf, "orders")
+    bin_ = F.least(F.greatest(F.floor(F.col("o_totalprice") / 60000.0),
+                              F.lit(0)), F.lit(9)).cast("int")
+    era = F.when(F.col("o_orderdate") < "1996-01-01", "base").otherwise("cur")
+    lab = o.select(bin_.alias("bin"), era.alias("era"))
+    tot = lab.agg(
+        F.count_if(F.col("era") == "base").alias("nb"),
+        F.count_if(F.col("era") == "cur").alias("nc"))
+    c = (lab.groupBy("bin")
+         .agg(F.count_if(F.col("era") == "base").alias("n_base"),
+              F.count_if(F.col("era") == "cur").alias("n_cur")))
+    j = c.crossJoin(F.broadcast(tot))
+    p_base = (F.col("n_base") + 1.0) / (F.col("nb") + 10.0)
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("nc") + 10.0)
+    return j.select(
+        "bin",
+        F.round(p_base, 6).alias("share_base"),
+        F.round(p_cur, 6).alias("share_cur"),
+        F.round((p_cur - p_base) * F.log(p_cur / p_base), 8)
+        .alias("psi_term"))
+
+
+@q("k_anonymity_check", """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (n < 5) AS BIGINT) AS n_risky_groups,
+       CAST(COALESCE(sum(n) FILTER (n < 5), 0) AS BIGINT) AS n_risky_rows,
+       CAST(min(n) AS BIGINT) AS min_group_size
+FROM g
+""")
+def k_anonymity_check(spark, sf):
+    """k-ANONYMITY audit over a quasi-identifier tuple — the privacy
+    gate a dataset passes before release: any (nationkey, mktsegment)
+    combination shared by fewer than k = 5 customers is a
+    re-identification risk, and the summary reports how many groups
+    and rows sit below the bar plus the worst group size. Pairs with
+    pii_pseudonymize (which REMOVES direct identifiers; this measures
+    the residual risk from the quasi-identifiers that remain).
+
+    At 100 TB: one exchange on the QI tuple with full partial
+    aggregation, then a single-row global summary — the audit costs
+    one groupBy regardless of table width, and generalization loops
+    (coarsen a QI column, re-check) just re-run it on a view."""
+    g = (t(spark, sf, "customer")
+         .groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count("*").cast("bigint").alias("n")))
+    risky = F.col("n") < 5
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.count_if(risky).cast("bigint").alias("n_risky_groups"),
+        F.coalesce(F.sum(F.when(risky, F.col("n"))), F.lit(0))
+        .cast("bigint").alias("n_risky_rows"),
+        F.min("n").cast("bigint").alias("min_group_size"))
