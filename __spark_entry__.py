@@ -147,6 +147,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # tpch_q6_shape (q1 in). All 50 post-rotation keys re-proven
 # string-exact at sf0.01 under BOTH the tuned and the stock default
 # session before this registration.
+# Session-8 additions (er_sorted_neighborhood, ts_cusum_drift,
+# dq_freshness_sla, emb_jl_projection, sql_group_by_all,
+# sql_unpivot_syntax) register OUTSIDE the window: every current
+# window key is awaiting its FIRST external row in r04, so rotating
+# any out now would lose first-time coverage. The six are string-exact
+# at sf0.001 + sf0.01 (full 277-key sweep, 0 issues) and are the
+# round-5 rotation's lead candidates.
 # Everything after the window:
 # remaining oracled keys first (next in line if the window grows), then
 # rows-only keys (streams, sketches, sinks, iterative ops) last.

@@ -52,6 +52,10 @@ HEADLINE = [
     # round-4 session-7: the edit-distance q-gram scanner (completes the
     # near-dup scanner triad) and the in-array market-basket expansion
     "dedup_edit_scanner", "assoc_pairs_support",
+    # round-4 session-8: sorted-neighborhood ER blocking (rank equi-join,
+    # no single-partition window) and the JL projection (pure JVM
+    # array-math dim reduction for the ANN family)
+    "er_sorted_neighborhood", "emb_jl_projection",
 ]
 
 

@@ -5640,3 +5640,229 @@ def k_anonymity_check(spark, sf):
         F.coalesce(F.sum(F.when(risky, F.col("n"))), F.lit(0))
         .cast("bigint").alias("n_risky_rows"),
         F.min("n").cast("bigint").alias("min_group_size"))
+
+
+# =========================================================================
+# Entity-resolution blocking, drift monitoring, freshness, JL projection
+# (round-4 session-8 additions)
+# =========================================================================
+
+@q("er_sorted_neighborhood", """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (ORDER BY lang, n_chars, doc_id) AS rn
+  FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(b.rn - a.rn AS INTEGER) AS gap,
+       CAST(b.n_chars - a.n_chars AS BIGINT) AS len_delta
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+WHERE a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2
+""")
+def er_sorted_neighborhood(spark, sf, partitions=8, window=4):
+    """Sorted-neighborhood blocking — the third classic
+    candidate-generation method for entity resolution / near-dup,
+    alongside the LSH scanners (dedup_minhash_lsh) and grid bucketing
+    (join_spatial_grid): sort the corpus once on a blocking key
+    (lang, n_chars, doc_id), then pair each record only with its
+    `window`-1 successors in the global sort order, so candidates are
+    O(n*w) instead of O(n^2) and a record can match across block
+    boundaries (the weakness of hard blocking that SNM exists to fix).
+
+    The global rank is computed WITHOUT a single-partition window —
+    the scale trap of the naive row_number() — via the two-phase
+    trick: repartitionByRange on the sort key (one range exchange),
+    per-range local row_number, then per-partition counts (|P| rows,
+    driver-cheap at any scale) turned into cumulative offsets and
+    broadcast back. Pairing is an equi-join on rank+gap (explode of
+    gaps 1..w-1 on the left), which shuffles balanced 64-bit keys —
+    boundary pairs between ranges fall out of the join for free, no
+    partition-edge replication logic needed. At 100 TB: one range
+    exchange + one rank equi-join, output bounded by n*(w-1)."""
+    d = t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    keys = ["lang", "n_chars", "doc_id"]
+    local = (d.repartitionByRange(partitions, *[F.col(k) for k in keys])
+             .withColumn("pid", F.spark_partition_id())
+             .withColumn("lrn", F.row_number().over(
+                 W.partitionBy("pid").orderBy(*keys))))
+    offsets = (local.groupBy("pid").count()
+               .withColumn("off", F.coalesce(
+                   F.sum("count").over(
+                       W.orderBy("pid")
+                       .rowsBetween(W.unboundedPreceding, -1)),
+                   F.lit(0)))
+               .select("pid", "off"))
+    ranked = (local.join(F.broadcast(offsets), "pid")
+              .select("doc_id", "lang", "n_chars",
+                      (F.col("lrn") + F.col("off")).cast("long")
+                      .alias("rn")))
+    a = ranked.select(
+        F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),
+        F.col("n_chars").alias("a_len"), "rn",
+        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("gap"))
+    b = ranked.select(
+        F.col("doc_id").alias("b_id"), F.col("lang").alias("b_lang"),
+        F.col("n_chars").alias("b_len"),
+        F.col("rn").alias("b_rn"))
+    return (a.join(b, (F.col("rn") + F.col("gap")) == F.col("b_rn"))
+            .filter((F.col("a_lang") == F.col("b_lang"))
+                    & (F.abs(F.col("a_len") - F.col("b_len")) <= 2))
+            .select("a_id", "b_id", F.col("gap").cast("int").alias("gap"),
+                    (F.col("b_len") - F.col("a_len")).cast("long")
+                    .alias("len_delta")))
+
+
+@q("ts_cusum_drift", """
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, day, x,
+         avg(x) OVER (PARTITION BY event_type) AS mu,
+         stddev_samp(x) OVER (PARTITION BY event_type) AS sd
+  FROM d
+), y AS (
+  SELECT event_type, day, x, sd,
+         sum(x - mu - 0.25 * sd)
+             OVER (PARTITION BY event_type ORDER BY day) AS yt
+  FROM s
+), c AS (
+  SELECT event_type, day, x, sd,
+         yt - least(0.0, min(yt)
+             OVER (PARTITION BY event_type ORDER BY day)) AS s_pos
+  FROM y
+)
+SELECT event_type, day, x,
+       ROUND(s_pos, 6) AS cusum_pos,
+       (ROUND(s_pos, 6) > ROUND(3.0 * sd, 6)) AS breach
+FROM c
+""")
+def ts_cusum_drift(spark, sf):
+    """One-sided CUSUM drift detector over daily event volume — the
+    sequential change-point monitor (Page 1954) that flags a sustained
+    upward shift long before a fixed-threshold alert would: S_t =
+    max(0, S_{t-1} + (x_t - mu - k)) with slack k = 0.25*sd and decision
+    bound h = 3*sd. The recursion is NOT a window primitive in either
+    engine, but it has the classic closed form S_t = Y_t - min(0,
+    min_{j<=t} Y_j) with Y the running sum of (x - mu - k) — so the
+    whole detector is two stacked running windows (sum, then min) over
+    the daily rollup. Inputs stay EXACT (daily counts are ints; mu, sd
+    derive from exact integer sums) and the running sums evaluate in
+    the same day order on both engines, so the floats agree to the ULP;
+    the breach flag compares the 6-dp-rounded values so it cannot flip
+    on representation noise.
+
+    At 100 TB: the fact collapses to |types|x|days| rows in one
+    map-side-combinable aggregate; every window after that runs over
+    the tiny rollup, partitioned by event_type — per-key state is the
+    day axis, never the raw events."""
+    e = t(spark, sf, "events")
+    d = (e.groupBy("event_type",
+                   F.to_date(F.date_trunc("day", "ts")).alias("day"))
+         .agg(F.count("*").cast("bigint").alias("x")))
+    wp = W.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    s = (d.withColumn("mu", F.avg("x").over(wp))
+         .withColumn("sd", F.stddev_samp("x").over(wp)))
+    y = s.withColumn(
+        "yt", F.sum(F.col("x") - F.col("mu") - 0.25 * F.col("sd")).over(wo))
+    c = y.withColumn(
+        "s_pos", F.col("yt") - F.least(F.lit(0.0), F.min("yt").over(wo)))
+    return c.select(
+        "event_type", "day", "x",
+        F.round("s_pos", 6).alias("cusum_pos"),
+        (F.round("s_pos", 6) > F.round(3.0 * F.col("sd"), 6))
+        .alias("breach"))
+
+
+@q("dq_freshness_sla", """
+WITH g AS (
+  SELECT event_type, max(ts) AS last_ts, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+), m AS (SELECT max(ts) AS now_ts FROM events)
+SELECT event_type, last_ts, n_events,
+       CAST(floor((epoch_us(now_ts) - epoch_us(last_ts)) / 3600000000.0)
+            AS BIGINT) AS lag_hours,
+       ((epoch_us(now_ts) - epoch_us(last_ts)) > 172800000000) AS is_stale
+FROM g, m
+""")
+def dq_freshness_sla(spark, sf):
+    """Per-source freshness SLA audit — the data-ops check that gates a
+    downstream training run: for each event_type, when did data last
+    arrive, how far behind the most recent watermark is it, and does
+    the lag breach the 48 h SLA. 'Now' is the table's own max ts so the
+    check is deterministic and replayable (wall-clock now would make
+    the oracle unverifiable). Lag arithmetic is exact integer epoch
+    seconds, so the flag cannot flip on float noise.
+
+    At 100 TB: one map-side-combinable max/count per source riding a
+    single |sources|-row exchange, plus a broadcast of the 1-row global
+    watermark — the audit costs one scan regardless of row count, and
+    on an icelite table the scan can read just the manifest's per-file
+    ts max/min instead (scan_metadata_columns shows that seam)."""
+    e = t(spark, sf, "events")
+    g = (e.groupBy("event_type")
+         .agg(F.max("ts").alias("last_ts"),
+              F.count("*").cast("bigint").alias("n_events")))
+    m = e.agg(F.max("ts").alias("now_ts"))
+    # integer MICROS on both engines (unix_micros / epoch_us) — the
+    # epoch parity trap in the verify notes: unix_timestamp truncates
+    # seconds and per-value epoch() doubles can disagree in the last
+    # ULP; exact int64 lag makes floor/compare engine-identical.
+    lag_us = (F.unix_micros(F.col("now_ts").cast("timestamp"))
+              - F.unix_micros(F.col("last_ts").cast("timestamp")))
+    return (g.crossJoin(F.broadcast(m))
+            .select("event_type", "last_ts", "n_events",
+                    F.floor(lag_us / 3600000000.0).cast("bigint")
+                    .alias("lag_hours"),
+                    (lag_us > 172800000000).alias("is_stale")))
+
+
+@q("emb_jl_projection", """
+SELECT vec_id, j,
+       ROUND(list_sum(list_transform(embedding, (x, i) ->
+           CAST(x AS DOUBLE) *
+           (CASE WHEN substr(md5(CAST(i AS VARCHAR) || ':' ||
+                             CAST(j AS VARCHAR)), 1, 1) < '8'
+                 THEN 1.0 ELSE -1.0 END))) / 2.0, 6) AS p
+FROM embeddings
+CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j)
+""")
+def emb_jl_projection(spark, sf, k=4):
+    """Johnson-Lindenstrauss random projection of the embedding column
+    to k dimensions with a seed-free DETERMINISTIC Rademacher matrix:
+    sign(i,j) = +1 iff the first hex nibble of md5('i:j') < 8, so both
+    engines (and any future engine) materialize the identical +-1
+    matrix without sharing state. Output p_j = sum_i x_i*s(i,j) /
+    sqrt(k) preserves pairwise distances in expectation — the
+    dimensionality-reduction front end for the ANN family
+    (ann_bruteforce_cosine et al.) when 100x-dim embeddings make even
+    the bucketed scanners memory-bound. Dim index i is 1-BASED on both
+    sides (DuckDB lambda ordinality; explicit 1-based sequence in
+    Spark); the fold is left-to-right sequential in both engines
+    (emb_norm_stats precedent), so pre-round floats agree to the ULP.
+
+    At 100 TB: pure narrow JVM expression work — zero shuffles, zero
+    Python; k*dim multiply-adds per row inside whole-stage codegen.
+    The long (vec_id, j, p) shape keeps the oracle array-free."""
+    em = t(spark, sf, "embeddings")
+
+    def sign(i, j):
+        h = F.md5(F.concat_ws(":", i.cast("string"), j.cast("string")))
+        return (F.when(F.substring(h, 1, 1) < "8", F.lit(1.0))
+                .otherwise(F.lit(-1.0)))
+
+    proj = F.transform(
+        F.sequence(F.lit(1), F.lit(k)),
+        lambda j: F.round(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.sequence(F.lit(1), F.size("embedding")),
+                    lambda x, i: x.cast("double") * sign(i, j)),
+                F.lit(0.0), lambda acc, v: acc + v) / 2.0, 6))
+    return em.select(
+        "vec_id",
+        F.posexplode(proj).alias("j0", "p")
+    ).select("vec_id", (F.col("j0") + 1).cast("int").alias("j"), "p")

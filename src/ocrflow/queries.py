@@ -4959,3 +4959,57 @@ def assoc_pairs_support(spark, sf):
                     F.round(F.col("pair_cnt").cast("double") * F.col("n_orders")
                             / (F.col("cnt_a") * F.col("cnt_b")), 4)
                     .alias("lift")))
+
+
+@q("sql_group_by_all", """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 2)
+           AS total_price
+FROM orders
+GROUP BY ALL
+""")
+def sql_group_by_all(spark, sf):
+    """SQL-surface key: GROUP BY ALL (Spark 3.4+/DuckDB) — every
+    non-aggregate select item becomes a grouping key, the ergonomic
+    form analysts reach for first. Resolves at ANALYSIS time to the
+    identical Aggregate node as an explicit GROUP BY 1,2 (same
+    map-side partial agg, same exchange on the two keys), so the sugar
+    costs nothing at any scale; this key pins the resolution rule
+    against an engine that implements the same sugar independently."""
+    t(spark, sf, "orders").createOrReplaceTempView("gba_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+                          AS DOUBLE), 2) AS total_price
+        FROM gba_orders
+        GROUP BY ALL
+    """)
+
+
+@q("sql_unpivot_syntax", """
+SELECT c_custkey, 'balance' AS measure, CAST(c_acctbal AS DOUBLE) AS value
+FROM customer
+UNION ALL
+SELECT c_custkey, 'nation10' AS measure, CAST(c_nationkey * 10.0 AS DOUBLE)
+FROM customer
+""")
+def sql_unpivot_syntax(spark, sf):
+    """SQL-surface key: the native UNPIVOT clause (Spark 3.4+),
+    complementing unpivot_long's stack() form — wide→long as a
+    RELATIONAL operator with NULL-dropping semantics rather than a
+    generator expression. Parses to the same Expand node as stack():
+    row count multiplies by the measure count with zero shuffle, so
+    at 100 TB it is a pure map-side width-for-height trade that
+    pipelines into whatever aggregation follows. The oracle is the
+    portable UNION ALL expansion (DuckDB's UNPIVOT spells the clause
+    differently; semantics, not syntax, are the contract)."""
+    t(spark, sf, "customer").createOrReplaceTempView("unp_customer")
+    return spark.sql("""
+        SELECT c_custkey, measure, value FROM (
+          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS balance,
+                 CAST(c_nationkey * 10.0 AS DOUBLE) AS nation10
+          FROM unp_customer
+        ) UNPIVOT (value FOR measure IN (balance, nation10))
+    """)
