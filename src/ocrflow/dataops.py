@@ -5866,3 +5866,48 @@ def emb_jl_projection(spark, sf, k=4):
         "vec_id",
         F.posexplode(proj).alias("j0", "p")
     ).select("vec_id", (F.col("j0") + 1).cast("int").alias("j"), "p")
+
+
+@q("l_diversity_check", """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS INTEGER))
+              AS BIGINT) AS diversity
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (diversity < 3) AS BIGINT) AS n_risky_groups,
+       CAST(COALESCE(sum(n) FILTER (diversity < 3), 0) AS BIGINT)
+           AS n_risky_rows,
+       CAST(min(diversity) AS BIGINT) AS min_diversity
+FROM g
+""")
+def l_diversity_check(spark, sf):
+    """l-DIVERSITY audit — the companion gate to k_anonymity_check:
+    a quasi-identifier group can be large (k-anonymous) yet still leak
+    if everyone in it shares the same SENSITIVE value, so each
+    (nationkey, mktsegment) group must contain at least l = 3 distinct
+    sensitive buckets (account-balance band, deterministic floor).
+    Reports group counts below the bar, exposed row mass, and the
+    worst group's diversity.
+
+    At 100 TB: count(DISTINCT bucket) per group is a two-level
+    aggregate — Spark expands to a (QI, bucket) pre-aggregation then
+    re-aggregates, both map-side combinable, so the exchange carries
+    one row per distinct (QI, bucket), never raw rows. Same shape as
+    the k-anonymity pass; the two audits share a scan when run
+    together."""
+    g = (t(spark, sf, "customer")
+         .groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.countDistinct(
+                  F.floor(F.col("c_acctbal") / 2000.0).cast("int"))
+              .cast("bigint").alias("diversity")))
+    risky = F.col("diversity") < 3
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.count_if(risky).cast("bigint").alias("n_risky_groups"),
+        F.coalesce(F.sum(F.when(risky, F.col("n"))), F.lit(0))
+        .cast("bigint").alias("n_risky_rows"),
+        F.min("diversity").cast("bigint").alias("min_diversity"))

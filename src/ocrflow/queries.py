@@ -5013,3 +5013,135 @@ def sql_unpivot_syntax(spark, sf):
           FROM unp_customer
         ) UNPIVOT (value FOR measure IN (balance, nation10))
     """)
+
+
+@q("agg_weighted_median", """
+WITH s AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(l_quantity AS DOUBLE) AS w, l_orderkey, l_linenumber
+  FROM lineitem
+), c AS (
+  SELECT l_returnflag, v,
+         sum(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY v, l_orderkey, l_linenumber) AS cw
+  FROM s
+), tot AS (
+  SELECT l_returnflag, v, cw,
+         max(cw) OVER (PARTITION BY l_returnflag) AS tw
+  FROM c
+)
+SELECT l_returnflag, ROUND(min(v) + 0.0, 2) AS weighted_median
+FROM tot WHERE cw >= tw / 2.0
+GROUP BY l_returnflag
+""")
+def agg_weighted_median(spark, sf):
+    """Weighted median — the robust center the plain percentile family
+    (agg_percentile, agg_percentile_disc) cannot give when each row
+    carries a weight (here: price weighted by quantity, i.e. the
+    median DOLLAR, not the median LINE). Selection form: sort by
+    value, running-sum the weights, take the first value whose
+    cumulative weight crosses half the total. The running sum is
+    ordered by a UNIQUE key (v, orderkey, linenumber) so tie rows
+    accumulate in the same sequence on both engines and every cw is
+    ULP-identical; the partition total is max(cw) — a max over
+    identical doubles, deterministic under any aggregation order —
+    rather than an unordered sum(w), which is NOT.
+
+    At 100 TB: one sort exchange per group key (the same shuffle an
+    exact median needs); no second pass, because the total rides the
+    same window as the cumulative. For sketch-budget pipelines the
+    approx twin is percentile_approx over repeated values — this key
+    is the exact anchor it gets verified against."""
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.col("l_quantity").cast("double").alias("w"),
+        "l_orderkey", "l_linenumber")
+    wo = (W.partitionBy("l_returnflag")
+          .orderBy("v", "l_orderkey", "l_linenumber"))
+    c = li.withColumn("cw", F.sum("w").over(wo))
+    tot = c.withColumn("tw", F.max("cw").over(W.partitionBy("l_returnflag")))
+    return (tot.filter(F.col("cw") >= F.col("tw") / 2.0)
+            .groupBy("l_returnflag")
+            .agg(F.round(F.min("v") + 0.0, 2).alias("weighted_median")))
+
+
+@q("join_geo_haversine", """
+WITH p AS (
+  SELECT vec_id,
+         40.0 + ROUND(CAST(embedding[1] AS DOUBLE), 4) * 0.5 AS lat,
+         -74.0 + ROUND(CAST(embedding[2] AS DOUBLE), 4) * 0.5 AS lon
+  FROM embeddings
+), cell AS (
+  SELECT vec_id, lat, lon,
+         CAST(floor(lat / 0.25) AS INTEGER) AS cx,
+         CAST(floor(lon / 0.25) AS INTEGER) AS cy
+  FROM p
+), cand AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         a.lat AS alat, a.lon AS alon, b.lat AS blat, b.lon AS blon
+  FROM cell a JOIN cell b
+    ON a.vec_id < b.vec_id
+   AND abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+), d AS (
+  SELECT a_id, b_id,
+         12742.0 * asin(sqrt(
+             pow(sin(radians(blat - alat) / 2.0), 2)
+             + cos(radians(alat)) * cos(radians(blat))
+               * pow(sin(radians(blon - alon) / 2.0), 2))) AS km
+  FROM cand
+)
+SELECT a_id, b_id, ROUND(km, 6) + 0.0 AS dist_km
+FROM d WHERE ROUND(km, 6) <= 25.0
+""")
+def join_geo_haversine(spark, sf):
+    """Geo-distance self-join on the SPHERE — the haversine variant of
+    join_spatial_grid's planar pairing, the shape every store-locator
+    / geofence / trajectory pipeline runs. Coordinates derive
+    deterministically from the first two embedding dims (fixture
+    mapping, rounded at 4 dp so the cast is engine-identical); the
+    candidate step buckets points into 0.25-degree grid cells
+    (~28 km > the 25 km radius at this latitude) and pairs only
+    neighboring cells — the oracle mirrors the SAME cell predicate so
+    both engines evaluate identical candidate sets, and at scale the
+    3x3 neighborhood is a bounded equi-join fanout, never all-pairs.
+    The threshold compares the 6-dp-ROUNDED distance on both sides:
+    sin/cos/asin are libm calls that may differ in the last ULP
+    between the JVM and DuckDB, and rounding before the comparison
+    (psi/zipf precedent) keeps the kept-pair set identical.
+
+    At 100 TB: hash exchange on cell id; skewed cells (urban cores)
+    are the hot-bucket problem the LSH scanners solved — the same
+    pre-gather count cap applies if density demands it."""
+    em = t(spark, sf, "embeddings")
+    p = em.select(
+        "vec_id",
+        (40.0 + F.round(F.col("embedding")[0].cast("double"), 4) * 0.5)
+        .alias("lat"),
+        (-74.0 + F.round(F.col("embedding")[1].cast("double"), 4) * 0.5)
+        .alias("lon"))
+    cell = p.select(
+        "*",
+        F.floor(F.col("lat") / 0.25).cast("int").alias("cx"),
+        F.floor(F.col("lon") / 0.25).cast("int").alias("cy"))
+    a = cell.select(F.col("vec_id").alias("a_id"),
+                    F.col("lat").alias("alat"), F.col("lon").alias("alon"),
+                    F.col("cx").alias("acx"), F.col("cy").alias("acy"),
+                    F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dx"))
+    a = a.select("*", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dy"),
+                 (F.col("acx") + F.col("dx")).alias("jx"))
+    a = a.withColumn("jy", F.col("acy") + F.col("dy"))
+    b = cell.select(F.col("vec_id").alias("b_id"),
+                    F.col("lat").alias("blat"), F.col("lon").alias("blon"),
+                    F.col("cx").alias("bcx"), F.col("cy").alias("bcy"))
+    cand = (a.join(b, (F.col("jx") == F.col("bcx"))
+                   & (F.col("jy") == F.col("bcy"))
+                   & (F.col("a_id") < F.col("b_id"))))
+    km = 12742.0 * F.asin(F.sqrt(
+        F.pow(F.sin(F.radians(F.col("blat") - F.col("alat")) / 2.0), 2)
+        + F.cos(F.radians("alat")) * F.cos(F.radians("blat"))
+        * F.pow(F.sin(F.radians(F.col("blon") - F.col("alon")) / 2.0), 2)))
+    d = cand.select("a_id", "b_id", km.alias("km"))
+    return (d.filter(F.round("km", 6) <= 25.0)
+            .select("a_id", "b_id",
+                    (F.round("km", 6) + 0.0).alias("dist_km")))

@@ -868,3 +868,57 @@ def test_jl_projection_preserves_norms_in_expectation(spark):
             ratios.append(float(np.sum(p * p)) / n2)
     m = float(np.mean(ratios))
     assert 0.8 < m < 1.2, m
+
+
+def test_l_diversity_flags_homogeneous_group(spark):
+    import tempfile, os as _os
+    src = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    # plant a QI group of 6 customers who ALL share one balance bucket:
+    # k-anonymous (n >= 5) yet l-risky (diversity 1)
+    rows = [(900000 + i, f"Customer#9{i}", "addr", 98, "p", 1000.0 + i,
+             "SEG_X", "c") for i in range(6)]
+    planted = spark.createDataFrame(rows, src.schema)
+    tmp = tempfile.mkdtemp(prefix="ocrflow_ldiv_")
+    src.unionByName(planted).write.parquet(
+        _os.path.join(tmp, "customer.parquet"))
+    import ocrflow.dataops as DD
+    out = DD.l_diversity_check(spark, tmp).first()
+    assert out["min_diversity"] == 1
+    assert out["n_risky_rows"] >= 6
+
+
+def test_weighted_median_matches_numpy_definition(spark):
+    import numpy as np
+    li = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+          .select("l_returnflag", "l_extendedprice", "l_quantity",
+                  "l_orderkey", "l_linenumber").collect())
+    got = {r["l_returnflag"]: r["weighted_median"]
+           for r in D.agg_weighted_median(spark, SF_DIR).collect()}
+    for flag in got:
+        rows = sorted((float(r["l_extendedprice"]), r["l_orderkey"],
+                       r["l_linenumber"], float(r["l_quantity"]))
+                      for r in li if r["l_returnflag"] == flag)
+        w = np.array([r[3] for r in rows]); v = [r[0] for r in rows]
+        cw = np.cumsum(w)
+        idx = int(np.searchsorted(cw, cw[-1] / 2.0))
+        assert abs(got[flag] - round(v[idx], 2)) < 0.011, flag
+
+
+def test_haversine_pairs_verified_by_exact_distance(spark):
+    """Every emitted pair is within 25 km by an independent Python
+    haversine; the grid never emits an out-of-radius pair."""
+    import math
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    pts = {r["vec_id"]: (40.0 + round(float(r["embedding"][0]), 4) * 0.5,
+                         -74.0 + round(float(r["embedding"][1]), 4) * 0.5)
+           for r in emb}
+    out = D.join_geo_haversine(spark, SF_DIR).collect()
+    assert out, "planted corpus yields at least one nearby pair"
+    for r in out:
+        (alat, alon), (blat, blon) = pts[r["a_id"]], pts[r["b_id"]]
+        km = 12742.0 * math.asin(math.sqrt(
+            math.sin(math.radians(blat - alat) / 2) ** 2
+            + math.cos(math.radians(alat)) * math.cos(math.radians(blat))
+            * math.sin(math.radians(blon - alon) / 2) ** 2))
+        assert km <= 25.0 + 1e-6
+        assert abs(km - r["dist_km"]) < 1e-4
