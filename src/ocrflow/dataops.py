@@ -5647,6 +5647,33 @@ def k_anonymity_check(spark, sf):
 # (round-4 session-8 additions)
 # =========================================================================
 
+def global_rank(df, keys, partitions=8, out_col="rn"):
+    """Dense global row_number over `keys` (which must form a total
+    order) WITHOUT a single-partition window — the two-phase trick:
+    repartitionByRange on the sort key (one range exchange), per-range
+    local row_number, then per-partition counts (|P| rows, driver-cheap
+    at any scale) turned into cumulative offsets and broadcast back.
+    Shared by er_sorted_neighborhood and feat_quantile_normalize; the
+    scalable replacement wherever a naive Window.orderBy(...) global
+    rank would funnel the table through one partition."""
+    from pyspark.sql import functions as F
+    local = (df.repartitionByRange(partitions, *[F.col(k) for k in keys])
+             .withColumn("_gr_pid", F.spark_partition_id())
+             .withColumn("_gr_lrn", F.row_number().over(
+                 W.partitionBy("_gr_pid").orderBy(*keys))))
+    offsets = (local.groupBy("_gr_pid").count()
+               .withColumn("_gr_off", F.coalesce(
+                   F.sum("count").over(
+                       W.orderBy("_gr_pid")
+                       .rowsBetween(W.unboundedPreceding, -1)),
+                   F.lit(0)))
+               .select("_gr_pid", "_gr_off"))
+    return (local.join(F.broadcast(offsets), "_gr_pid")
+            .withColumn(out_col,
+                        (F.col("_gr_lrn") + F.col("_gr_off")).cast("long"))
+            .drop("_gr_pid", "_gr_lrn", "_gr_off"))
+
+
 @q("er_sorted_neighborhood", """
 WITH r AS (
   SELECT doc_id, lang, n_chars,
@@ -5678,24 +5705,13 @@ def er_sorted_neighborhood(spark, sf, partitions=8, window=4):
     gaps 1..w-1 on the left), which shuffles balanced 64-bit keys —
     boundary pairs between ranges fall out of the join for free, no
     partition-edge replication logic needed. At 100 TB: one range
-    exchange + one rank equi-join, output bounded by n*(w-1)."""
+    exchange + one rank equi-join, output bounded by n*(w-1).
+
+    The rank phase is the shared global_rank() helper (also the scale
+    path under feat_quantile_normalize)."""
     d = t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
     keys = ["lang", "n_chars", "doc_id"]
-    local = (d.repartitionByRange(partitions, *[F.col(k) for k in keys])
-             .withColumn("pid", F.spark_partition_id())
-             .withColumn("lrn", F.row_number().over(
-                 W.partitionBy("pid").orderBy(*keys))))
-    offsets = (local.groupBy("pid").count()
-               .withColumn("off", F.coalesce(
-                   F.sum("count").over(
-                       W.orderBy("pid")
-                       .rowsBetween(W.unboundedPreceding, -1)),
-                   F.lit(0)))
-               .select("pid", "off"))
-    ranked = (local.join(F.broadcast(offsets), "pid")
-              .select("doc_id", "lang", "n_chars",
-                      (F.col("lrn") + F.col("off")).cast("long")
-                      .alias("rn")))
+    ranked = global_rank(d, keys, partitions=partitions)
     a = ranked.select(
         F.col("doc_id").alias("a_id"), F.col("lang").alias("a_lang"),
         F.col("n_chars").alias("a_len"), "rn",
@@ -5911,3 +5927,133 @@ def l_diversity_check(spark, sf):
         F.coalesce(F.sum(F.when(risky, F.col("n"))), F.lit(0))
         .cast("bigint").alias("n_risky_rows"),
         F.min("diversity").cast("bigint").alias("min_diversity"))
+
+
+# =========================================================================
+# Feature engineering (training-data prep: encodings + normalization)
+# =========================================================================
+
+@q("feat_target_encode", """
+WITH g AS (
+  SELECT c_mktsegment,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_mktsegment
+), prior AS (
+  SELECT CAST(sum(sum_cents) AS BIGINT) AS tot_cents,
+         CAST(sum(n) AS BIGINT) AS tot_n
+  FROM g
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       ROUND(((g.sum_cents - CAST(round(c.c_acctbal * 100) AS BIGINT))
+              / 100.0
+              + 20.0 * (prior.tot_cents / 100.0 / prior.tot_n))
+             / (g.n - 1 + 20.0), 6) + 0.0 AS te_loo
+FROM customer c
+JOIN g ON c.c_mktsegment = g.c_mktsegment
+CROSS JOIN prior
+""")
+def feat_target_encode(spark, sf):
+    """Leave-one-out target encoding with additive smoothing — the
+    classic high-cardinality categorical encoder for tabular training
+    data: each row's category value becomes (group target sum MINUS
+    the row's own target + m * global prior) / (group n - 1 + m),
+    m = 20. LOO removes self-leakage; smoothing shrinks rare
+    categories toward the prior. All sums run over EXACT integer
+    cents (round(target*100) as int64) so the group and global
+    aggregates are order-independent on both engines — the standard
+    trick for float-exact encodings — with division back to dollars
+    only in the final expression.
+
+    At 100 TB: one map-side-combinable aggregate per category (the
+    encoder table is |categories| rows), broadcast back to the fact —
+    the encode join never shuffles the fact. Train/serve skew-free:
+    the same encoder table serializes as a tiny artifact."""
+    c = t(spark, sf, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    g = (c.groupBy("c_mktsegment")
+         .agg(F.sum(cents).cast("bigint").alias("sum_cents"),
+              F.count("*").cast("bigint").alias("n")))
+    prior = g.agg(F.sum("sum_cents").cast("bigint").alias("tot_cents"),
+                  F.sum("n").cast("bigint").alias("tot_n"))
+    te = (((F.col("sum_cents") - cents) / 100.0
+           + 20.0 * (F.col("tot_cents") / 100.0 / F.col("tot_n")))
+          / (F.col("n") - 1 + 20.0))
+    return (c.join(F.broadcast(g), "c_mktsegment")
+            .crossJoin(F.broadcast(prior))
+            .select("c_custkey", "c_mktsegment",
+                    (F.round(te, 6) + 0.0).alias("te_loo")))
+
+
+@q("feat_quantile_normalize", """
+SELECT o_orderkey,
+       ROUND(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 8)
+           + 0.0 AS qnorm
+FROM orders
+WHERE o_orderdate >= DATE '1997-01-01'
+""")
+def feat_quantile_normalize(spark, sf):
+    """Quantile (rank-uniform) normalization of a skewed numeric
+    feature: map each value to its percent rank so any downstream
+    model sees a uniform [0,1] marginal regardless of the raw
+    distribution — the robust alternative to z-scoring when heavy
+    tails would let outliers set the scale. Ties broken by the unique
+    key so both engines rank identically; percent_rank = (rank-1)/
+    (n-1) is exact integer arithmetic divided once.
+
+    Built on the shared global_rank() helper (range exchange +
+    per-range row_number + broadcast offsets), NOT a naive
+    Window.orderBy percent_rank — so the fact never funnels through a
+    single partition at any scale; n arrives by broadcast and
+    percent_rank's (rank-1)/(n-1) is computed explicitly."""
+    o = (t(spark, sf, "orders")
+         .filter(F.col("o_orderdate") >= "1997-01-01")
+         .select("o_orderkey", "o_totalprice"))
+    ranked = global_rank(o, ["o_totalprice", "o_orderkey"])
+    n = ranked.agg(F.count("*").alias("_n"))
+    return (ranked.crossJoin(F.broadcast(n))
+            .select("o_orderkey",
+                    (F.round((F.col("rn") - 1)
+                             / (F.col("_n") - 1).cast("double"), 8) + 0.0)
+                    .alias("qnorm")))
+
+
+@q("feat_onehot_topk", """
+WITH topk AS (
+  SELECT o_orderpriority FROM (
+    SELECT o_orderpriority, count(*) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY cnt DESC, o_orderpriority LIMIT 3
+  )
+)
+SELECT o_orderkey,
+       CAST(CASE WHEN o_orderpriority = ANY(SELECT * FROM topk)
+                 THEN o_orderpriority ELSE '__other__' END AS VARCHAR)
+           AS category,
+       CAST(1 AS INTEGER) AS ind
+FROM orders
+""")
+def feat_onehot_topk(spark, sf, k=3):
+    """Top-k one-hot encoding with an __other__ bucket — the
+    cardinality-bounded categorical expansion (keep the k most
+    frequent levels, collapse the tail) that keeps feature width
+    fixed no matter how dirty the column gets. Emitted in long
+    (key, category, 1) form: the pivot to wide columns is a metadata
+    operation once the level set is bounded, and long form feeds
+    sparse trainers directly. Deterministic tie-break on (count DESC,
+    value) so both engines pick the same top-k.
+
+    At 100 TB: the level census is one tiny combinable aggregate;
+    the encode itself is a broadcast IN-list against the fact — zero
+    fact shuffles, same shape as feat_target_encode."""
+    o = t(spark, sf, "orders")
+    topk = [r["o_orderpriority"] for r in
+            (o.groupBy("o_orderpriority").count()
+             .orderBy(F.desc("count"), "o_orderpriority")
+             .limit(k).collect())]
+    cat = (F.when(F.col("o_orderpriority").isin(topk),
+                  F.col("o_orderpriority"))
+           .otherwise("__other__"))
+    return o.select("o_orderkey", cat.alias("category"),
+                    F.lit(1).cast("int").alias("ind"))

@@ -5069,13 +5069,13 @@ def agg_weighted_median(spark, sf):
 @q("join_geo_haversine", """
 WITH p AS (
   SELECT vec_id,
-         40.0 + ROUND(CAST(embedding[1] AS DOUBLE), 4) * 0.5 AS lat,
-         -74.0 + ROUND(CAST(embedding[2] AS DOUBLE), 4) * 0.5 AS lon
+         40.0 + ROUND(CAST(embedding[1] AS DOUBLE), 4) * 4.0 AS lat,
+         -74.0 + ROUND(CAST(embedding[2] AS DOUBLE), 4) * 4.0 AS lon
   FROM embeddings
 ), cell AS (
   SELECT vec_id, lat, lon,
          CAST(floor(lat / 0.25) AS INTEGER) AS cx,
-         CAST(floor(lon / 0.25) AS INTEGER) AS cy
+         CAST(floor(lon / 0.32) AS INTEGER) AS cy
   FROM p
 ), cand AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -5100,11 +5100,15 @@ def join_geo_haversine(spark, sf):
     / geofence / trajectory pipeline runs. Coordinates derive
     deterministically from the first two embedding dims (fixture
     mapping, rounded at 4 dp so the cast is engine-identical); the
-    candidate step buckets points into 0.25-degree grid cells
-    (~28 km > the 25 km radius at this latitude) and pairs only
-    neighboring cells — the oracle mirrors the SAME cell predicate so
-    both engines evaluate identical candidate sets, and at scale the
-    3x3 neighborhood is a bounded equi-join fanout, never all-pairs.
+    candidate step buckets points into grid cells sized >= the radius
+    on BOTH axes — 0.25 deg lat (27.8 km) and 0.32 deg lon (26.4 km
+    at this corpus's max latitude ~42 deg, where a lon degree is
+    cos(42)*111.32 = 82.7 km) — so the 3x3 neighborhood provably
+    contains every pair within 25 km (completeness is
+    brute-force-verified in tests). The oracle mirrors the SAME cell
+    predicate so both engines evaluate identical candidate sets, and
+    at scale the neighborhood join is a bounded equi-join fanout,
+    never all-pairs.
     The threshold compares the 6-dp-ROUNDED distance on both sides:
     sin/cos/asin are libm calls that may differ in the last ULP
     between the JVM and DuckDB, and rounding before the comparison
@@ -5116,14 +5120,14 @@ def join_geo_haversine(spark, sf):
     em = t(spark, sf, "embeddings")
     p = em.select(
         "vec_id",
-        (40.0 + F.round(F.col("embedding")[0].cast("double"), 4) * 0.5)
+        (40.0 + F.round(F.col("embedding")[0].cast("double"), 4) * 4.0)
         .alias("lat"),
-        (-74.0 + F.round(F.col("embedding")[1].cast("double"), 4) * 0.5)
+        (-74.0 + F.round(F.col("embedding")[1].cast("double"), 4) * 4.0)
         .alias("lon"))
     cell = p.select(
         "*",
         F.floor(F.col("lat") / 0.25).cast("int").alias("cx"),
-        F.floor(F.col("lon") / 0.25).cast("int").alias("cy"))
+        F.floor(F.col("lon") / 0.32).cast("int").alias("cy"))
     a = cell.select(F.col("vec_id").alias("a_id"),
                     F.col("lat").alias("alat"), F.col("lon").alias("alon"),
                     F.col("cx").alias("acx"), F.col("cy").alias("acy"),

@@ -875,8 +875,8 @@ def test_l_diversity_flags_homogeneous_group(spark):
     src = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     # plant a QI group of 6 customers who ALL share one balance bucket:
     # k-anonymous (n >= 5) yet l-risky (diversity 1)
-    rows = [(900000 + i, f"Customer#9{i}", "addr", 98, "p", 1000.0 + i,
-             "SEG_X", "c") for i in range(6)]
+    rows = [(900000 + i, f"Customer#9{i}", 98, 1000.0 + i, "SEG_X")
+            for i in range(6)]
     planted = spark.createDataFrame(rows, src.schema)
     tmp = tempfile.mkdtemp(prefix="ocrflow_ldiv_")
     src.unionByName(planted).write.parquet(
@@ -893,7 +893,7 @@ def test_weighted_median_matches_numpy_definition(spark):
           .select("l_returnflag", "l_extendedprice", "l_quantity",
                   "l_orderkey", "l_linenumber").collect())
     got = {r["l_returnflag"]: r["weighted_median"]
-           for r in D.agg_weighted_median(spark, SF_DIR).collect()}
+           for r in D.QUERIES["agg_weighted_median"](spark, SF_DIR).collect()}
     for flag in got:
         rows = sorted((float(r["l_extendedprice"]), r["l_orderkey"],
                        r["l_linenumber"], float(r["l_quantity"]))
@@ -904,21 +904,31 @@ def test_weighted_median_matches_numpy_definition(spark):
         assert abs(got[flag] - round(v[idx], 2)) < 0.011, flag
 
 
-def test_haversine_pairs_verified_by_exact_distance(spark):
-    """Every emitted pair is within 25 km by an independent Python
-    haversine; the grid never emits an out-of-radius pair."""
+def test_haversine_grid_sound_and_complete(spark):
+    """SOUND: every emitted pair is within 25 km by an independent
+    Python haversine. COMPLETE: brute-force over all ~125k point
+    pairs finds no within-radius pair the grid missed (the cell
+    sizing proof — both cell axes >= the radius — made executable)."""
     import math
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
-    pts = {r["vec_id"]: (40.0 + round(float(r["embedding"][0]), 4) * 0.5,
-                         -74.0 + round(float(r["embedding"][1]), 4) * 0.5)
-           for r in emb}
-    out = D.join_geo_haversine(spark, SF_DIR).collect()
-    assert out, "planted corpus yields at least one nearby pair"
-    for r in out:
-        (alat, alon), (blat, blon) = pts[r["a_id"]], pts[r["b_id"]]
-        km = 12742.0 * math.asin(math.sqrt(
+
+    def hav(alat, alon, blat, blon):
+        return 12742.0 * math.asin(math.sqrt(
             math.sin(math.radians(blat - alat) / 2) ** 2
             + math.cos(math.radians(alat)) * math.cos(math.radians(blat))
             * math.sin(math.radians(blon - alon) / 2) ** 2))
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    pts = {r["vec_id"]: (40.0 + round(float(r["embedding"][0]), 4) * 4.0,
+                         -74.0 + round(float(r["embedding"][1]), 4) * 4.0)
+           for r in emb}
+    out = {(r["a_id"], r["b_id"]): r["dist_km"]
+           for r in D.QUERIES["join_geo_haversine"](spark, SF_DIR).collect()}
+    assert out, "corpus yields at least one nearby pair"
+    for (a, b), dist in out.items():
+        km = hav(*pts[a], *pts[b])
         assert km <= 25.0 + 1e-6
-        assert abs(km - r["dist_km"]) < 1e-4
+        assert abs(km - dist) < 1e-4
+    ids = sorted(pts)
+    brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if hav(*pts[a], *pts[b]) <= 24.999999}
+    assert brute - set(out) == set(), "grid missed within-radius pairs"
