@@ -5149,3 +5149,113 @@ def join_geo_haversine(spark, sf):
     return (d.filter(F.round("km", 6) <= 25.0)
             .select("a_id", "b_id",
                     (F.round("km", 6) + 0.0).alias("dist_km")))
+
+
+@q("agg_hopping_window_batch", """
+WITH hops AS (
+  SELECT event_id, event_type, value,
+         (epoch_us(ts) // 21600000000) * 21600000000
+           - CAST(h AS BIGINT) * 21600000000 AS start_us
+  FROM events
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS h)
+)
+SELECT make_timestamp(start_us) AS win_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(COALESCE(value, 0.0)), 2) + 0.0 AS sum_value
+FROM hops
+GROUP BY start_us, event_type
+""")
+def agg_hopping_window_batch(spark, sf):
+    """Hopping (sliding) window aggregation in BATCH mode — Spark's
+    F.window(ts, '24 hours', '6 hours') works outside streaming too,
+    assigning each event to the 4 overlapping day-long windows that
+    contain it. This is the backfill twin of stream_sliding: the same
+    window spec recomputes history at rest, so a streaming pipeline's
+    dashboard can be reconstructed exactly after a logic change. The
+    oracle expands hops explicitly — each event belongs to exactly
+    the 4 slide-aligned starts floor6h(ts) - k*6h, k in 0..3, computed
+    in EXACT integer epoch micros (Spark's window alignment is
+    epoch-anchored, startTime 0) — because DuckDB has no
+    window-assignment table function; semantics, not syntax, are the
+    contract.
+
+    At 100 TB: window assignment is a map-side explode (x4 rows for a
+    24h/6h spec), then one combinable aggregate on (win, key) — no
+    state store needed in batch, and AQE coalesces the post-agg
+    partitions. The x(size/slide) blowup is the known cost of hopping
+    specs; 24h/6h keeps it 4."""
+    e = t(spark, sf, "events")
+    win = F.window("ts", "24 hours", "6 hours")
+    return (e.groupBy(win.alias("w"), F.col("event_type"))
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 (F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2)
+                  + 0.0).alias("sum_value"))
+            .select(F.col("w.start").alias("win_start"), "event_type",
+                    "n_events", "sum_value"))
+
+
+@q("agg_entropy", """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+), tot AS (
+  SELECT user_id, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY user_id
+)
+SELECT c.user_id,
+       ROUND(-sum((n * 1.0 / tn) * ln(n * 1.0 / tn)), 6) + 0.0
+           AS entropy_nats,
+       CAST(count(*) AS BIGINT) AS n_types
+FROM c JOIN tot ON c.user_id = tot.user_id
+GROUP BY c.user_id
+""")
+def agg_entropy(spark, sf):
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature (bot detection: entropy ~0 means one
+    repeated action; exploration scoring: high entropy means varied
+    usage). Probabilities are ratios of EXACT integer counts, so the
+    only float work is |types| ln() terms summed per user (<= 5 here;
+    bounded by the type vocabulary at any scale) — rounded at 6 dp to
+    absorb libm/summation-order ULP drift, psi/zipf precedent.
+
+    At 100 TB: two stacked combinable aggregates on (user, type) then
+    (user) — the same exchange as a count-distinct, no window, no
+    self-join. The broadcast-free JOIN on user_id rides the same hash
+    partitioning Catalyst already planned for the second aggregate."""
+    e = t(spark, sf, "events")
+    c = (e.groupBy("user_id", "event_type")
+         .agg(F.count("*").cast("bigint").alias("n")))
+    tot = c.groupBy("user_id").agg(F.sum("n").cast("bigint").alias("tn"))
+    p = F.col("n") * 1.0 / F.col("tn")
+    return (c.join(tot, "user_id")
+            .groupBy("user_id")
+            .agg((F.round(-F.sum(p * F.log(p)), 6) + 0.0)
+                 .alias("entropy_nats"),
+                 F.count("*").cast("bigint").alias("n_types")))
+
+
+@q("agg_geomean", """
+SELECT l_returnflag,
+       ROUND(exp(avg(ln(CAST(l_extendedprice AS DOUBLE)))), 2) + 0.0
+           AS geo_mean_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def agg_geomean(spark, sf):
+    """Geometric mean via the exp-of-mean-of-logs identity — the
+    right average for multiplicative quantities (price ratios, growth
+    factors) where the arithmetic mean over-weights the tail. Spark
+    has no geometric_mean aggregate; the identity turns it into one
+    combinable avg. Inputs are strictly positive prices so ln is
+    total; 2-dp rounding absorbs the summation-order ULP drift of
+    avg() over doubles (the one aggregate here that is not
+    order-exact), on top of exp/ln libm parity.
+
+    At 100 TB: a plain one-exchange aggregate — partial avg(ln x)
+    map-side, exp at the very end on |groups| rows."""
+    li = t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg((F.round(F.exp(F.avg(F.log(
+                F.col("l_extendedprice").cast("double")))), 2) + 0.0)
+                .alias("geo_mean_price"),
+                F.count("*").cast("bigint").alias("n")))

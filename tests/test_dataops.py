@@ -932,3 +932,12 @@ def test_haversine_grid_sound_and_complete(spark):
     brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
              if hav(*pts[a], *pts[b]) <= 24.999999}
     assert brute - set(out) == set(), "grid missed within-radius pairs"
+
+
+def test_hopping_window_covers_each_event_exactly_four_times(spark):
+    """A 24h/6h hopping spec assigns every event to exactly 4 windows:
+    total n_events across all windows == 4x the table count."""
+    out = D.QUERIES["agg_hopping_window_batch"](spark, SF_DIR)
+    total = out.agg(F.sum("n_events")).first()[0]
+    n = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert total == 4 * n
