@@ -5259,3 +5259,115 @@ def agg_geomean(spark, sf):
                 F.col("l_extendedprice").cast("double")))), 2) + 0.0)
                 .alias("geo_mean_price"),
                 F.count("*").cast("bigint").alias("n")))
+
+
+@q("aqp_sample_estimate", """
+WITH s AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE (l_orderkey * 7 + l_linenumber) % 20 = 3
+), ex AS (
+  SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS exact_cents
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+       ROUND(sum(cents) / 100.0 * 20.0, 2) + 0.0 AS est_total,
+       ROUND(exact_cents / 100.0, 2) + 0.0 AS exact_total,
+       ROUND(abs(sum(cents) * 20.0 - exact_cents)
+             / exact_cents * 100.0, 4) + 0.0 AS err_pct,
+       ROUND(1.96 * sqrt(var_samp(cents / 100.0)
+                         * count(*)) * 20.0, 2) + 0.0 AS ci_halfwidth
+FROM s CROSS JOIN ex
+GROUP BY exact_cents
+""")
+def aqp_sample_estimate(spark, sf):
+    """Approximate query processing: estimate a total from a
+    DETERMINISTIC 5% sample ((7k+j) mod 20 — the engine-portable
+    stand-in for pmod(xxhash64(id),20) at 100 TB) with the CLT
+    confidence interval, next to the exact answer so the key
+    demonstrates its own error. est = sample_sum / p; the sums run
+    over EXACT integer cents so estimate and exact answer are
+    aggregation-order-independent; only the CI half-width touches
+    var_samp doubles (2-dp rounding absorbs combine-order ULP).
+
+    At 100 TB this is THE interactive-latency pattern: the sample
+    predicate pushes into the scan (row-group skip via the key
+    columns), the scan reads 5% of the data, and the error column is
+    the honesty check a dashboard shows next to every AQP number."""
+    li = t(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    s = (li.filter((F.col("l_orderkey") * 7 + F.col("l_linenumber"))
+                   % 20 == 3)
+         .select(cents.alias("cents")))
+    ex = li.agg(F.sum(cents).cast("bigint").alias("exact_cents"))
+    return (s.crossJoin(F.broadcast(ex))
+            .groupBy("exact_cents")
+            .agg(F.count("*").cast("bigint").alias("n_sampled"),
+                 (F.round(F.sum("cents") / 100.0 * 20.0, 2) + 0.0)
+                 .alias("est_total"),
+                 (F.round(F.abs(F.sum("cents") * 20.0
+                                - F.col("exact_cents"))
+                          / F.col("exact_cents") * 100.0, 4) + 0.0)
+                 .alias("err_pct"),
+                 (F.round(1.96 * F.sqrt(
+                     F.var_samp(F.col("cents") / 100.0)
+                     * F.count("*")) * 20.0, 2) + 0.0)
+                 .alias("ci_halfwidth"))
+            .select("n_sampled", "est_total",
+                    (F.round(F.col("exact_cents") / 100.0, 2) + 0.0)
+                    .alias("exact_total"),
+                    "err_pct", "ci_halfwidth"))
+
+
+@q("ops_slo_burn_rate", """
+WITH h AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS e
+  FROM events GROUP BY 1
+), w AS (
+  SELECT hr, n, e,
+         CAST(sum(e) OVER (ORDER BY hr
+              ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS e6,
+         CAST(sum(n) OVER (ORDER BY hr
+              ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS n6
+  FROM h
+)
+SELECT hr,
+       ROUND(e * 1.0 / n / 0.2, 6) + 0.0 AS burn_1h,
+       ROUND(e6 * 1.0 / n6 / 0.2, 6) + 0.0 AS burn_6h,
+       (ROUND(e * 1.0 / n / 0.2, 6) > 1.5
+        AND ROUND(e6 * 1.0 / n6 / 0.2, 6) > 1.5) AS page
+FROM w
+""")
+def ops_slo_burn_rate(spark, sf):
+    """Multi-window SLO burn-rate alerting (the SRE-workbook pattern):
+    the hourly error-budget burn (error rate / SLO target 0.2) must
+    exceed the threshold in BOTH the short window (1 h) and the long
+    window (trailing 6 h) to page — short-only spikes are noise,
+    long-only elevation is too slow to matter. Everything up to the
+    final division is EXACT integer window sums over the hourly
+    rollup, so the rates are ULP-identical on both engines and the
+    page flag compares rounded values. Complements
+    ops_error_rate_spikes (daily, self-baseline) with the
+    paging-decision layer.
+
+    At 100 TB: the fact collapses to |hours| rows in one combinable
+    aggregate; the trailing windows run over that tiny rollup — a
+    single-partition window over ~9k rows/year, bounded by the time
+    axis at any data scale."""
+    e = t(spark, sf, "events")
+    h = (e.groupBy(F.date_trunc("hour", "ts").alias("hr"))
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(F.when(F.col("event_type") == "error", 1)
+                    .otherwise(0)).cast("bigint").alias("e")))
+    w6 = W.orderBy("hr").rowsBetween(-5, 0)
+    w = (h.withColumn("e6", F.sum("e").over(w6).cast("bigint"))
+         .withColumn("n6", F.sum("n").over(w6).cast("bigint")))
+    burn1 = F.round(F.col("e") * 1.0 / F.col("n") / 0.2, 6)
+    burn6 = F.round(F.col("e6") * 1.0 / F.col("n6") / 0.2, 6)
+    return w.select(
+        "hr", (burn1 + 0.0).alias("burn_1h"), (burn6 + 0.0).alias("burn_6h"),
+        ((burn1 > 1.5) & (burn6 > 1.5)).alias("page"))

@@ -941,3 +941,13 @@ def test_hopping_window_covers_each_event_exactly_four_times(spark):
     total = out.agg(F.sum("n_events")).first()[0]
     n = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert total == 4 * n
+
+
+def test_aqp_estimate_error_within_ci(spark):
+    """The 5% sample's estimate lands inside its own 95% CI of the
+    exact total (a deterministic sample of this corpus; the CI is the
+    key's published honesty bound)."""
+    r = D.QUERIES["aqp_sample_estimate"](spark, SF_DIR).first()
+    assert r["n_sampled"] > 0
+    assert abs(r["est_total"] - r["exact_total"]) <= r["ci_halfwidth"]
+    assert r["err_pct"] < 15.0
