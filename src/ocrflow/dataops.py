@@ -6082,3 +6082,130 @@ def udf_arrow_optimized(spark, sf):
 
     d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
     return d.select("doc_id", bucket97("text").alias("bucket97"))
+
+
+# ---------------------------------------------------------------------------
+# Full-text retrieval (BM25 ranking + positional phrase match)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "vector", "merge")   # fixed query, k1=1.2, b=0.75
+
+
+@q("search_bm25_topk", """
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0),
+tok AS (SELECT doc_id, unnest(
+          regexp_split_to_array(lower(trim(text)), '\\s+')) AS term FROM d),
+tk AS (SELECT doc_id, term FROM tok
+       WHERE regexp_matches(term, '^[a-z]{3,}$')),
+dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+st AS (SELECT CAST(sum(dl) AS DOUBLE) AS sdl, count(*) AS n_docs FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+       WHERE term IN ('spark', 'vector', 'merge') GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT f.doc_id,
+         CAST(ROUND(ln(1 + (st.n_docs - d2.df + 0.5) / (d2.df + 0.5))
+              * (f.tf * 2.2)
+              / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / (st.sdl / st.n_docs)))
+              * 1000000, 0) AS BIGINT) AS ci
+  FROM tf f JOIN dft d2 USING (term) JOIN dl l USING (doc_id) CROSS JOIN st)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       ROUND(sum(ci) / 1000000.0, 4) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+""")
+def search_bm25_topk(spark, sf):
+    """BM25 top-k retrieval (k1=1.2, b=0.75) for a fixed 3-term query
+    over the documents corpus — the lexical-search counterpart to the
+    ANN family. Plan shape is the scalable one: tokenize (JVM regexp),
+    per-doc length agg, a ONE-ROW corpus-stats aggregate and a
+    per-query-term df table (both broadcast), tf filtered to the query
+    terms BEFORE any join (postings fanout = docs containing a query
+    term, never the full index), and the final top-10 via
+    orderBy+limit = TakeOrderedAndProject (per-partition top-k then
+    merge — no global sort, no single-partition window).
+
+    Determinism: per-(doc,term) BM25 contributions are pure scalar
+    expressions of integers (tf, df, dl, N) and the exact avgdl
+    (bigint-sum / count); each is rounded to 6 decimals and cast to
+    integer micro-units (ROUND first, then CAST — the Spark-truncates /
+    DuckDB-rounds trap), so the per-doc score is an ORDER-INDEPENDENT
+    bigint sum. The top-10 cut orders by the same rounded score the
+    oracle must match string-exact anyway, doc_id as tiebreak, so the
+    selected set is cross-engine deterministic."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)))
+    tk = (d.select("doc_id",
+                   F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                   .alias("term"))
+          .filter(F.col("term").rlike("^[a-z]{3,}$")))
+    dl = tk.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    st = dl.agg(F.sum("dl").cast("double").alias("sdl"),
+                F.count("*").alias("n_docs"))
+    tf = (tk.filter(F.col("term").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = F.col("sdl") / F.col("n_docs")
+    contrib = (F.log(1 + (F.col("n_docs") - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5))
+               * (F.col("tf") * 2.2)
+               / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / avgdl)))
+    sc = (tf.join(F.broadcast(dft), "term")
+          .join(dl, "doc_id")
+          .crossJoin(F.broadcast(st))
+          .select("doc_id",
+                  F.round(contrib * 1000000, 0).cast("long").alias("ci")))
+    return (sc.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_terms"),
+                 F.round(F.sum("ci") / 1000000.0, 4).alias("score"))
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(10))
+
+
+@q("search_phrase_match", """
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0),
+arrs AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+         FROM d),
+pos AS (
+  SELECT doc_id, unnest(arr) AS term,
+         CAST(unnest(generate_series(1, len(arr))) AS BIGINT) AS pos
+  FROM arrs),
+hits AS (
+  SELECT a.doc_id, a.pos
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'data' AND b.term = 'line')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id
+""")
+def search_phrase_match(spark, sf):
+    """Positional-index phrase search: exact-phrase ("data line")
+    occurrence count and first position per document via a positional
+    postings self-join (term at pos p, next term at p+1) — the
+    retrieval op a bag-of-words index cannot answer. posexplode gives
+    0-based positions; +1 aligns with the oracle's WITH ORDINALITY.
+
+    Scale shape: positions are generated by ONE explode, each side of
+    the adjacency join is filtered to ITS phrase term before the join
+    (postings-sized inputs, equi-join on (doc_id, pos) — co-partitioned
+    shuffle, no theta join), and the per-doc agg rides the same key.
+    An n-term phrase chains n-1 such joins, each filtered to one
+    term's postings — fanout bounded by term frequency, never doc
+    length."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)))
+    pos = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+"))
+        .alias("p0", "term")).select(
+        "doc_id", "term", (F.col("p0") + 1).cast("bigint").alias("pos"))
+    a = pos.filter(F.col("term") == "data").select("doc_id", "pos")
+    b = (pos.filter(F.col("term") == "line")
+         .select("doc_id", (F.col("pos") - 1).alias("pos")))
+    hits = a.join(b, ["doc_id", "pos"])
+    return (hits.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_hits"),
+                 F.min("pos").cast("bigint").alias("first_pos")))
