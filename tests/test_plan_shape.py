@@ -365,3 +365,22 @@ def test_tpch_q13_filter_inside_left_join(spark):
     # left-preserved (no Inner join over orders first)
     plan = _plan(QUERIES["tpch_q13_shape"](spark, SF_DIR))
     assert "LeftOuter" in plan
+
+
+def test_bm25_take_ordered_no_global_sort(spark):
+    # the top-10 cut must be TakeOrderedAndProject (per-partition
+    # top-k + merge), never a global Sort, and the corpus-stats /
+    # df sides must broadcast — no sort-merge join anywhere
+    plan = _plan(QUERIES["search_bm25_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_phrase_match_equi_join_postings(spark):
+    # adjacency join is an equi-join on (doc_id, pos) over term-filtered
+    # postings — never a nested-loop/cartesian over full positions
+    plan = _plan(QUERIES["search_phrase_match"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
