@@ -6209,3 +6209,131 @@ def search_phrase_match(spark, sf):
     return (hits.groupBy("doc_id")
             .agg(F.count("*").cast("bigint").alias("n_hits"),
                  F.min("pos").cast("bigint").alias("first_pos")))
+
+
+# ---------------------------------------------------------------------------
+# Inferential statistics (chi-square independence, two-sample KS)
+# ---------------------------------------------------------------------------
+
+@q("stat_chi_square", """
+WITH e AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) % 6 AS hb
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+obs AS (SELECT event_type, hb, count(*) AS o FROM e GROUP BY 1, 2),
+rt AS (SELECT event_type, count(*) AS r FROM e GROUP BY 1),
+ct AS (SELECT hb, count(*) AS c FROM e GROUP BY 1),
+n AS (SELECT count(*) AS n FROM e),
+cells AS (
+  SELECT CAST(ROUND(
+           (o - r * c / CAST(n AS DOUBLE))
+           * (o - r * c / CAST(n AS DOUBLE))
+           / (r * c / CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT) AS ti
+  FROM obs JOIN rt USING (event_type) JOIN ct USING (hb) CROSS JOIN n)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+         * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,
+       ROUND(sum(ti) / 1000000.0, 4) AS chi2
+FROM cells
+""")
+def stat_chi_square(spark, sf):
+    """Pearson chi-square test of independence (event_type x hour-of-day
+    bucket) — the inferential-stats family's contingency-table op.
+    Observed counts, row/column marginals and N are exact integers from
+    three hash aggregations; expected = r*c/N and the per-cell
+    (o-e)^2/e term are pure scalar doubles, each rounded to integer
+    micro-units (ROUND then CAST) so the chi2 sum over cells is an
+    ORDER-INDEPENDENT bigint sum — cross-engine string-exact. Marginal
+    tables are category-sized, broadcast; only the cell table scales
+    (bounded by |types| x 6 here, by category cardinality generally).
+    """
+    e = (t(spark, sf, "events")
+         .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+         .select("event_type",
+                 (F.hour("ts").cast("bigint") % 6).alias("hb")))
+    obs = e.groupBy("event_type", "hb").agg(F.count("*").alias("o"))
+    rt = e.groupBy("event_type").agg(F.count("*").alias("r"))
+    ct = e.groupBy("hb").agg(F.count("*").alias("c"))
+    n = e.agg(F.count("*").alias("n"))
+    exp = F.col("r") * F.col("c") / F.col("n").cast("double")
+    ti = F.round((F.col("o") - exp) * (F.col("o") - exp) / exp * 1000000,
+                 0).cast("long")
+    cells = (obs.join(F.broadcast(rt), "event_type")
+             .join(F.broadcast(ct), "hb")
+             .crossJoin(F.broadcast(n))
+             .select(ti.alias("ti")))
+    nr = rt.agg(F.count("*").alias("nr"))
+    nc = ct.agg(F.count("*").alias("nc"))
+    return (cells.agg(F.count("*").cast("bigint").alias("n_cells"),
+                      F.round(F.sum("ti") / 1000000.0, 4).alias("chi2"))
+            .crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nc))
+            .select("n_cells",
+                    ((F.col("nr") - 1) * (F.col("nc") - 1))
+                    .cast("bigint").alias("dof"),
+                    "chi2"))
+
+
+@q("stat_ks_two_sample", """
+WITH s AS (
+  SELECT value AS v, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+pv AS (SELECT v, sum(is1) AS c1, sum(1 - is1) AS c2 FROM s GROUP BY v),
+cum AS (
+  SELECT v,
+         sum(c1) OVER (ORDER BY v) AS a1,
+         sum(c2) OVER (ORDER BY v) AS a2
+  FROM pv),
+n AS (SELECT sum(is1) AS n1, sum(1 - is1) AS n2 FROM s)
+SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+       ROUND(max(abs(a1 / CAST(n.n1 AS DOUBLE)
+                     - a2 / CAST(n.n2 AS DOUBLE))), 6) AS d_stat
+FROM cum CROSS JOIN n GROUP BY n.n1, n.n2
+""")
+def stat_ks_two_sample(spark, sf):
+    """Two-sample Kolmogorov-Smirnov D statistic ('click' vs 'view'
+    event values): max over pooled distinct values of |F1 - F2|, where
+    each ECDF step is an exact integer cumulative count divided once
+    by its sample size. The running counts use the DISTRIBUTED
+    prefix-sum (same two-phase trick as global_rank): per-value counts
+    → repartitionByRange on v → per-range local cumsum → per-range
+    totals (|P| rows) turned into exclusive offsets and broadcast
+    back — no single-partition window anywhere. D is a max over
+    doubles (order-independent; no float summation), so the statistic
+    is cross-engine string-exact; the oracle states the same math with
+    DuckDB's engine-local global window."""
+    s = (t(spark, sf, "events")
+         .filter(F.col("event_type").isin("click", "view")
+                 & F.col("value").isNotNull())
+         .select(F.col("value").alias("v"),
+                 F.when(F.col("event_type") == "click", 1).otherwise(0)
+                 .alias("is1")))
+    pv = s.groupBy("v").agg(F.sum("is1").alias("c1"),
+                            F.sum(1 - F.col("is1")).alias("c2"))
+    local = (pv.repartitionByRange(8, "v")
+             .withColumn("_pid", F.spark_partition_id()))
+    wloc = W.partitionBy("_pid").orderBy("v")
+    local = (local
+             .withColumn("l1", F.sum("c1").over(wloc))
+             .withColumn("l2", F.sum("c2").over(wloc)))
+    offs = (local.groupBy("_pid")
+            .agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+            .withColumn("o1", F.coalesce(
+                F.sum("t1").over(W.orderBy("_pid")
+                                 .rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0)))
+            .withColumn("o2", F.coalesce(
+                F.sum("t2").over(W.orderBy("_pid")
+                                 .rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0)))
+            .select("_pid", "o1", "o2"))
+    n = s.agg(F.sum("is1").cast("bigint").alias("n1"),
+              F.sum(1 - F.col("is1")).cast("bigint").alias("n2"))
+    cum = (local.join(F.broadcast(offs), "_pid")
+           .select((F.col("l1") + F.col("o1")).alias("a1"),
+                   (F.col("l2") + F.col("o2")).alias("a2")))
+    return (cum.crossJoin(F.broadcast(n))
+            .groupBy("n1", "n2")
+            .agg(F.round(F.max(F.abs(
+                F.col("a1") / F.col("n1").cast("double")
+                - F.col("a2") / F.col("n2").cast("double"))), 6)
+                .alias("d_stat"))
+            .select("n1", "n2", "d_stat"))
