@@ -6337,3 +6337,119 @@ def stat_ks_two_sample(spark, sf):
                 - F.col("a2") / F.col("n2").cast("double"))), 6)
                 .alias("d_stat"))
             .select("n1", "n2", "d_stat"))
+
+
+@q("stat_mannwhitney_u", """
+WITH s AS (
+  SELECT value AS v, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+pv AS (SELECT v, sum(is1) AS c1, sum(1 - is1) AS c2 FROM s GROUP BY v),
+cum AS (
+  SELECT v, c1, c2,
+         sum(c1 + c2) OVER (ORDER BY v) - (c1 + c2) AS b
+  FROM pv),
+n AS (SELECT sum(is1) AS n1, sum(1 - is1) AS n2 FROM s)
+SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+       CAST(sum(c1 * (2 * b + c1 + c2 + 1)) - n.n1 * (n.n1 + 1)
+            AS BIGINT) AS two_u1
+FROM cum CROSS JOIN n GROUP BY n.n1, n.n2
+""")
+def stat_mannwhitney_u(spark, sf):
+    """Mann-Whitney U ('click' vs 'view' event values) with midrank tie
+    handling, EXACT: for a tied group of c=c1+c2 values preceded by b
+    pooled values, the sample-1 rank-sum contribution is
+    c1*(2b+c+1)/2; doubling everything keeps the whole statistic in
+    bigints (two_u1 = 2*R1 - n1*(n1+1) = 2*U1), so the result is
+    order-independent integer arithmetic end to end — no floats
+    anywhere. The exclusive prefix count b comes from the same
+    distributed two-phase prefix-sum as stat_ks_two_sample (range
+    repartition, local cumsum, broadcast offsets); the oracle states
+    it with DuckDB's engine-local window."""
+    s = (t(spark, sf, "events")
+         .filter(F.col("event_type").isin("click", "view")
+                 & F.col("value").isNotNull())
+         .select(F.col("value").alias("v"),
+                 F.when(F.col("event_type") == "click", 1).otherwise(0)
+                 .alias("is1")))
+    pv = s.groupBy("v").agg(F.sum("is1").alias("c1"),
+                            F.sum(1 - F.col("is1")).alias("c2"))
+    local = (pv.repartitionByRange(8, "v")
+             .withColumn("_pid", F.spark_partition_id()))
+    wloc = W.partitionBy("_pid").orderBy("v")
+    local = local.withColumn(
+        "lb", F.sum(F.col("c1") + F.col("c2")).over(wloc)
+        - (F.col("c1") + F.col("c2")))
+    offs = (local.groupBy("_pid")
+            .agg(F.sum(F.col("c1") + F.col("c2")).alias("tt"))
+            .withColumn("ob", F.coalesce(
+                F.sum("tt").over(W.orderBy("_pid")
+                                 .rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0)))
+            .select("_pid", "ob"))
+    n = s.agg(F.sum("is1").cast("bigint").alias("n1"),
+              F.sum(1 - F.col("is1")).cast("bigint").alias("n2"))
+    cum = (local.join(F.broadcast(offs), "_pid")
+           .select("c1", "c2", (F.col("lb") + F.col("ob")).alias("b")))
+    return (cum.crossJoin(F.broadcast(n))
+            .groupBy("n1", "n2")
+            .agg((F.sum(F.col("c1")
+                        * (2 * F.col("b") + F.col("c1") + F.col("c2") + 1))
+                  - F.col("n1") * (F.col("n1") + 1))
+                 .cast("bigint").alias("two_u1"))
+            .select("n1", "n2", "two_u1"))
+
+
+@q("stat_ab_proportions", """
+WITH e AS (
+  SELECT user_id % 2 AS variant,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+g AS (SELECT variant, count(*) AS n, sum(conv) AS x
+      FROM e GROUP BY variant),
+w AS (SELECT
+        max(CASE WHEN variant = 0 THEN n END) AS n0,
+        max(CASE WHEN variant = 0 THEN x END) AS x0,
+        max(CASE WHEN variant = 1 THEN n END) AS n1,
+        max(CASE WHEN variant = 1 THEN x END) AS x1
+      FROM g)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
+       CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+       ROUND((x0 / CAST(n0 AS DOUBLE) - x1 / CAST(n1 AS DOUBLE))
+             / sqrt((x0 + x1) / CAST(n0 + n1 AS DOUBLE)
+                    * (1 - (x0 + x1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / n0 + 1.0 / n1)), 4) AS z
+FROM w
+""")
+def stat_ab_proportions(spark, sf):
+    """Two-proportion z-test (A/B by user_id parity, conversion =
+    purchase events): counts and conversions per arm are exact
+    integers from one hash aggregation pivoted to a single row; the
+    pooled-variance z-score is one scalar double expression over four
+    integers — identical in both engines, rounded to 4. The
+    one-row-per-arm → one-row pivot is conditional max, no window.
+    At scale the only shuffle is the 2-group aggregate (map-side
+    combined)."""
+    e = (t(spark, sf, "events")
+         .filter(F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull())
+         .select((F.col("user_id") % 2).alias("variant"),
+                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                 .alias("conv")))
+    g = e.groupBy("variant").agg(F.count("*").alias("n"),
+                                 F.sum("conv").alias("x"))
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x1"))
+    p0 = F.col("x0") / F.col("n0").cast("double")
+    p1 = F.col("x1") / F.col("n1").cast("double")
+    pp = (F.col("x0") + F.col("x1")) / (F.col("n0") + F.col("n1")).cast("double")
+    z = F.round((p0 - p1) / F.sqrt(pp * (1 - pp)
+                                   * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+                4)
+    return w.select(F.col("n0").cast("bigint").alias("n0"),
+                    F.col("x0").cast("bigint").alias("x0"),
+                    F.col("n1").cast("bigint").alias("n1"),
+                    F.col("x1").cast("bigint").alias("x1"),
+                    z.alias("z"))
