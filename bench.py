@@ -56,6 +56,9 @@ HEADLINE = [
     # no single-partition window) and the JL projection (pure JVM
     # array-math dim reduction for the ANN family)
     "er_sorted_neighborhood", "emb_jl_projection",
+    # round-4 session-9: the retrieval family's ranked-search key and
+    # the inferential-stats family's distributed prefix-sum ECDF key
+    "search_bm25_topk", "stat_ks_two_sample",
 ]
 
 
