@@ -6453,3 +6453,186 @@ def stat_ab_proportions(spark, sf):
                     F.col("n1").cast("bigint").alias("n1"),
                     F.col("x1").cast("bigint").alias("x1"),
                     z.alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# Model-eval / ranking metrics (NDCG, MRR, calibration ECE)
+# ---------------------------------------------------------------------------
+
+@q("eval_mrr", """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+r AS (
+  SELECT user_id, rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM e),
+fr AS (
+  SELECT user_id, min(rnk) AS first_rel
+  FROM r WHERE rel = 1 GROUP BY user_id),
+u AS (SELECT count(DISTINCT user_id) AS n_users FROM e),
+rr AS (
+  SELECT CAST(ROUND(1000000.0 / first_rel, 0) AS BIGINT) AS rri FROM fr)
+SELECT CAST(u.n_users AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_hit,
+       ROUND(sum(rri) / 1000000.0 / u.n_users, 4) AS mrr
+FROM rr CROSS JOIN u GROUP BY u.n_users
+""")
+def eval_mrr(spark, sf):
+    """Mean reciprocal rank: per user (the 'query'), events ranked by
+    predicted score (value DESC, event_id tiebreak — bit-deterministic
+    integer/double sort, no float arithmetic in the key), the first
+    relevant (purchase) rank inverted. Each reciprocal rank is rounded
+    to integer micro-units so the corpus mean is an order-independent
+    bigint sum over users; users with no relevant event contribute 0
+    (standard MRR). Per-user ranking is one window partitioned by
+    user — fully parallel; the final mean is a one-row aggregate."""
+    e = (t(spark, sf, "events")
+         .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+         .select("user_id", "event_id", "value",
+                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                 .alias("rel")))
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    r = e.withColumn("rnk", F.row_number().over(w))
+    fr = (r.filter(F.col("rel") == 1)
+          .groupBy("user_id").agg(F.min("rnk").alias("first_rel")))
+    u = e.agg(F.countDistinct("user_id").alias("n_users"))
+    rr = fr.select(F.round(1000000.0 / F.col("first_rel"), 0)
+                   .cast("long").alias("rri"))
+    return (rr.crossJoin(F.broadcast(u))
+            .groupBy("n_users")
+            .agg(F.count("*").cast("bigint").alias("n_hit"),
+                 F.round(F.sum("rri") / 1000000.0 / F.col("n_users"), 4)
+                 .alias("mrr"))
+            .select(F.col("n_users").cast("bigint").alias("n_users"),
+                    "n_hit", "mrr"))
+
+
+@q("eval_ndcg_at_k", """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         CASE event_type WHEN 'purchase' THEN 7 WHEN 'signup' THEN 3
+                         WHEN 'click' THEN 1 ELSE 0 END AS gain
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+r AS (
+  SELECT user_id, gain,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS prnk,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY gain DESC, value DESC, event_id) AS irnk
+  FROM e),
+dcg AS (
+  SELECT user_id,
+         sum(CASE WHEN prnk <= 5 THEN
+               CAST(ROUND(gain / log2(prnk + 1.0) * 1000000, 0) AS BIGINT)
+             ELSE 0 END) AS dcg_i,
+         sum(CASE WHEN irnk <= 5 THEN
+               CAST(ROUND(gain / log2(irnk + 1.0) * 1000000, 0) AS BIGINT)
+             ELSE 0 END) AS idcg_i
+  FROM r GROUP BY user_id),
+nd AS (
+  SELECT CAST(ROUND(dcg_i / CAST(idcg_i AS DOUBLE) * 1000000, 0) AS BIGINT)
+           AS ndcg_i
+  FROM dcg WHERE idcg_i > 0)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       ROUND(sum(ndcg_i) / 1000000.0 / count(*), 4) AS mean_ndcg5
+FROM nd
+""")
+def eval_ndcg_at_k(spark, sf, k=5):
+    """NDCG@5 over per-user rankings: predicted order = (value DESC,
+    event_id), ideal order = (gain DESC, value DESC, event_id), graded
+    gains 2^rel−1 pre-tabled as CASE constants (7/3/1/0 — no pow()).
+    Every per-position DCG term gain/log2(rank+1) is rounded to
+    integer micro-units, so per-user DCG/IDCG are order-independent
+    bigint sums, the per-user NDCG ratio is micro-rounded again, and
+    the corpus mean is exact. Two windows per user partition (both
+    ride ONE hash exchange on user_id — same partitioning), users
+    with zero ideal gain excluded (standard)."""
+    e = (t(spark, sf, "events")
+         .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+         .select("user_id", "event_id", "value",
+                 F.when(F.col("event_type") == "purchase", 7)
+                 .when(F.col("event_type") == "signup", 3)
+                 .when(F.col("event_type") == "click", 1)
+                 .otherwise(0).alias("gain")))
+    wp = W.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    wi = W.partitionBy("user_id").orderBy(
+        F.col("gain").desc(), F.col("value").desc(), "event_id")
+    r = (e.withColumn("prnk", F.row_number().over(wp))
+         .withColumn("irnk", F.row_number().over(wi)))
+    term = lambda rnk: F.when(  # noqa: E731
+        F.col(rnk) <= k,
+        F.round(F.col("gain") / F.log2(F.col(rnk) + 1.0) * 1000000, 0)
+        .cast("long")).otherwise(F.lit(0))
+    dcg = (r.groupBy("user_id")
+           .agg(F.sum(term("prnk")).alias("dcg_i"),
+                F.sum(term("irnk")).alias("idcg_i")))
+    nd = (dcg.filter(F.col("idcg_i") > 0)
+          .select(F.round(F.col("dcg_i") / F.col("idcg_i").cast("double")
+                          * 1000000, 0).cast("long").alias("ndcg_i")))
+    return nd.agg(F.count("*").cast("bigint").alias("n_users"),
+                  F.round(F.sum("ndcg_i") / 1000000.0 / F.count("*"), 4)
+                  .alias("mean_ndcg5"))
+
+
+@q("eval_ece_calibration", """
+WITH e AS (
+  SELECT value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+mm AS (SELECT min(value) AS lo, max(value) AS hi FROM e),
+c AS (
+  SELECT CAST(ROUND((value - lo) / (hi - lo) * 1000000, 0) AS BIGINT)
+           AS conf_i,
+         label
+  FROM e CROSS JOIN mm),
+b AS (
+  SELECT least(CAST(conf_i // 100000 AS BIGINT), 9) AS bin,
+         count(*) AS n_b, sum(label) AS x_b, sum(conf_i) AS s_b
+  FROM c GROUP BY 1),
+n AS (SELECT count(*) AS n FROM e),
+terms AS (
+  SELECT CAST(ROUND(
+           n_b / CAST(n AS DOUBLE)
+           * abs(x_b / CAST(n_b AS DOUBLE)
+                 - s_b / CAST(n_b AS DOUBLE) / 1000000.0)
+           * 1000000, 0) AS BIGINT) AS ti
+  FROM b CROSS JOIN n)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       ROUND(sum(ti) / 1000000.0, 4) AS ece
+FROM terms
+""")
+def eval_ece_calibration(spark, sf):
+    """Expected calibration error, 10 equal-width bins: scores are
+    min-max normalized (min/max are exact — no float summation),
+    QUANTIZED to integer micro-units at the row level so every bin's
+    confidence sum is an order-independent bigint; per-bin accuracy
+    x/n and mean confidence s/n/1e6 are exact rationals; the weighted
+    |acc−conf| terms are micro-rounded and summed over ≤10 bins.
+    Min/max ride one broadcast row; bins are one hash aggregate."""
+    e = (t(spark, sf, "events")
+         .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+         .select("value",
+                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                 .alias("label")))
+    mm = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    c = (e.crossJoin(F.broadcast(mm))
+         .select(F.round((F.col("value") - F.col("lo"))
+                         / (F.col("hi") - F.col("lo")) * 1000000, 0)
+                 .cast("long").alias("conf_i"), "label"))
+    b = (c.select(F.least(F.floor(F.col("conf_i") / 100000), F.lit(9))
+                  .cast("bigint").alias("bin"), "label", "conf_i")
+         .groupBy("bin")
+         .agg(F.count("*").alias("n_b"), F.sum("label").alias("x_b"),
+              F.sum("conf_i").alias("s_b")))
+    n = e.agg(F.count("*").alias("n"))
+    ti = F.round(
+        F.col("n_b") / F.col("n").cast("double")
+        * F.abs(F.col("x_b") / F.col("n_b").cast("double")
+                - F.col("s_b") / F.col("n_b").cast("double") / 1000000.0)
+        * 1000000, 0).cast("long")
+    return (b.crossJoin(F.broadcast(n)).select(ti.alias("ti"))
+            .agg(F.count("*").cast("bigint").alias("n_bins"),
+                 F.round(F.sum("ti") / 1000000.0, 4).alias("ece")))
