@@ -384,3 +384,19 @@ def test_phrase_match_equi_join_postings(spark):
     plan = _plan(QUERIES["search_phrase_match"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ks_prefix_sum_range_partitioned(spark):
+    # the ECDF cumulative must ride a RANGE exchange (two-phase
+    # prefix-sum), never a single-partition window over the data
+    plan = _plan(QUERIES["stat_ks_two_sample"](spark, SF_DIR))
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_ndcg_windows_share_one_user_exchange(spark):
+    # predicted and ideal row_numbers both partition by user_id: one
+    # hash exchange on user_id feeds both windows
+    plan = _plan(QUERIES["eval_ndcg_at_k"](spark, SF_DIR))
+    import re
+    user_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(user_exchanges) == 1, plan.count("Exchange")
