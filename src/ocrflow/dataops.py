@@ -6636,3 +6636,27 @@ def eval_ece_calibration(spark, sf):
     return (b.crossJoin(F.broadcast(n)).select(ti.alias("ti"))
             .agg(F.count("*").cast("bigint").alias("n_bins"),
                  F.round(F.sum("ti") / 1000000.0, 4).alias("ece")))
+
+
+@q("search_snippet_highlight", """
+SELECT doc_id,
+       CAST(strpos(text, 'spark') AS BIGINT) AS pos,
+       substr(text, CASE WHEN strpos(text, 'spark') - 20 > 1
+                         THEN strpos(text, 'spark') - 20 ELSE 1 END, 50)
+         AS snippet
+FROM documents
+WHERE text IS NOT NULL AND strpos(text, 'spark') > 0
+""")
+def search_snippet_highlight(spark, sf):
+    """Search-hit snippet extraction: first match position of the query
+    term and a 50-char window starting 20 chars before it — the
+    result-rendering op of the retrieval family. Pure JVM string
+    functions (instr/substring, both 1-based like DuckDB's
+    strpos/substr), predicate pushed to the scan; embarrassingly
+    parallel, no shuffle at all."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    pos = F.instr("text", "spark")
+    start = F.when(pos - 20 > 1, pos - 20).otherwise(F.lit(1))
+    return (d.filter(pos > 0)
+            .select("doc_id", pos.cast("bigint").alias("pos"),
+                    F.substring("text", start, 50).alias("snippet")))
