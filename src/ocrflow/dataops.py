@@ -6660,3 +6660,113 @@ def search_snippet_highlight(spark, sf):
     return (d.filter(pos > 0)
             .select("doc_id", pos.cast("bigint").alias("pos"),
                     F.substring("text", start, 50).alias("snippet")))
+
+
+@q("eval_auc_roc", """
+WITH s AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is1
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+pv AS (SELECT v, sum(is1) AS c1, sum(1 - is1) AS c2 FROM s GROUP BY v),
+cum AS (
+  SELECT v, c1, c2,
+         sum(c1 + c2) OVER (ORDER BY v) - (c1 + c2) AS b
+  FROM pv),
+n AS (SELECT sum(is1) AS n1, sum(1 - is1) AS n0 FROM s)
+SELECT CAST(n.n1 AS BIGINT) AS n_pos, CAST(n.n0 AS BIGINT) AS n_neg,
+       ROUND((sum(c1 * (2 * b + c1 + c2 + 1)) - n.n1 * (n.n1 + 1))
+             / (2.0 * n.n1 * n.n0), 6) AS auc
+FROM cum CROSS JOIN n GROUP BY n.n1, n.n0
+""")
+def eval_auc_roc(spark, sf):
+    """ROC AUC computed EXACTLY from the Mann-Whitney identity
+    AUC = U1/(n1*n0) with midrank tie handling — the entire statistic
+    is bigint arithmetic (2*U1 = 2*R1 - n1(n1+1), rank sums from the
+    same distributed two-phase prefix-sum as stat_mannwhitney_u) with
+    ONE final division, so it is cross-engine string-exact with no
+    per-threshold sweep, no trapezoid float accumulation, and no
+    sort-order sensitivity. Scores = event values, positives =
+    purchases. At scale: one hash agg per distinct score, one range
+    exchange, broadcast offsets."""
+    s = (t(spark, sf, "events")
+         .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+         .select(F.col("value").alias("v"),
+                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                 .alias("is1")))
+    pv = s.groupBy("v").agg(F.sum("is1").alias("c1"),
+                            F.sum(1 - F.col("is1")).alias("c2"))
+    local = (pv.repartitionByRange(8, "v")
+             .withColumn("_pid", F.spark_partition_id()))
+    wloc = W.partitionBy("_pid").orderBy("v")
+    local = local.withColumn(
+        "lb", F.sum(F.col("c1") + F.col("c2")).over(wloc)
+        - (F.col("c1") + F.col("c2")))
+    offs = (local.groupBy("_pid")
+            .agg(F.sum(F.col("c1") + F.col("c2")).alias("tt"))
+            .withColumn("ob", F.coalesce(
+                F.sum("tt").over(W.orderBy("_pid")
+                                 .rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0)))
+            .select("_pid", "ob"))
+    n = s.agg(F.sum("is1").cast("bigint").alias("n1"),
+              F.sum(1 - F.col("is1")).cast("bigint").alias("n0"))
+    cum = (local.join(F.broadcast(offs), "_pid")
+           .select("c1", "c2", (F.col("lb") + F.col("ob")).alias("b")))
+    return (cum.crossJoin(F.broadcast(n))
+            .groupBy("n1", "n0")
+            .agg(F.round(
+                (F.sum(F.col("c1")
+                       * (2 * F.col("b") + F.col("c1") + F.col("c2") + 1))
+                 - F.col("n1") * (F.col("n1") + 1))
+                / (2.0 * F.col("n1") * F.col("n0")), 6).alias("auc"))
+            .select(F.col("n1").cast("bigint").alias("n_pos"),
+                    F.col("n0").cast("bigint").alias("n_neg"), "auc"))
+
+
+@q("eval_confusion_binary", """
+WITH s AS (
+  SELECT CASE WHEN value > 50 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+m AS (
+  SELECT sum(pred * label) AS tp,
+         sum(pred * (1 - label)) AS fp,
+         sum((1 - pred) * label) AS fn,
+         sum((1 - pred) * (1 - label)) AS tn
+  FROM s)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       ROUND(tp / CAST(tp + fp AS DOUBLE), 6) AS precision_,
+       ROUND(tp / CAST(tp + fn AS DOUBLE), 6) AS recall_,
+       ROUND(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+FROM m
+""")
+def eval_confusion_binary(spark, sf):
+    """Binary confusion matrix + precision/recall/F1 for a fixed
+    threshold classifier (value > 50 predicts purchase): four exact
+    integer cells from ONE map-side-combinable aggregation, three
+    single-division metrics (F1 via the 2TP/(2TP+FP+FN) identity — one
+    division, no precision*recall float product). The whole op is one
+    scan + one 1-row agg."""
+    s = (t(spark, sf, "events")
+         .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+         .select(F.when(F.col("value") > 50, 1).otherwise(0).alias("pred"),
+                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                 .alias("label")))
+    m = s.agg(
+        F.sum(F.col("pred") * F.col("label")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("label"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("label")).alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("label"))).alias("tn"))
+    return m.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"), 6)
+        .alias("precision_"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")).cast("double"), 6)
+        .alias("recall_"),
+        F.round(2.0 * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+                6).alias("f1"))
