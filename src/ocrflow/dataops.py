@@ -6770,3 +6770,56 @@ def eval_confusion_binary(spark, sf):
         F.round(2.0 * F.col("tp")
                 / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
                 6).alias("f1"))
+
+
+@q("eval_equalized_odds", """
+WITH s AS (
+  SELECT user_id % 2 AS grp,
+         CASE WHEN value > 50 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL),
+g AS (
+  SELECT grp,
+         count(*) AS n,
+         sum(pred) AS p,
+         sum(pred * label) AS tp,
+         sum(label) AS pos,
+         sum(pred * (1 - label)) AS fp,
+         sum(1 - label) AS neg
+  FROM s GROUP BY grp)
+SELECT CAST(grp AS BIGINT) AS grp, CAST(n AS BIGINT) AS n,
+       ROUND(p / CAST(n AS DOUBLE), 6) AS pos_rate,
+       ROUND(tp / CAST(pos AS DOUBLE), 6) AS tpr,
+       ROUND(fp / CAST(neg AS DOUBLE), 6) AS fpr
+FROM g
+""")
+def eval_equalized_odds(spark, sf):
+    """Fairness audit for the fixed threshold classifier (value > 50)
+    across a binary protected attribute (user_id parity): per-group
+    selection rate (demographic parity), TPR and FPR (equalized odds)
+    — five exact integer counts per group from ONE map-combinable
+    aggregation, three single-division rates. Emits the per-group rows
+    (2 at this fixture; |groups| generally) so parity gaps are
+    downstream subtractions of already-exact rates. Companion to the
+    governance family (k-anonymity, l-diversity, PSI drift)."""
+    s = (t(spark, sf, "events")
+         .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull()
+                 & F.col("event_type").isNotNull())
+         .select((F.col("user_id") % 2).alias("grp"),
+                 F.when(F.col("value") > 50, 1).otherwise(0).alias("pred"),
+                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                 .alias("label")))
+    g = s.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("pred").alias("p"),
+        F.sum(F.col("pred") * F.col("label")).alias("tp"),
+        F.sum("label").alias("pos"),
+        F.sum(F.col("pred") * (1 - F.col("label"))).alias("fp"),
+        F.sum(1 - F.col("label")).alias("neg"))
+    return g.select(
+        F.col("grp").cast("bigint").alias("grp"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("p") / F.col("n").cast("double"), 6).alias("pos_rate"),
+        F.round(F.col("tp") / F.col("pos").cast("double"), 6).alias("tpr"),
+        F.round(F.col("fp") / F.col("neg").cast("double"), 6).alias("fpr"))
