@@ -153,11 +153,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # window key is awaiting its FIRST external row in r04, so rotating
 # any out now would lose first-time coverage. The six are string-exact
 # at sf0.001 + sf0.01 (full 277-key sweep, 0 issues) and are the
-# round-5 rotation's lead candidates. Session-9 additions
-# (search_bm25_topk, search_phrase_match, udf_arrow_optimized — the
-# retrieval family's first keys and the UDF zoo's last face) likewise
-# register outside the window, string-exact at sf0.001 + sf0.01, and
-# join the round-5 candidate list.
+# round-5 rotation's lead candidates. Session-9 additions — the
+# retrieval family (search_bm25_topk, search_phrase_match,
+# search_snippet_highlight), the UDF zoo's last face
+# (udf_arrow_optimized), the inferential-stats family
+# (stat_chi_square, stat_ks_two_sample, stat_mannwhitney_u,
+# stat_ab_proportions), and the model-eval family (eval_mrr,
+# eval_ndcg_at_k, eval_ece_calibration, eval_auc_roc,
+# eval_confusion_binary, eval_equalized_odds) — likewise register
+# outside the window, each string-exact at sf0.001 + sf0.01, and
+# join the round-5 candidate list (fourteen first-external-row
+# candidates across four new families).
 # Everything after the window:
 # remaining oracled keys first (next in line if the window grows), then
 # rows-only keys (streams, sketches, sinks, iterative ops) last.
