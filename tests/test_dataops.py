@@ -951,3 +951,114 @@ def test_aqp_estimate_error_within_ci(spark):
     assert r["n_sampled"] > 0
     assert abs(r["est_total"] - r["exact_total"]) <= r["ci_halfwidth"]
     assert r["err_pct"] < 15.0
+
+
+def test_auc_roc_hand_computed_with_ties(spark):
+    """AUC via the Mann-Whitney identity on a hand-worked fixture with
+    a tie straddling the classes: pos scores {3, 2}, neg {2, 1}.
+    Pairwise: (3>2)=1, (3>1)=1, (2=2)=0.5, (2>1)=1 → U1=3.5,
+    AUC = 3.5/(2*2) = 0.875."""
+    import datetime as _dt
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [1, 2, 3, 4],
+        "ts": [_dt.datetime(2024, 1, 1)] * 4,
+        "event_type": ["purchase", "purchase", "view", "view"],
+        "value": [3.0, 2.0, 2.0, 1.0],
+        "props": [""] * 4,
+    })
+    tmp = tempfile.mkdtemp(prefix="ocrflow_auc_")
+    spark.createDataFrame(pdf).write.parquet(
+        os.path.join(tmp, "events.parquet"))
+    row = D.eval_auc_roc(spark, tmp).collect()[0]
+    assert row.n_pos == 2 and row.n_neg == 2
+    assert row.auc == 0.875
+
+
+def test_mannwhitney_hand_computed(spark):
+    """Same fixture: 2*U1 must be 7 (U1 = 3.5 with the midrank tie)."""
+    import datetime as _dt
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [1, 2, 3, 4],
+        "ts": [_dt.datetime(2024, 1, 1)] * 4,
+        "event_type": ["click", "click", "view", "view"],
+        "value": [3.0, 2.0, 2.0, 1.0],
+        "props": [""] * 4,
+    })
+    tmp = tempfile.mkdtemp(prefix="ocrflow_mwu_")
+    spark.createDataFrame(pdf).write.parquet(
+        os.path.join(tmp, "events.parquet"))
+    row = D.stat_mannwhitney_u(spark, tmp).collect()[0]
+    assert (row.n1, row.n2, row.two_u1) == (2, 2, 7)
+
+
+def test_chi_square_hand_computed_2x2(spark):
+    """2x2 with counts [[30,10],[10,30]] (types a/b × hours 0/1):
+    N=80, all marginals 40, every expected cell 20, every term
+    (obs-20)²/20 = 5 → chi2 = 20, dof = 1."""
+    import datetime as _dt
+    import pandas as pd
+    rows = ([("a", 0)] * 30 + [("a", 1)] * 10
+            + [("b", 0)] * 10 + [("b", 1)] * 30)
+    pdf = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "user_id": 1,
+        "ts": [_dt.datetime(2024, 1, 1, h) for _, h in rows],
+        "event_type": [t_ for t_, _ in rows],
+        "value": 1.0,
+        "props": "",
+    })
+    tmp = tempfile.mkdtemp(prefix="ocrflow_chi2_")
+    spark.createDataFrame(pdf).write.parquet(
+        os.path.join(tmp, "events.parquet"))
+    row = D.stat_chi_square(spark, tmp).collect()[0]
+    assert (row.n_cells, row.dof, row.chi2) == (4, 1, 20.0)
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    """When predicted score order equals relevance order for every
+    user, DCG == IDCG and mean NDCG@5 is exactly 1.0."""
+    import datetime as _dt
+    import pandas as pd
+    rows = []
+    for u in range(5):
+        # purchase > signup > click with strictly descending scores
+        for i, et in enumerate(["purchase", "signup", "click", "error"]):
+            rows.append((u * 10 + i, u, et, 100.0 - i))
+    pdf = pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "user_id": [r[1] for r in rows],
+        "ts": [_dt.datetime(2024, 1, 1)] * len(rows),
+        "event_type": [r[2] for r in rows],
+        "value": [r[3] for r in rows],
+        "props": "",
+    })
+    tmp = tempfile.mkdtemp(prefix="ocrflow_ndcg_")
+    spark.createDataFrame(pdf).write.parquet(
+        os.path.join(tmp, "events.parquet"))
+    row = D.eval_ndcg_at_k(spark, tmp).collect()[0]
+    assert row.n_users == 5
+    assert row.mean_ndcg5 == 1.0
+
+
+def test_ks_hand_computed(spark):
+    """click values {1,2}, view values {3,4}: ECDFs never overlap
+    below 2 vs above — D = 1.0 (F1(2)=1, F2(2)=0)."""
+    import datetime as _dt
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [1, 2, 3, 4],
+        "ts": [_dt.datetime(2024, 1, 1)] * 4,
+        "event_type": ["click", "click", "view", "view"],
+        "value": [1.0, 2.0, 3.0, 4.0],
+        "props": [""] * 4,
+    })
+    tmp = tempfile.mkdtemp(prefix="ocrflow_ks_")
+    spark.createDataFrame(pdf).write.parquet(
+        os.path.join(tmp, "events.parquet"))
+    row = D.stat_ks_two_sample(spark, tmp).collect()[0]
+    assert (row.n1, row.n2, row.d_stat) == (2, 2, 1.0)
