@@ -6823,3 +6823,74 @@ def eval_equalized_odds(spark, sf):
         F.round(F.col("p") / F.col("n").cast("double"), 6).alias("pos_rate"),
         F.round(F.col("tp") / F.col("pos").cast("double"), 6).alias("tpr"),
         F.round(F.col("fp") / F.col("neg").cast("double"), 6).alias("fpr"))
+
+
+@q("ts_forecast_accuracy", """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+bt AS (
+  SELECT a.event_type, abs(a.n - b.n) AS abs_err,
+         CAST(ROUND(2000000.0 * abs(a.n - b.n) / (a.n + b.n), 0) AS BIGINT)
+           AS smape_i
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day = b.day + 7),
+sc AS (
+  SELECT a.event_type, abs(a.n - b.n) AS naive_err
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day = b.day + 1),
+m7 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c7,
+              CAST(sum(abs_err) AS BIGINT) AS s7,
+              CAST(sum(smape_i) AS BIGINT) AS sm
+       FROM bt GROUP BY event_type),
+m1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c1,
+              CAST(sum(naive_err) AS BIGINT) AS s1
+       FROM sc GROUP BY event_type)
+SELECT event_type, c7 AS n_days,
+       ROUND(s7 / CAST(c7 AS DOUBLE), 4) AS mae,
+       ROUND(sm / 1000000.0 / c7, 4) AS smape,
+       ROUND(s7 * c1 / CAST(c7 AS DOUBLE) / s1, 4) AS mase
+FROM m7 JOIN m1 USING (event_type)
+""")
+def ts_forecast_accuracy(spark, sf):
+    """Forecast-accuracy rollup for the seasonal-naive backtest:
+    per-series MAE, sMAPE, and MASE. Every ingredient is an exact
+    bigint — absolute errors of integer daily counts, per-row sMAPE
+    ratios micro-rounded before summing, the naive-1 in-sample error
+    for MASE's scale — so each metric is ONE final division (MASE =
+    s7·c1/(c7·s1), no ratio-of-rounded-ratios). Calendar self-joins
+    (day−7 forecast, day−1 scale) avoid the row-offset lag
+    misalignment; at scale both joins run on the tiny daily rollup.
+    Companion to the model-eval family on the time-series side."""
+    ev = t(spark, sf, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").cast("bigint").alias("n")))
+    a, b = daily.alias("a"), daily.alias("b")
+    bt = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                 & (F.col("a.day") == F.date_add(F.col("b.day"), 7)))
+          .select(F.col("a.event_type").alias("event_type"),
+                  F.abs(F.col("a.n") - F.col("b.n")).alias("abs_err"),
+                  F.round(2000000.0 * F.abs(F.col("a.n") - F.col("b.n"))
+                          / (F.col("a.n") + F.col("b.n")), 0)
+                  .cast("long").alias("smape_i")))
+    sc = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                 & (F.col("a.day") == F.date_add(F.col("b.day"), 1)))
+          .select(F.col("a.event_type").alias("event_type"),
+                  F.abs(F.col("a.n") - F.col("b.n")).alias("naive_err")))
+    m7 = (bt.groupBy("event_type")
+          .agg(F.count("*").cast("bigint").alias("c7"),
+               F.sum("abs_err").cast("bigint").alias("s7"),
+               F.sum("smape_i").cast("bigint").alias("sm")))
+    m1 = (sc.groupBy("event_type")
+          .agg(F.count("*").cast("bigint").alias("c1"),
+               F.sum("naive_err").cast("bigint").alias("s1")))
+    return (m7.join(m1, "event_type")
+            .select("event_type", F.col("c7").alias("n_days"),
+                    F.round(F.col("s7") / F.col("c7").cast("double"), 4)
+                    .alias("mae"),
+                    F.round(F.col("sm") / 1000000.0 / F.col("c7"), 4)
+                    .alias("smape"),
+                    F.round(F.col("s7") * F.col("c1")
+                            / F.col("c7").cast("double") / F.col("s1"), 4)
+                    .alias("mase")))
