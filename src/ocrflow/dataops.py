@@ -6894,3 +6894,82 @@ def ts_forecast_accuracy(spark, sf):
                     F.round(F.col("s7") * F.col("c1")
                             / F.col("c7").cast("double") / F.col("s1"), 4)
                     .alias("mase")))
+
+
+@q("stat_spearman_rho", """
+WITH s AS (
+  SELECT value AS x, CAST(user_id AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+rx AS (
+  SELECT x, 2 * (sum(c) OVER (ORDER BY x) - c) + c + 1 AS r2x
+  FROM (SELECT x, count(*) AS c FROM s GROUP BY x)),
+ry AS (
+  SELECT y, 2 * (sum(c) OVER (ORDER BY y) - c) + c + 1 AS r2y
+  FROM (SELECT y, count(*) AS c FROM s GROUP BY y)),
+j AS (
+  SELECT CAST(rx.r2x AS BIGINT) AS rx2, CAST(ry.r2y AS BIGINT) AS ry2
+  FROM s JOIN rx USING (x) JOIN ry USING (y)),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+         CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+         CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+         CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+  FROM j)
+SELECT n,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS rho
+FROM m
+""")
+def stat_spearman_rho(spark, sf):
+    """Spearman rank correlation (events value vs user_id) with midrank
+    tie handling, EXACT until one final formula: doubled midranks
+    2r = 2b + c + 1 are bigints (b = exclusive prefix count from the
+    distributed two-phase prefix-sum, c = tie-group size), so every
+    moment sum (Σx, Σy, Σxy, Σx², Σy²) is an order-independent bigint;
+    rho is Pearson-on-ranks assembled ONCE in double (the doubling
+    cancels). No float accumulation anywhere — the banned corr()-style
+    running covariance never appears. Rank tables are distinct-value
+    sized; rows join to them by value/user_id (plain equi-joins)."""
+    s = (t(spark, sf, "events")
+         .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+         .select(F.col("value").alias("x"),
+                 F.col("user_id").cast("double").alias("y")))
+
+    def midranks(df, col):
+        pv = df.groupBy(col).agg(F.count("*").alias("c"))
+        local = (pv.repartitionByRange(8, col)
+                 .withColumn("_pid", F.spark_partition_id()))
+        wloc = W.partitionBy("_pid").orderBy(col)
+        local = local.withColumn(
+            "lb", F.sum("c").over(wloc) - F.col("c"))
+        offs = (local.groupBy("_pid").agg(F.sum("c").alias("tt"))
+                .withColumn("ob", F.coalesce(
+                    F.sum("tt").over(W.orderBy("_pid")
+                                     .rowsBetween(W.unboundedPreceding, -1)),
+                    F.lit(0)))
+                .select("_pid", "ob"))
+        return (local.join(F.broadcast(offs), "_pid")
+                .select(col,
+                        (2 * (F.col("lb") + F.col("ob")) + F.col("c") + 1)
+                        .cast("bigint").alias(f"r2{col}")))
+
+    j = (s.join(midranks(s, "x"), "x")
+         .join(midranks(s, "y"), "y")
+         .select(F.col("r2x").alias("rx2"), F.col("r2y").alias("ry2")))
+    m = j.agg(F.count("*").cast("bigint").alias("n"),
+              F.sum("rx2").cast("bigint").alias("sx"),
+              F.sum("ry2").cast("bigint").alias("sy"),
+              F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
+              F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
+              F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"))
+    nd = F.col("n").cast("double")
+    rho = F.round(
+        (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / F.sqrt((nd * F.col("sxx")
+                  - F.col("sx").cast("double") * F.col("sx"))
+                 * (nd * F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy"))), 6)
+    return m.select("n", rho.alias("rho"))

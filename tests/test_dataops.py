@@ -1062,3 +1062,27 @@ def test_ks_hand_computed(spark):
         os.path.join(tmp, "events.parquet"))
     row = D.stat_ks_two_sample(spark, tmp).collect()[0]
     assert (row.n1, row.n2, row.d_stat) == (2, 2, 1.0)
+
+
+def test_spearman_rho_monotone_and_hand_case(spark):
+    """Perfectly monotone value-vs-user_id → rho = 1.0 exactly;
+    reversing user_id → −1.0 (midranks cancel the doubling)."""
+    import datetime as _dt
+    import pandas as pd
+
+    def events(uids):
+        return pd.DataFrame({
+            "event_id": range(6),
+            "user_id": uids,
+            "ts": [_dt.datetime(2024, 1, 1)] * 6,
+            "event_type": "click",
+            "value": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0],
+            "props": "",
+        })
+    for uids, want in ([[1, 2, 3, 4, 5, 6], 1.0],
+                       [[6, 5, 4, 3, 2, 1], -1.0]):
+        tmp = tempfile.mkdtemp(prefix="ocrflow_rho_")
+        spark.createDataFrame(events(uids)).write.parquet(
+            os.path.join(tmp, "events.parquet"))
+        row = D.stat_spearman_rho(spark, tmp).collect()[0]
+        assert (row.n, row.rho) == (6, want)
