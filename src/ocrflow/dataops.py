@@ -6973,3 +6973,81 @@ def stat_spearman_rho(spark, sf):
                  * (nd * F.col("syy")
                     - F.col("sy").cast("double") * F.col("sy"))), 6)
     return m.select("n", rho.alias("rho"))
+
+
+@q("stat_welch_ttest", """
+WITH s AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS q
+  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+m AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS sq,
+         CAST(sum(q * q) AS BIGINT) AS sqq
+  FROM s GROUP BY g),
+w AS (SELECT
+        max(CASE WHEN g = 1 THEN n END) AS n1,
+        max(CASE WHEN g = 1 THEN sq END) AS s1,
+        max(CASE WHEN g = 1 THEN sqq END) AS ss1,
+        max(CASE WHEN g = 0 THEN n END) AS n2,
+        max(CASE WHEN g = 0 THEN sq END) AS s2,
+        max(CASE WHEN g = 0 THEN sqq END) AS ss2
+      FROM m),
+v AS (
+  SELECT n1, n2,
+         s1 / CAST(n1 AS DOUBLE) AS m1, s2 / CAST(n2 AS DOUBLE) AS m2,
+         (CAST(n1 AS DOUBLE) * ss1 - CAST(s1 AS DOUBLE) * s1)
+           / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1 AS a1,
+         (CAST(n2 AS DOUBLE) * ss2 - CAST(s2 AS DOUBLE) * s2)
+           / (CAST(n2 AS DOUBLE) * (n2 - 1)) / n2 AS a2
+  FROM w)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND((m1 - m2) / sqrt(a1 + a2), 4) AS t_stat,
+       ROUND((a1 + a2) * (a1 + a2)
+             / (a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1)), 2) AS df
+FROM v
+""")
+def stat_welch_ttest(spark, sf):
+    """Welch's unequal-variance t-test ('click' vs 'view' values):
+    values are cent-quantized (q = ROUND(100·v) — identical doubles →
+    identical bigints in both engines), so Σq and Σq² are EXACT and
+    order-independent; means, the variance-over-n terms a_i =
+    var_i/n_i, the t statistic, and the Welch–Satterthwaite df are
+    each assembled once in double from those exact sums (the cent
+    scale cancels in t and df). One 2-group aggregation, a
+    conditional-max pivot to one row — the parametric companion to
+    stat_mannwhitney_u."""
+    s = (t(spark, sf, "events")
+         .filter(F.col("event_type").isin("click", "view")
+                 & F.col("value").isNotNull())
+         .select(F.when(F.col("event_type") == "click", 1).otherwise(0)
+                 .alias("g"),
+                 F.round(F.col("value") * 100, 0).cast("long").alias("q")))
+    m = s.groupBy("g").agg(F.count("*").cast("bigint").alias("n"),
+                           F.sum("q").cast("bigint").alias("sq"),
+                           F.sum(F.col("q") * F.col("q")).cast("bigint")
+                           .alias("sqq"))
+    w = m.agg(
+        F.max(F.when(F.col("g") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g") == 1, F.col("sq"))).alias("s1"),
+        F.max(F.when(F.col("g") == 1, F.col("sqq"))).alias("ss1"),
+        F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("g") == 0, F.col("sq"))).alias("s2"),
+        F.max(F.when(F.col("g") == 0, F.col("sqq"))).alias("ss2"))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1 = F.col("s1") / n1d
+    m2 = F.col("s2") / n2d
+    a1 = ((n1d * F.col("ss1") - F.col("s1").cast("double") * F.col("s1"))
+          / (n1d * (F.col("n1") - 1)) / F.col("n1"))
+    a2 = ((n2d * F.col("ss2") - F.col("s2").cast("double") * F.col("s2"))
+          / (n2d * (F.col("n2") - 1)) / F.col("n2"))
+    v = w.select("n1", "n2", m1.alias("m1"), m2.alias("m2"),
+                 a1.alias("a1"), a2.alias("a2"))
+    return v.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round((F.col("m1") - F.col("m2"))
+                / F.sqrt(F.col("a1") + F.col("a2")), 4).alias("t_stat"),
+        F.round((F.col("a1") + F.col("a2")) * (F.col("a1") + F.col("a2"))
+                / (F.col("a1") * F.col("a1") / (F.col("n1") - 1)
+                   + F.col("a2") * F.col("a2") / (F.col("n2") - 1)), 2)
+        .alias("df"))
