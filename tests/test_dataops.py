@@ -1086,3 +1086,23 @@ def test_spearman_rho_monotone_and_hand_case(spark):
             os.path.join(tmp, "events.parquet"))
         row = D.stat_spearman_rho(spark, tmp).collect()[0]
         assert (row.n, row.rho) == (6, want)
+
+
+def test_welch_identical_samples_t_zero(spark):
+    """Identical click/view samples → t = 0 exactly, and the
+    Welch–Satterthwaite df collapses to 2(n−1) = 4."""
+    import datetime as _dt
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "event_id": range(6),
+        "user_id": range(6),
+        "ts": [_dt.datetime(2024, 1, 1)] * 6,
+        "event_type": ["click"] * 3 + ["view"] * 3,
+        "value": [1.0, 2.0, 3.0, 1.0, 2.0, 3.0],
+        "props": "",
+    })
+    tmp = tempfile.mkdtemp(prefix="ocrflow_welch_")
+    spark.createDataFrame(pdf).write.parquet(
+        os.path.join(tmp, "events.parquet"))
+    row = D.stat_welch_ttest(spark, tmp).collect()[0]
+    assert (row.n1, row.n2, row.t_stat, row.df) == (3, 3, 0.0, 4.0)
