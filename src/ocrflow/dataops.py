@@ -7051,3 +7051,70 @@ def stat_welch_ttest(spark, sf):
                 / (F.col("a1") * F.col("a1") / (F.col("n1") - 1)
                    + F.col("a2") * F.col("a2") / (F.col("n2") - 1)), 2)
         .alias("df"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sketches (count-min) — exact cross-engine construction
+# ---------------------------------------------------------------------------
+
+@q("sketch_count_min", """
+WITH e AS (
+  SELECT user_id FROM events WHERE user_id IS NOT NULL),
+h AS (
+  SELECT d.seed, substr(md5(d.seed || ':' || CAST(e.user_id AS VARCHAR)),
+                        1, 2) AS bucket
+  FROM e CROSS JOIN (SELECT unnest(['1', '2', '3']) AS seed) d),
+counters AS (
+  SELECT seed, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM h GROUP BY seed, bucket),
+probes AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS exact_n
+  FROM e WHERE user_id IN (1, 2, 3) GROUP BY user_id),
+ph AS (
+  SELECT p.user_id, p.exact_n, d.seed,
+         substr(md5(d.seed || ':' || CAST(p.user_id AS VARCHAR)), 1, 2)
+           AS bucket
+  FROM probes p CROSS JOIN (SELECT unnest(['1', '2', '3']) AS seed) d)
+SELECT pr.user_id, pr.exact_n,
+       CAST(min(c.c) AS BIGINT) AS cm_est,
+       CAST(min(c.c) - pr.exact_n AS BIGINT) AS overcount
+FROM ph pr JOIN counters c ON pr.seed = c.seed AND pr.bucket = c.bucket
+GROUP BY pr.user_id, pr.exact_n
+""")
+def sketch_count_min(spark, sf):
+    """Count-min sketch, built DISTRIBUTIVELY and deterministically:
+    d=3 hash rows (md5 with seed prefixes — the repo's engine-portable
+    hash idiom), w=256 buckets (2 hex chars AS the bucket key, no
+    modulo), counters = ONE map-side-combinable groupBy over (seed,
+    bucket) — the d×w grid is 768 rows total regardless of input
+    size, the sketch property. Estimates for 3 probe keys join the
+    tiny counter grid (broadcast at scale) and take min over rows;
+    the CM guarantee est ≥ exact surfaces as an explicit non-negative
+    overcount column. Everything is exact integer counts — the sketch
+    CONSTRUCTION is deterministic even though the estimate is
+    approximate — so the key takes the string-exact gate, like
+    heavy_hitters_mg before it."""
+    e = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    seeds = spark.createDataFrame([("1",), ("2",), ("3",)], "seed string")
+    h = (e.crossJoin(F.broadcast(seeds))
+         .select("seed",
+                 F.substring(F.md5(F.concat_ws(
+                     ":", "seed", F.col("user_id").cast("string"))), 1, 2)
+                 .alias("bucket")))
+    counters = h.groupBy("seed", "bucket").agg(
+        F.count("*").cast("bigint").alias("c"))
+    probes = (e.filter(F.col("user_id").isin(1, 2, 3))
+              .groupBy("user_id")
+              .agg(F.count("*").cast("bigint").alias("exact_n")))
+    ph = (probes.crossJoin(F.broadcast(seeds))
+          .select("user_id", "exact_n", "seed",
+                  F.substring(F.md5(F.concat_ws(
+                      ":", "seed", F.col("user_id").cast("string"))), 1, 2)
+                  .alias("bucket")))
+    return (ph.join(F.broadcast(counters), ["seed", "bucket"])
+            .groupBy("user_id", "exact_n")
+            .agg(F.min("c").cast("bigint").alias("cm_est"),
+                 (F.min("c") - F.col("exact_n")).cast("bigint")
+                 .alias("overcount"))
+            .select("user_id", "exact_n", "cm_est", "overcount"))
