@@ -163,10 +163,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # eval_confusion_binary, eval_equalized_odds) — likewise register
 # outside the window, each string-exact at sf0.001 + sf0.01 — and,
 # with stat_spearman_rho, stat_welch_ttest, ts_forecast_accuracy and
-# sketch_count_min, re-proven string-exact at sf0.01 under the STOCK
-# default session (the rotation-readiness proof prior rotations
-# required), so all eighteen join the round-5 candidate list
-# pre-qualified.
+# sketch_count_min and sketch_histogram_quantile, re-proven
+# string-exact at sf0.01 under the STOCK default session (the
+# rotation-readiness proof prior rotations required), so all nineteen
+# join the round-5 candidate list pre-qualified.
 # Everything after the window:
 # remaining oracled keys first (next in line if the window grows), then
 # rows-only keys (streams, sketches, sinks, iterative ops) last.

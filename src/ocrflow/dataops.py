@@ -7118,3 +7118,65 @@ def sketch_count_min(spark, sf):
                  (F.min("c") - F.col("exact_n")).cast("bigint")
                  .alias("overcount"))
             .select("user_id", "exact_n", "cm_est", "overcount"))
+
+
+@q("sketch_histogram_quantile", """
+WITH e AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+mm AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM e),
+b AS (
+  SELECT least(CAST(floor((v - lo) / ((hi - lo) / 32.0)) AS BIGINT), 31)
+           AS bin,
+         count(*) AS c
+  FROM e CROSS JOIN mm GROUP BY 1),
+cum AS (
+  SELECT bin, c, sum(c) OVER (ORDER BY bin) - c AS before_c FROM b),
+med AS (
+  SELECT bin, c, before_c FROM cum CROSS JOIN mm
+  WHERE before_c < 0.5 * n AND before_c + c >= 0.5 * n)
+SELECT CAST(mm.n AS BIGINT) AS n,
+       ROUND(mm.lo + ((mm.hi - mm.lo) / 32.0)
+             * (med.bin + (0.5 * mm.n - med.before_c) / med.c), 4)
+         AS est_median,
+       ROUND(median(e.v), 4) AS exact_median
+FROM e CROSS JOIN mm CROSS JOIN med
+GROUP BY mm.n, mm.lo, mm.hi, med.bin, med.c, med.before_c
+""")
+def sketch_histogram_quantile(spark, sf):
+    """Histogram quantile sketch: a 32-bin equi-width histogram (ONE
+    map-combinable groupBy; the sketch is 32 rows regardless of input)
+    with within-bin linear interpolation for the median estimate,
+    published NEXT TO the exact median so the sketch error is visible
+    — the AQP pattern of aqp_sample_estimate applied to quantiles.
+    Bin counts and cumulative offsets are exact integers (the 32-row
+    cumsum is driver-cheap); min/max are exact; the interpolation is
+    one formula. The exact median averages the two middle doubles —
+    a single add, no float accumulation — so both columns take the
+    string-exact gate."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull()) \
+        .select(F.col("value").alias("v"))
+    mm = e.agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+               F.count("*").alias("n"))
+    width = (F.col("hi") - F.col("lo")) / 32.0
+    b = (e.crossJoin(F.broadcast(mm))
+         .select(F.least(F.floor((F.col("v") - F.col("lo")) / width)
+                         .cast("bigint"), F.lit(31)).alias("bin"))
+         .groupBy("bin").agg(F.count("*").alias("c")))
+    cum = b.withColumn(
+        "before_c",
+        F.sum("c").over(W.orderBy("bin")
+                        .rowsBetween(W.unboundedPreceding, -1))).fillna(
+        {"before_c": 0})
+    med = (cum.crossJoin(F.broadcast(mm))
+           .filter((F.col("before_c") < 0.5 * F.col("n"))
+                   & (F.col("before_c") + F.col("c") >= 0.5 * F.col("n")))
+           .select("bin", "c", "before_c"))
+    est = (mm.crossJoin(F.broadcast(med))
+           .select("n", "lo", "hi", "bin", "c", "before_c",
+                   F.round(F.col("lo") + (F.col("hi") - F.col("lo")) / 32.0
+                           * (F.col("bin")
+                              + (0.5 * F.col("n") - F.col("before_c"))
+                              / F.col("c")), 4).alias("est_median")))
+    exact = e.agg(F.round(F.median("v"), 4).alias("exact_median"))
+    return (est.crossJoin(F.broadcast(exact))
+            .select(F.col("n").cast("bigint").alias("n"),
+                    "est_median", "exact_median"))
