@@ -5655,7 +5655,20 @@ def global_rank(df, keys, partitions=8, out_col="rn"):
     at any scale) turned into cumulative offsets and broadcast back.
     Shared by er_sorted_neighborhood and feat_quantile_normalize; the
     scalable replacement wherever a naive Window.orderBy(...) global
-    rank would funnel the table through one partition."""
+    rank would funnel the table through one partition.
+
+    CORRECTNESS INVARIANT: the offsets branch and the join branch
+    both re-derive `local`; they agree on partition ids only because
+    the two subtrees are byte-identical, so the sampled range
+    exchange is deduped by ReuseExchange. Do NOT add per-branch
+    projections between repartitionByRange and the two consumers —
+    that splits the exchange and the branches can re-sample different
+    boundaries (the bug global_prefix_sums hit and fixed with
+    deterministic width_bucket buckets; multi-key sorts can't
+    width_bucket directly, so this helper keeps the reuse-based form
+    with this guard). Stability is stress-asserted in the oracle
+    gate: both user keys string-exact across repeated runs under
+    tuned AND stock sessions."""
     from pyspark.sql import functions as F
     local = (df.repartitionByRange(partitions, *[F.col(k) for k in keys])
              .withColumn("_gr_pid", F.spark_partition_id())
@@ -5672,6 +5685,57 @@ def global_rank(df, keys, partitions=8, out_col="rn"):
             .withColumn(out_col,
                         (F.col("_gr_lrn") + F.col("_gr_off")).cast("long"))
             .drop("_gr_pid", "_gr_lrn", "_gr_off"))
+
+
+def global_prefix_sums(df, order_col, cols, partitions=8):
+    """EXCLUSIVE global prefix sums of `cols` in `order_col` order
+    WITHOUT a single-partition window — the two-phase trick: bucket
+    the (numeric) order column into `partitions` DETERMINISTIC
+    equi-width ranges, per-bucket local cumsum, per-bucket totals
+    (|P| rows, driver-cheap) turned into exclusive offsets and
+    broadcast back. Adds one column ``{c}_ps`` per input col. Shared
+    by the rank/ECDF statistics (stat_ks_two_sample,
+    stat_mannwhitney_u, eval_auc_roc, stat_spearman_rho).
+
+    The bucket id is a PURE FUNCTION of the value (width_bucket over
+    the broadcast min/max), NOT spark_partition_id() after a
+    repartitionByRange: range-exchange boundaries are SAMPLED, so two
+    re-executions of that subtree (the offsets branch and the join
+    branch) can disagree unless ReuseExchange happens to fire —
+    partition-id-based offsets are only correct by that accident.
+    Equi-width buckets trade balance for determinism; skewed order
+    columns cost balance, never correctness."""
+    mm = df.agg(F.min(order_col).alias("_pps_lo"),
+                F.max(order_col).alias("_pps_hi"))
+    local = (df.crossJoin(F.broadcast(mm))
+             .withColumn(
+                 "_pps_pid",
+                 F.when(F.col("_pps_hi") <= F.col("_pps_lo"), F.lit(1))
+                 .otherwise(F.least(
+                     F.width_bucket(F.col(order_col), F.col("_pps_lo"),
+                                    F.col("_pps_hi"), F.lit(partitions)),
+                     F.lit(partitions))))
+             .drop("_pps_lo", "_pps_hi"))
+    wloc = W.partitionBy("_pps_pid").orderBy(order_col)
+    woff = (W.orderBy("_pps_pid")
+            .rowsBetween(W.unboundedPreceding, -1))
+    for c in cols:
+        local = local.withColumn(
+            f"_pps_l_{c}", F.sum(c).over(wloc) - F.col(c))
+    offs = local.groupBy("_pps_pid").agg(
+        *[F.sum(c).alias(f"_pps_t_{c}") for c in cols])
+    for c in cols:
+        offs = offs.withColumn(
+            f"_pps_o_{c}",
+            F.coalesce(F.sum(f"_pps_t_{c}").over(woff), F.lit(0)))
+    offs = offs.select("_pps_pid", *[f"_pps_o_{c}" for c in cols])
+    out = local.join(F.broadcast(offs), "_pps_pid")
+    for c in cols:
+        out = (out.withColumn(c + "_ps",
+                              F.col(f"_pps_l_{c}") + F.col(f"_pps_o_{c}"))
+               .drop(f"_pps_l_{c}", f"_pps_o_{c}"))
+    return out.drop("_pps_pid")
+
 
 
 @q("er_sorted_neighborhood", """
@@ -6308,28 +6372,11 @@ def stat_ks_two_sample(spark, sf):
                  .alias("is1")))
     pv = s.groupBy("v").agg(F.sum("is1").alias("c1"),
                             F.sum(1 - F.col("is1")).alias("c2"))
-    local = (pv.repartitionByRange(8, "v")
-             .withColumn("_pid", F.spark_partition_id()))
-    wloc = W.partitionBy("_pid").orderBy("v")
-    local = (local
-             .withColumn("l1", F.sum("c1").over(wloc))
-             .withColumn("l2", F.sum("c2").over(wloc)))
-    offs = (local.groupBy("_pid")
-            .agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
-            .withColumn("o1", F.coalesce(
-                F.sum("t1").over(W.orderBy("_pid")
-                                 .rowsBetween(W.unboundedPreceding, -1)),
-                F.lit(0)))
-            .withColumn("o2", F.coalesce(
-                F.sum("t2").over(W.orderBy("_pid")
-                                 .rowsBetween(W.unboundedPreceding, -1)),
-                F.lit(0)))
-            .select("_pid", "o1", "o2"))
     n = s.agg(F.sum("is1").cast("bigint").alias("n1"),
               F.sum(1 - F.col("is1")).cast("bigint").alias("n2"))
-    cum = (local.join(F.broadcast(offs), "_pid")
-           .select((F.col("l1") + F.col("o1")).alias("a1"),
-                   (F.col("l2") + F.col("o2")).alias("a2")))
+    cum = (global_prefix_sums(pv, "v", ["c1", "c2"])
+           .select((F.col("c1_ps") + F.col("c1")).alias("a1"),
+                   (F.col("c2_ps") + F.col("c2")).alias("a2")))
     return (cum.crossJoin(F.broadcast(n))
             .groupBy("n1", "n2")
             .agg(F.round(F.max(F.abs(
@@ -6371,25 +6418,13 @@ def stat_mannwhitney_u(spark, sf):
          .select(F.col("value").alias("v"),
                  F.when(F.col("event_type") == "click", 1).otherwise(0)
                  .alias("is1")))
-    pv = s.groupBy("v").agg(F.sum("is1").alias("c1"),
-                            F.sum(1 - F.col("is1")).alias("c2"))
-    local = (pv.repartitionByRange(8, "v")
-             .withColumn("_pid", F.spark_partition_id()))
-    wloc = W.partitionBy("_pid").orderBy("v")
-    local = local.withColumn(
-        "lb", F.sum(F.col("c1") + F.col("c2")).over(wloc)
-        - (F.col("c1") + F.col("c2")))
-    offs = (local.groupBy("_pid")
-            .agg(F.sum(F.col("c1") + F.col("c2")).alias("tt"))
-            .withColumn("ob", F.coalesce(
-                F.sum("tt").over(W.orderBy("_pid")
-                                 .rowsBetween(W.unboundedPreceding, -1)),
-                F.lit(0)))
-            .select("_pid", "ob"))
+    pv = (s.groupBy("v").agg(F.sum("is1").alias("c1"),
+                             F.sum(1 - F.col("is1")).alias("c2"))
+          .withColumn("ct", F.col("c1") + F.col("c2")))
     n = s.agg(F.sum("is1").cast("bigint").alias("n1"),
               F.sum(1 - F.col("is1")).cast("bigint").alias("n2"))
-    cum = (local.join(F.broadcast(offs), "_pid")
-           .select("c1", "c2", (F.col("lb") + F.col("ob")).alias("b")))
+    cum = (global_prefix_sums(pv, "v", ["ct"])
+           .select("c1", "c2", F.col("ct_ps").alias("b")))
     return (cum.crossJoin(F.broadcast(n))
             .groupBy("n1", "n2")
             .agg((F.sum(F.col("c1")
@@ -6693,25 +6728,13 @@ def eval_auc_roc(spark, sf):
          .select(F.col("value").alias("v"),
                  F.when(F.col("event_type") == "purchase", 1).otherwise(0)
                  .alias("is1")))
-    pv = s.groupBy("v").agg(F.sum("is1").alias("c1"),
-                            F.sum(1 - F.col("is1")).alias("c2"))
-    local = (pv.repartitionByRange(8, "v")
-             .withColumn("_pid", F.spark_partition_id()))
-    wloc = W.partitionBy("_pid").orderBy("v")
-    local = local.withColumn(
-        "lb", F.sum(F.col("c1") + F.col("c2")).over(wloc)
-        - (F.col("c1") + F.col("c2")))
-    offs = (local.groupBy("_pid")
-            .agg(F.sum(F.col("c1") + F.col("c2")).alias("tt"))
-            .withColumn("ob", F.coalesce(
-                F.sum("tt").over(W.orderBy("_pid")
-                                 .rowsBetween(W.unboundedPreceding, -1)),
-                F.lit(0)))
-            .select("_pid", "ob"))
+    pv = (s.groupBy("v").agg(F.sum("is1").alias("c1"),
+                             F.sum(1 - F.col("is1")).alias("c2"))
+          .withColumn("ct", F.col("c1") + F.col("c2")))
     n = s.agg(F.sum("is1").cast("bigint").alias("n1"),
               F.sum(1 - F.col("is1")).cast("bigint").alias("n0"))
-    cum = (local.join(F.broadcast(offs), "_pid")
-           .select("c1", "c2", (F.col("lb") + F.col("ob")).alias("b")))
+    cum = (global_prefix_sums(pv, "v", ["ct"])
+           .select("c1", "c2", F.col("ct_ps").alias("b")))
     return (cum.crossJoin(F.broadcast(n))
             .groupBy("n1", "n0")
             .agg(F.round(
@@ -6940,20 +6963,9 @@ def stat_spearman_rho(spark, sf):
 
     def midranks(df, col):
         pv = df.groupBy(col).agg(F.count("*").alias("c"))
-        local = (pv.repartitionByRange(8, col)
-                 .withColumn("_pid", F.spark_partition_id()))
-        wloc = W.partitionBy("_pid").orderBy(col)
-        local = local.withColumn(
-            "lb", F.sum("c").over(wloc) - F.col("c"))
-        offs = (local.groupBy("_pid").agg(F.sum("c").alias("tt"))
-                .withColumn("ob", F.coalesce(
-                    F.sum("tt").over(W.orderBy("_pid")
-                                     .rowsBetween(W.unboundedPreceding, -1)),
-                    F.lit(0)))
-                .select("_pid", "ob"))
-        return (local.join(F.broadcast(offs), "_pid")
+        return (global_prefix_sums(pv, col, ["c"])
                 .select(col,
-                        (2 * (F.col("lb") + F.col("ob")) + F.col("c") + 1)
+                        (2 * F.col("c_ps") + F.col("c") + 1)
                         .cast("bigint").alias(f"r2{col}")))
 
     j = (s.join(midranks(s, "x"), "x")

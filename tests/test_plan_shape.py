@@ -386,11 +386,16 @@ def test_phrase_match_equi_join_postings(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_ks_prefix_sum_range_partitioned(spark):
-    # the ECDF cumulative must ride a RANGE exchange (two-phase
-    # prefix-sum), never a single-partition window over the data
+def test_ks_prefix_sum_bucket_partitioned(spark):
+    # the ECDF cumulative must ride the deterministic width_bucket
+    # two-phase prefix-sum: a hash exchange on the derived bucket id,
+    # never a single-partition window over the data (the bucket id is
+    # a pure function of the value — NOT spark_partition_id after a
+    # sampled range exchange, which is only consistent across the
+    # offsets/join branches when ReuseExchange happens to fire)
     plan = _plan(QUERIES["stat_ks_two_sample"](spark, SF_DIR))
-    assert "rangepartitioning" in plan.lower()
+    assert "width_bucket" in plan
+    assert "hashpartitioning(_pps_pid" in plan
 
 
 def test_ndcg_windows_share_one_user_exchange(spark):
