@@ -247,3 +247,34 @@ def test_asof_nearest_matches_naive_oracle(spark):
             cand.sort()
             expected[e] = cand[0][3]
         assert got == expected, f"seed {seed}"
+
+
+def test_global_prefix_sums_matches_single_partition_window(spark):
+    """global_prefix_sums must equal the naive single-partition window
+    on every value — including run-to-run stability (the sampled
+    range-exchange hazard §r04y regressed EXACTLY here: branches
+    disagreed only on some executions). Deterministic seeded data,
+    two payload columns, two repetitions, several bucket counts."""
+    import ocrflow.dataops as D
+    from pyspark.sql import functions as F, Window as W
+
+    rows = [(float((i * 37) % 500) + (i % 3) * 0.25,
+             (i * 13) % 7 + 1, (i * 29) % 11 + 1)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "v double, a int, b int") \
+        .groupBy("v").agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+    truth = {r["v"]: (r["a_ps"], r["b_ps"]) for r in df.select(
+        "v",
+        F.coalesce(F.sum("a").over(
+            W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0)).alias("a_ps"),
+        F.coalesce(F.sum("b").over(
+            W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0)).alias("b_ps")).collect()}
+    for parts in (2, 8, 32):
+        for _rep in range(2):
+            got = {r["v"]: (r["a_ps"], r["b_ps"])
+                   for r in D.global_prefix_sums(
+                       df, "v", ["a", "b"], partitions=parts)
+                   .select("v", "a_ps", "b_ps").collect()}
+            assert got == truth, f"partitions={parts} rep={_rep}"
