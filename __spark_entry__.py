@@ -221,5 +221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     import ocrflow.dataops  # noqa: F401 — registers into ORACLE
     import ocrflow.multimodal  # noqa: F401 — registers into ORACLE
+    import ocrflow.streaming  # noqa: F401 — registers the 5 batch-twin
+    # stream oracles (tumbling/sliding/dedup/join_static/stream_join);
+    # without this import the driver saw them as rows-only keys
     from ocrflow.queries import ORACLE
     return _ordered(dict(ORACLE), set(ORACLE))

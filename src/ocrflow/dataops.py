@@ -452,6 +452,33 @@ def ann_lsh_bucketed(spark, sf):
     return ann_lsh_bucketed_with(spark, sf)
 
 
+@q("ann_lsh_recall", f"""
+SELECT CAST({ANN_QUERIES} AS BIGINT) AS n_queries, true AS recall_ok
+""")
+def ann_lsh_recall(spark, sf):
+    """Externally checkable recall row for the sign-LSH ANN scanner:
+    joins ann_lsh_bucketed's candidates against the brute-force exact
+    top-k (both computed in Spark, fixed seed 42) and asserts recall
+    >= 0.6 — the same bound the local behavioral test enforces, here
+    upgraded to a driver-verifiable row. The oracle is the CONTRACT
+    (n_queries and the recall bound), not the sf-dependent recall
+    value itself: hyperplanes have no SQL twin, but whether the
+    scanner meets its recall spec on the given corpus is a fixed
+    boolean both engines can state. Composition cost: the truth side
+    is the brute-force scan (the baseline ANN), so this row doubles as
+    a standing scanner-vs-verifier agreement check, same pattern as
+    the dedup scanner/verifier twins."""
+    truth = (ann_bruteforce_cosine(spark, sf)
+             .select("query_id", "neighbor_id"))
+    lsh = (ann_lsh_bucketed_with(spark, sf)
+           .select("query_id", "neighbor_id", F.lit(1).alias("_hit")))
+    marked = truth.join(lsh, ["query_id", "neighbor_id"], "left")
+    return marked.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        ((F.sum(F.coalesce("_hit", F.lit(0)))
+          / F.count("*")) >= 0.6).alias("recall_ok"))
+
+
 @q("dedup_embedding_lsh")  # rows-only: hyperplane seeds have no SQL twin
 def dedup_embedding_lsh(spark, sf, n_tables: int = 6, n_bits: int = 4,
                         seed: int = 7, tau: float = 0.95,
@@ -1132,16 +1159,93 @@ def join_bucketed_colocated(spark, sf):
             .select("o_orderkey", "c_name", "o_totalprice"))
 
 
-@q("conv_reassembly")  # rows-only: synthesized transcripts, no oracle table
+_CONV_REASSEMBLY_GOLDEN_SQL = """
+SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_chars AS BIGINT) AS n_chars, conv_md5
+FROM (VALUES
+  ('conv-00000000', 34, 9948, 'b624a40573febf81eb76670b4cdbe2d7'),
+  ('conv-00000001', 28, 7940, '73a1831a3a2ebdc725029482d297672a'),
+  ('conv-00000002', 30, 9126, '0b339eb138dc5853998e5ac29f4b2535'),
+  ('conv-00000003', 18, 4144, 'e39f57f396b591c5d2eb6609e3dfc2e9'),
+  ('conv-00000004', 21, 6149, '3bc4baab80ea33bed9e82200644cacb7'),
+  ('conv-00000005', 11, 2546, 'a8e5566bcdc26bafb0293dae2b0f59a3'),
+  ('conv-00000006', 33, 8166, '99f950974d6878b4a896821473be251c'),
+  ('conv-00000007', 32, 7373, 'bb7b016af7cd0b2dadc172a5dce44077'),
+  ('conv-00000008', 32, 7936, '92c8433eaac1ac41603dd9326575ac0e'),
+  ('conv-00000009', 3, 627, '633a5b23808cbbcf2a3339f5f40e2107'),
+  ('conv-00000010', 354, 100508, '95ffcd228bf67ca3068d0d537ebf1d5f'),
+  ('conv-00000011', 14, 2582, 'e1e8bcac2ad2bac9619b7a8189fb8405'),
+  ('conv-00000012', 15, 3702, 'e8a3604d8246632c96eae2bb021894e9'),
+  ('conv-00000013', 38, 10463, '6b08dbad341a58e86178aea853088f5e'),
+  ('conv-00000014', 16, 3417, 'b7396dad50f0ebddbc8d625c64d85145'),
+  ('conv-00000015', 4, 1077, 'e0c41bd9622f4ce09aa54a73a8c5fada'),
+  ('conv-00000016', 25, 6547, 'e7d307f1fcaa0270e6f58b4c627dfa11'),
+  ('conv-00000017', 21, 8166, 'a6807f477573232dc2f56893ff4a65b1'),
+  ('conv-00000018', 2, 182, '4e69b4f0061ee1fab006af28d17c2a09'),
+  ('conv-00000019', 18, 4603, '38f5576e308e67abd3aacc9a72bbaefd'),
+  ('conv-00000020', 19, 5199, '24b71e46ee6ac7344f08fc0c6446dcd0'),
+  ('conv-00000021', 6, 1522, '109ae62e3655ca50c606fabb24b061a6'),
+  ('conv-00000022', 34, 9919, '5e9bf2a5cf891e7f37151e4541c2c2eb'),
+  ('conv-00000023', 7, 1837, 'e075631f3ba99a13b7ce3c3cff9d0406'),
+  ('conv-00000024', 36, 9796, '5b20dca10569f5e42ae824c8ef3df78a'),
+  ('conv-00000025', 11, 3185, 'dad76e592f4d8e92aabe7d4991e7af59'),
+  ('conv-00000026', 37, 8653, '139cdf19bfb008c9ef8d571ecf77cad4'),
+  ('conv-00000027', 33, 10139, 'd129281a42bc7c907cd9a50bc3694752'),
+  ('conv-00000028', 13, 3970, 'ec649886a0aa8da44479560aa68d0096'),
+  ('conv-00000029', 27, 6330, '299c4f30fb27b041053618546602f7dc'),
+  ('conv-00000030', 39, 10776, 'e334f570e8fd3b9986c8a7e72efcfe36'),
+  ('conv-00000031', 9, 2687, '258583d2edfbb4e34effeeab5b1e01d1'),
+  ('conv-00000032', 28, 8639, '3d72316ddbd1d8efeb387c9caa2ca295'),
+  ('conv-00000033', 17, 3058, '407545ecd79e4f0ff5567f5239f7c0ee'),
+  ('conv-00000034', 18, 5221, '5be612d55ae7c7d05e922d48c81f7718'),
+  ('conv-00000035', 15, 3310, 'a11efccf5ac48b7bf5db509a1408e95e'),
+  ('conv-00000036', 6, 1297, '670fb686df5d4bf6fa9860d54c913f9f'),
+  ('conv-00000037', 36, 9871, 'b08ba307cc8d5dd15487e3e66ded1e32'),
+  ('conv-00000038', 33, 10874, 'c3f1f5bfd66e7b81f94f7cce5d41d373'),
+  ('conv-00000039', 11, 2697, '757036644d55288686d86a5e1e9b3a46'),
+  ('conv-00000040', 37, 8850, '62761593759bdea9e6dd2eef602744bc'),
+  ('conv-00000041', 3, 1085, '66f5565458ed674d210a1182209b842a'),
+  ('conv-00000042', 38, 10179, 'e0b2e7775fa785b63f6dda9143ebfb19'),
+  ('conv-00000043', 15, 4703, 'e9c9958b1734a916b1bf5ed7349c93af'),
+  ('conv-00000044', 16, 4887, 'c6616891a357d35a724935b90916c865'),
+  ('conv-00000045', 21, 5309, '8aee5ca884a0cbf82864499b25b270a7'),
+  ('conv-00000046', 6, 1762, 'c654ba2c6639131e6b5895a08a00078f'),
+  ('conv-00000047', 22, 5689, 'ce9db8137cbe8b23c5b56411bcd3b5cd'),
+  ('conv-00000048', 37, 8233, '0d5fe00bfca7736439a2357cb540dcc9'),
+  ('conv-00000049', 37, 8784, 'a745a73de139f55fe57210facf74f636'),
+  ('conv-00000050', 29, 7366, '2c049e922621050f5c3a9e9feef0724f'),
+  ('conv-00000051', 26, 7324, 'a51dbf0677163225513e913569204676'),
+  ('conv-00000052', 30, 7839, 'f2df09fa75a931c8e0dae270142c9f6b'),
+  ('conv-00000053', 6, 1533, '986aaffaa8f3446bec3eb6ec64e5ba12'),
+  ('conv-00000054', 13, 3499, 'd0288d0cf2aeea4d565f51e5942f594f'),
+  ('conv-00000055', 480, 142863, '165df80f15ebc12fc47e31852cf44943')
+) AS g(conv_id, n_turns, n_chars, conv_md5)
+"""
+
+
+@q("conv_reassembly", _CONV_REASSEMBLY_GOLDEN_SQL)
 def conv_reassembly(spark, sf):
     """The A8 flagship reassembly as a corpus op: deterministic synthetic
     transcripts → extraction → stable-ordered conversation texts
-    (groupBy unsalted conv_id + array_sort; all JVM-side)."""
+    (groupBy unsalted conv_id + array_sort; all JVM-side), fingerprinted
+    per conversation (n_turns, n_chars, md5 of the stitched text).
+
+    ORACLED (round 5) against a GOLDEN VALUES table: the input is
+    sf-independent (synth seed 42, 2000 turns, no monster rows) and the
+    extraction kernel is byte-deterministic (the golden-file suite pins
+    per-turn bytes), so the 56 per-conversation md5s are constants —
+    recorded once and checked by the driver exactly like a golden
+    fixture. Any kernel byte change, ordering slip, or stitch
+    regression anywhere in any conversation flips a hash."""
     from .pipeline import assemble_conversations, extract_df
     from .synth import synth_dataframe
     tr = synth_dataframe(spark, 2000, seed=42, partitions=8,
                          monster_every=0)
-    return assemble_conversations(extract_df(spark, tr, partitions=8))
+    out = assemble_conversations(extract_df(spark, tr, partitions=8))
+    return out.select(
+        "conv_id", F.col("n_turns").cast("bigint").alias("n_turns"),
+        F.length("conversation_text").cast("bigint").alias("n_chars"),
+        F.md5(F.encode("conversation_text", "utf-8")).alias("conv_md5"))
 
 
 @q("conv_reassembly_order", r"""
@@ -2198,12 +2302,17 @@ def edit_candidates(docs, d: int = EDIT_D, qw: int = EDIT_Q,
 
     The pigeonhole needs A to carry MORE positional grams than d·q,
     i.e. char_length(A) ≥ d·q + q (= 20 here): below that an adversary
-    can destroy every gram within budget. Tiny docs therefore post a
-    SENTINEL gram (prefix side: ln < 20; container side: ln < 20 + d,
-    since the length filter |lnA−lnB| ≤ d bounds who a tiny doc can
-    pair with), so tiny-vs-tiny and tiny-vs-near-tiny pairs surface
-    through one small dedicated bucket and losslessness is
-    unconditional, not data-dependent. Docs shorter than q chars have
+    can destroy every gram within budget. Tiny docs therefore post
+    SENTINEL grams keyed by the prefix doc's exact length (prefix
+    side: ln < 20 posts its own length key; container side: ln < 20+d
+    posts every reachable key in [ln-d, ln+d], since the length filter
+    |lnA−lnB| ≤ d bounds who a tiny doc can pair with), so
+    tiny-vs-tiny and tiny-vs-near-tiny pairs surface through l_tiny
+    small dedicated buckets. Sentinel buckets are EXEMPT from the
+    max_bucket hot-gram cap, so losslessness is unconditional, not
+    data-dependent — even a degenerate all-tiny corpus keeps every
+    true pair (and splits across length keys rather than collapsing
+    into one quadratic bucket). Docs shorter than q chars have
     zero grams and ride the sentinel alone (sequence(1, ln-q+1) would
     generate a DESCENDING [1,0] sequence for ln < q — Spark's
     sequence() direction trap — hence the explicit CASE guard).
@@ -2225,14 +2334,38 @@ def edit_candidates(docs, d: int = EDIT_D, qw: int = EDIT_Q,
     posts = base.select("doc_id", F.col("tw.w").alias("w"),
                         (F.col("pos") < pfx_n).alias("pfx"))
     l_tiny = d * qw + qw
-    sentinel = (docs.filter(F.col("ln") < l_tiny + d)
-                .select("doc_id", F.lit("\x00tiny").alias("w"),
-                        (F.col("ln") < l_tiny).alias("pfx")))
-    posts = posts.unionByName(sentinel)
+    # Sentinel buckets are keyed by the PREFIX doc's exact length so a
+    # degenerate all-tiny corpus splits into l_tiny small buckets
+    # instead of one quadratic one: a tiny prefix doc (ln < l_tiny)
+    # posts pfx=true at its own length key; every near-tiny container
+    # doc (ln < l_tiny + d) posts pfx=false at each reachable key in
+    # [ln-d, ln+d] ∩ [0, l_tiny) — the |lnA-lnB| ≤ d levenshtein lower
+    # bound guarantees the true container is among them, so
+    # losslessness is unconditional. 2d+1 extra postings per tiny doc.
+    sent_pfx = (docs.filter(F.col("ln") < l_tiny)
+                .select("doc_id",
+                        F.concat(F.lit("\x00tiny:"),
+                                 F.col("ln").cast("string")).alias("w"),
+                        F.lit(True).alias("pfx")))
+    sent_cont = (docs.filter(F.col("ln") < l_tiny + d)
+                 .select("doc_id",
+                         F.explode(F.expr(
+                             f"transform(sequence(greatest(0, ln - {d}), "
+                             f"least(ln + {d}, {l_tiny - 1})), "
+                             f"k -> concat(char(0), 'tiny:', "
+                             f"CAST(k AS STRING)))")).alias("w"),
+                         F.lit(False).alias("pfx")))
+    posts = posts.unionByName(sent_pfx).unionByName(sent_cont)
     bsz = F.count("*").over(W.partitionBy("w"))
     posts = posts.withColumn("bsz", bsz).filter(F.col("bsz") >= 2)
     if max_bucket is not None:
-        posts = posts.filter(F.col("bsz") <= max_bucket)
+        # The hot-gram cap applies only to REAL gram buckets — dropping
+        # a sentinel bucket would silently lose tiny-doc pairs and
+        # break the unconditional-losslessness contract. (Capping real
+        # grams is the same documented recall/scale tradeoff as the
+        # LSH/containment scanners; it never engages at test SF.)
+        posts = posts.filter((F.col("bsz") <= max_bucket)
+                             | F.col("w").startswith("\x00tiny:"))
     grouped = (posts.groupBy("w")
                .agg(F.collect_list(F.struct("doc_id", "pfx")).alias("ids")))
     pair_expr = F.expr("""
@@ -5650,28 +5783,63 @@ def k_anonymity_check(spark, sf):
 def global_rank(df, keys, partitions=8, out_col="rn"):
     """Dense global row_number over `keys` (which must form a total
     order) WITHOUT a single-partition window — the two-phase trick:
-    repartitionByRange on the sort key (one range exchange), per-range
-    local row_number, then per-partition counts (|P| rows, driver-cheap
-    at any scale) turned into cumulative offsets and broadcast back.
-    Shared by er_sorted_neighborhood and feat_quantile_normalize; the
-    scalable replacement wherever a naive Window.orderBy(...) global
-    rank would funnel the table through one partition.
+    DETERMINISTIC equi-width bucketing on a monotone numeric surrogate
+    of the LEADING key (width_bucket over broadcast min/max), per-bucket
+    local row_number over the FULL key tuple, then per-bucket counts
+    (|P| rows, driver-cheap at any scale) turned into cumulative
+    offsets and broadcast back. Shared by er_sorted_neighborhood and
+    feat_quantile_normalize; the scalable replacement wherever a naive
+    Window.orderBy(...) global rank would funnel the table through one
+    partition.
 
-    CORRECTNESS INVARIANT: the offsets branch and the join branch
-    both re-derive `local`; they agree on partition ids only because
-    the two subtrees are byte-identical, so the sampled range
-    exchange is deduped by ReuseExchange. Do NOT add per-branch
-    projections between repartitionByRange and the two consumers —
-    that splits the exchange and the branches can re-sample different
-    boundaries (the bug global_prefix_sums hit and fixed with
-    deterministic width_bucket buckets; multi-key sorts can't
-    width_bucket directly, so this helper keeps the reuse-based form
-    with this guard). Stability is stress-asserted in the oracle
-    gate: both user keys string-exact across repeated runs under
-    tuned AND stock sessions."""
-    from pyspark.sql import functions as F
-    local = (df.repartitionByRange(partitions, *[F.col(k) for k in keys])
-             .withColumn("_gr_pid", F.spark_partition_id())
+    Round-5 rewrite: the previous form keyed offsets on
+    spark_partition_id() after a SAMPLED repartitionByRange, so the
+    offsets branch and the join branch agreed only when ReuseExchange
+    deduped the two byte-identical subtrees — the hazard class
+    global_prefix_sums already fixed with width_bucket (see its
+    docstring; ReuseExchange is not guaranteed under AQE). The bucket
+    id is now a PURE FUNCTION of the row's own leading sort key, so
+    re-executing the subtree in both branches can never disagree,
+    under AQE or any optimizer change — pinned by the no-range-
+    exchange plan assertion in tests/test_plan_shape.py and a
+    property test vs the single-partition window rank.
+
+    Surrogate map (must only be monotone NON-strict w.r.t. the key's
+    sort order — collisions cost bucket balance, never correctness,
+    because ranking within a bucket uses the full key tuple):
+    numerics/timestamps cast to double; dates via days-since-epoch;
+    strings encode (first codepoint, second codepoint clamped to 128)
+    when the first codepoint is ASCII and collapse all non-ASCII-
+    leading strings to one top value — exact for ASCII prefixes and
+    provably order-safe for arbitrary UTF-8 under Spark's binary
+    collation (any non-ASCII char sorts after every ASCII char, and
+    within the collapsed classes ties are harmless). NULL leading
+    keys take bucket 0, matching Spark's ASC NULLS FIRST default."""
+    lead = keys[0]
+    dt = df.schema[lead].dataType.simpleString()
+    c = F.col(lead)
+    if dt == "string":
+        c1 = F.ascii(c).cast("double")
+        c2 = F.least(F.ascii(F.substring(c, 2, 1)).cast("double"),
+                     F.lit(128.0))
+        sur = (F.when(c.isNull(), F.lit(None).cast("double"))
+               .when(c1 < 128, c1 * 256.0 + F.coalesce(c2, F.lit(0.0)))
+               .otherwise(F.lit(32768.0)))
+    elif dt == "date":
+        sur = F.datediff(c, F.lit("1970-01-01").cast("date")).cast("double")
+    else:
+        sur = c.cast("double")
+    mm = df.agg(F.min(sur).alias("_gr_lo"), F.max(sur).alias("_gr_hi"))
+    local = (df.crossJoin(F.broadcast(mm))
+             .withColumn(
+                 "_gr_pid",
+                 F.when(c.isNull(), F.lit(0))
+                 .when(F.col("_gr_hi") <= F.col("_gr_lo"), F.lit(1))
+                 .otherwise(F.least(
+                     F.width_bucket(sur, F.col("_gr_lo"), F.col("_gr_hi"),
+                                    F.lit(partitions)),
+                     F.lit(partitions))))
+             .drop("_gr_lo", "_gr_hi")
              .withColumn("_gr_lrn", F.row_number().over(
                  W.partitionBy("_gr_pid").orderBy(*keys))))
     offsets = (local.groupBy("_gr_pid").count()
@@ -5743,6 +5911,7 @@ WITH r AS (
   SELECT doc_id, lang, n_chars,
          row_number() OVER (ORDER BY lang, n_chars, doc_id) AS rn
   FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
 )
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        CAST(b.rn - a.rn AS INTEGER) AS gap,
@@ -5762,18 +5931,23 @@ def er_sorted_neighborhood(spark, sf, partitions=8, window=4):
 
     The global rank is computed WITHOUT a single-partition window —
     the scale trap of the naive row_number() — via the two-phase
-    trick: repartitionByRange on the sort key (one range exchange),
-    per-range local row_number, then per-partition counts (|P| rows,
-    driver-cheap at any scale) turned into cumulative offsets and
-    broadcast back. Pairing is an equi-join on rank+gap (explode of
-    gaps 1..w-1 on the left), which shuffles balanced 64-bit keys —
-    boundary pairs between ranges fall out of the join for free, no
-    partition-edge replication logic needed. At 100 TB: one range
-    exchange + one rank equi-join, output bounded by n*(w-1).
+    trick: deterministic width_bucket ranges on the leading key's
+    monotone surrogate, per-bucket local row_number, then per-bucket
+    counts (|P| rows, driver-cheap at any scale) turned into
+    cumulative offsets and broadcast back. Pairing is an equi-join on
+    rank+gap (explode of gaps 1..w-1 on the left), which shuffles
+    balanced 64-bit keys — boundary pairs between ranges fall out of
+    the join for free, no partition-edge replication logic needed. At
+    100 TB: one bucket exchange + one rank equi-join, output bounded
+    by n*(w-1). Rows with a NULL blocking key are filtered up front
+    on BOTH engines: Spark ranks NULLS FIRST, DuckDB's row_number
+    NULLS LAST, so keeping them would shift every subsequent rank.
 
     The rank phase is the shared global_rank() helper (also the scale
     path under feat_quantile_normalize)."""
-    d = t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    d = (t(spark, sf, "documents")
+         .filter(F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
+         .select("doc_id", "lang", "n_chars"))
     keys = ["lang", "n_chars", "doc_id"]
     ranked = global_rank(d, keys, partitions=partitions)
     a = ranked.select(
@@ -6109,18 +6283,24 @@ def feat_onehot_topk(spark, sf, k=3):
     value) so both engines pick the same top-k.
 
     At 100 TB: the level census is one tiny combinable aggregate;
-    the encode itself is a broadcast IN-list against the fact — zero
-    fact shuffles, same shape as feat_target_encode."""
+    the encode itself is a broadcast LEFT JOIN of the k-row level set
+    against the fact (hit → keep the level, miss → '__other__') —
+    zero fact shuffles, same shape as feat_target_encode. The level
+    set stays INSIDE the plan as a DataFrame (no .collect() at
+    plan-construction time, the round-5 ADVICE fix): the returned
+    plan is lazy like every sibling key and re-derives the levels
+    from the table's state at execution, never a frozen snapshot."""
     o = t(spark, sf, "orders")
-    topk = [r["o_orderpriority"] for r in
-            (o.groupBy("o_orderpriority").count()
-             .orderBy(F.desc("count"), "o_orderpriority")
-             .limit(k).collect())]
-    cat = (F.when(F.col("o_orderpriority").isin(topk),
-                  F.col("o_orderpriority"))
-           .otherwise("__other__"))
-    return o.select("o_orderkey", cat.alias("category"),
-                    F.lit(1).cast("int").alias("ind"))
+    topk = (o.groupBy("o_orderpriority").count()
+            .orderBy(F.desc("count"), "o_orderpriority")
+            .limit(k)
+            .select(F.col("o_orderpriority").alias("_tk")))
+    return (o.join(F.broadcast(topk),
+                   o["o_orderpriority"] == topk["_tk"], "left")
+            .select("o_orderkey",
+                    F.coalesce(F.col("_tk"), F.lit("__other__"))
+                    .alias("category"),
+                    F.lit(1).cast("int").alias("ind")))
 
 
 @q("udf_arrow_optimized", """
@@ -6287,12 +6467,13 @@ obs AS (SELECT event_type, hb, count(*) AS o FROM e GROUP BY 1, 2),
 rt AS (SELECT event_type, count(*) AS r FROM e GROUP BY 1),
 ct AS (SELECT hb, count(*) AS c FROM e GROUP BY 1),
 n AS (SELECT count(*) AS n FROM e),
+grid AS (SELECT event_type, r, hb, c FROM rt CROSS JOIN ct),
 cells AS (
   SELECT CAST(ROUND(
-           (o - r * c / CAST(n AS DOUBLE))
-           * (o - r * c / CAST(n AS DOUBLE))
+           (COALESCE(o, 0) - r * c / CAST(n AS DOUBLE))
+           * (COALESCE(o, 0) - r * c / CAST(n AS DOUBLE))
            / (r * c / CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT) AS ti
-  FROM obs JOIN rt USING (event_type) JOIN ct USING (hb) CROSS JOIN n)
+  FROM grid LEFT JOIN obs USING (event_type, hb) CROSS JOIN n)
 SELECT CAST(count(*) AS BIGINT) AS n_cells,
        CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
          * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,
@@ -6306,10 +6487,16 @@ def stat_chi_square(spark, sf):
     three hash aggregations; expected = r*c/N and the per-cell
     (o-e)^2/e term are pure scalar doubles, each rounded to integer
     micro-units (ROUND then CAST) so the chi2 sum over cells is an
-    ORDER-INDEPENDENT bigint sum — cross-engine string-exact. Marginal
-    tables are category-sized, broadcast; only the cell table scales
-    (bounded by |types| x 6 here, by category cardinality generally).
-    """
+    ORDER-INDEPENDENT bigint sum — cross-engine string-exact. The cell
+    table is the FULL r x c grid (row marginals cross-joined with
+    column marginals, observed counts left-joined with o = 0 fill):
+    a structurally empty cell still contributes its expected value e
+    to the statistic, matching the textbook definition and the
+    reported dof = (r-1)(c-1) — summing only observed cells would
+    understate chi2 exactly when a cell is empty (round-5 ADVICE fix).
+    Marginal tables are category-sized, broadcast; only the grid
+    scales (bounded by |types| x 6 here, by category cardinality
+    generally)."""
     e = (t(spark, sf, "events")
          .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
          .select("event_type",
@@ -6318,11 +6505,12 @@ def stat_chi_square(spark, sf):
     rt = e.groupBy("event_type").agg(F.count("*").alias("r"))
     ct = e.groupBy("hb").agg(F.count("*").alias("c"))
     n = e.agg(F.count("*").alias("n"))
+    o0 = F.coalesce(F.col("o"), F.lit(0)).cast("double")
     exp = F.col("r") * F.col("c") / F.col("n").cast("double")
-    ti = F.round((F.col("o") - exp) * (F.col("o") - exp) / exp * 1000000,
+    ti = F.round((o0 - exp) * (o0 - exp) / exp * 1000000,
                  0).cast("long")
-    cells = (obs.join(F.broadcast(rt), "event_type")
-             .join(F.broadcast(ct), "hb")
+    cells = (rt.crossJoin(F.broadcast(ct))
+             .join(F.broadcast(obs), ["event_type", "hb"], "left")
              .crossJoin(F.broadcast(n))
              .select(ti.alias("ti")))
     nr = rt.agg(F.count("*").alias("nr"))

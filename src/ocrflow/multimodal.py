@@ -128,11 +128,47 @@ def mm_metadata(spark, sf):
                       "content_md5 string, decoded_units bigint"))
 
 
-@q("mm_resize")  # rows-only
+@q("mm_resize", """
+WITH img AS (
+  SELECT doc_id AS asset_id,
+         CAST(doc_id % 64 + 16 AS BIGINT) AS w,
+         CAST(doc_id % 48 + 16 AS BIGINT) AS h,
+         hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS L
+  FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
+),
+px AS (
+  SELECT asset_id, hx, L,
+         ((iy.k * (h - 1)) // 15) * w + ((ix.k * (w - 1)) // 15) AS pos
+  FROM img, range(16) iy(k), range(16) ix(k)
+),
+b AS (
+  SELECT asset_id,
+         CASE WHEN L = 0 THEN 0 ELSE
+           (strpos('0123456789ABCDEF',
+                   substr(hx, CAST(2 * (pos % L) + 1 AS BIGINT), 1)) - 1) * 16
+           + strpos('0123456789ABCDEF',
+                    substr(hx, CAST(2 * (pos % L) + 2 AS BIGINT), 1)) - 1
+         END AS v
+  FROM px
+)
+SELECT asset_id, CAST(sum(v) AS BIGINT) AS thumb_sum,
+       CAST(256 AS BIGINT) AS thumb_px
+FROM b GROUP BY asset_id
+""")
 def mm_resize(spark, sf):
     """Image resize stub: decode → nearest-neighbor downsample to 16×16
     → checksum. The batch shape (N×H×W → N×16×16) is the real contract;
-    only the decode is fake."""
+    only the decode is fake.
+
+    ORACLED (round 5): sample indices use EXACT integer striding
+    (i*(h-1))//15 — not np.linspace, whose float step can truncate one
+    ULP differently than SQL arithmetic — and the stub decode tiles the
+    payload bytes, so sampled pixel (y, x) is byte (y*w + x) mod L of
+    the utf-8 payload. DuckDB reproduces every byte via hex() + a
+    2-hex-char nibble decode (the md5-threshold trick the samplers
+    already use) over a 16×16 range cross-join — the whole mapInPandas
+    kernel, binary decode included, is string-exact checkable."""
     assets = make_assets(spark, sf).filter(F.col("kind") == "image")
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -142,9 +178,9 @@ def mm_resize(spark, sf):
             for i, (p, w, h) in enumerate(zip(pdf["payload"], pdf["width"],
                                               pdf["height"])):
                 img = _decode_image(p, w, h)
-                ys = np.linspace(0, h - 1, target).astype(np.intp)
-                xs = np.linspace(0, w - 1, target).astype(np.intp)
-                small = img[np.ix_(ys, xs)]
+                ys = (np.arange(target) * (h - 1)) // (target - 1)
+                xs = (np.arange(target) * (w - 1)) // (target - 1)
+                small = img[np.ix_(ys.astype(np.intp), xs.astype(np.intp))]
                 sums[i] = int(small.sum())
             yield pd.DataFrame({"asset_id": pdf["asset_id"],
                                 "thumb_sum": sums,
@@ -192,10 +228,57 @@ def mm_dedup_phash(spark, sf):
                  F.shiftright(F.min("phash"), 48).alias("near_bucket")))
 
 
-@q("mm_frame_sample")  # rows-only
+@q("mm_frame_sample", """
+WITH v AS (
+  SELECT doc_id AS asset_id,
+         CAST(doc_id % 64 + 16 AS BIGINT) AS w,
+         CAST(doc_id % 48 + 16 AS BIGINT) AS h,
+         CAST(doc_id % 30 + 2 AS BIGINT) AS nf,
+         hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS L
+  FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 2
+),
+bpos AS (
+  SELECT asset_id, hx, unnest(range(L)) AS pos FROM v
+),
+bytes AS (
+  SELECT asset_id, pos,
+         (strpos('0123456789ABCDEF',
+                 substr(hx, CAST(2 * pos + 1 AS BIGINT), 1)) - 1) * 16
+         + strpos('0123456789ABCDEF',
+                  substr(hx, CAST(2 * pos + 2 AS BIGINT), 1)) - 1 AS bv
+  FROM bpos
+),
+sums AS (
+  SELECT v.asset_id, v.nf,
+         CASE WHEN v.L = 0 THEN 0 ELSE
+           (v.w * v.h // v.L) * COALESCE(b.total, 0) + COALESCE(b.pre, 0)
+         END AS img_sum
+  FROM v LEFT JOIN (
+    SELECT bb.asset_id, sum(bb.bv) AS total,
+           sum(CASE WHEN bb.pos < (vv.w * vv.h) % vv.L
+                    THEN bb.bv ELSE 0 END) AS pre
+    FROM bytes bb JOIN v vv USING (asset_id)
+    GROUP BY bb.asset_id) b USING (asset_id)
+),
+frames AS (
+  SELECT asset_id, img_sum, unnest(range((nf + 4) // 5)) AS k FROM sums
+)
+SELECT asset_id, CAST(5 * k AS INT) AS frame_idx,
+       CAST(img_sum + 5 * k AS BIGINT) AS frame_checksum
+FROM frames
+""")
 def mm_frame_sample(spark, sf):
     """Video frame sampling stub: one output row per sampled frame
-    (every k-th), the N→M row-expansion shape of real frame extraction."""
+    (every k-th), the N→M row-expansion shape of real frame extraction.
+
+    ORACLED (round 5): the stub decode tiles the utf-8 payload to
+    w × h bytes, so the per-frame checksum decomposes exactly as
+    (w*h // L) * sum(all payload bytes) + sum(first (w*h) mod L bytes)
+    + frame_idx — DuckDB re-derives every payload byte via hex() +
+    nibble decode over range(L) and rebuilds the same arithmetic; the
+    frame fan-out is a range((nf+4)//5) cross-join matching the
+    Python range(0, nf, 5) loop."""
     assets = make_assets(spark, sf).filter(F.col("kind") == "video")
     stride = 5
 

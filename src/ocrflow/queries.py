@@ -2526,7 +2526,7 @@ WITH o AS (
 SELECT user_id, state, valid_from,
        coalesce(lead(valid_from) OVER (PARTITION BY user_id
                                        ORDER BY valid_from, event_id),
-                TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+                TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
        CAST(row_number() OVER (PARTITION BY user_id
                                ORDER BY valid_from, event_id) AS BIGINT)
            AS version
@@ -2553,7 +2553,7 @@ def scd2_build(spark, sf):
     return chg.select(
         "user_id", "state", "valid_from",
         F.coalesce(F.lead("valid_from").over(ob2),
-                   F.lit("9999-12-31 00:00:00").cast("timestamp_ntz"))
+                   F.lit("2200-01-01 00:00:00").cast("timestamp_ntz"))
         .alias("valid_to"),
         F.row_number().over(ob2).cast("bigint").alias("version"))
 
@@ -2599,7 +2599,7 @@ WITH o AS (
   SELECT user_id, state, valid_from,
          coalesce(lead(valid_from) OVER (PARTITION BY user_id
                                          ORDER BY valid_from, event_id),
-                  TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+                  TIMESTAMP '2200-01-01 00:00:00') AS valid_to
   FROM chg
 )
 SELECT e.event_id, d.state AS state_at_event

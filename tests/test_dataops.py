@@ -811,6 +811,13 @@ def test_snm_global_rank_has_no_single_partition_window(spark):
     assert wins, plan
     for w in wins:
         assert "pid" in w, w
+    # r05 invariant pin: the bucket id is a deterministic width_bucket
+    # of the leading sort key, NEVER spark_partition_id() after a
+    # SAMPLED range exchange — a split of that exchange (e.g. under
+    # AQE, where ReuseExchange does not fire) silently corrupted the
+    # old form. If a rangepartitioning exchange reappears here, the
+    # hazard is back.
+    assert "rangepartitioning" not in plan.lower(), plan
 
 
 def test_cusum_flags_planted_level_shift(spark):

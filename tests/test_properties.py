@@ -278,3 +278,76 @@ def test_global_prefix_sums_matches_single_partition_window(spark):
                        df, "v", ["a", "b"], partitions=parts)
                    .select("v", "a_ps", "b_ps").collect()}
             assert got == truth, f"partitions={parts} rep={_rep}"
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    """global_rank must equal the naive single-partition row_number on
+    multi-column keys — including a STRING leading key with empty,
+    non-ASCII, shared-prefix, and NULL values (the surrogate encoding's
+    edge cases) — across bucket counts and repeated runs. This is the
+    determinism twin of the global_prefix_sums property test: the old
+    spark_partition_id()-after-sampled-range-exchange form could
+    disagree between its offsets and join branches whenever
+    ReuseExchange did not dedupe them."""
+    import ocrflow.dataops as D
+    from pyspark.sql import functions as F, Window as W
+
+    langs = ["", "a", "ab", "abX", "b", "zz", "Ā", "Āb", "Ǝa", "中文", None]
+    rows = [(langs[i % len(langs)], (i * 37) % 50, i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, n int, id long")
+    keys = ["k", "n", "id"]
+    truth = {r["id"]: r["rn"] for r in df.select(
+        "id", F.row_number().over(W.orderBy(*keys)).alias("rn")).collect()}
+    for parts in (2, 8, 32):
+        for _rep in range(2):
+            got = {r["id"]: r["rn"]
+                   for r in D.global_rank(df, keys, partitions=parts)
+                   .select("id", "rn").collect()}
+            assert got == truth, f"partitions={parts} rep={_rep}"
+
+    # numeric and timestamp leading keys take the cast-to-double path
+    rows2 = [(float((i * 13) % 97) / 4.0, i) for i in range(500)]
+    df2 = spark.createDataFrame(rows2, "v double, id long")
+    truth2 = {r["id"]: r["rn"] for r in df2.select(
+        "id", F.row_number().over(W.orderBy("v", "id")).alias("rn")
+    ).collect()}
+    got2 = {r["id"]: r["rn"]
+            for r in D.global_rank(df2, ["v", "id"], partitions=8)
+            .select("id", "rn").collect()}
+    assert got2 == truth2
+
+
+def test_edit_candidates_sentinel_survives_hot_cap(spark):
+    """Unconditional tiny-doc losslessness: with MORE tiny docs than
+    the hot-gram cap (300 > 256), every tiny-vs-tiny pair must still
+    surface — the sentinel buckets are exempt from max_bucket (the
+    round-5 ADVICE fix; before it, a popular sentinel bucket was
+    silently dropped and all tiny pairs lost). Identical 8-char docs:
+    lev = 0 ≤ d, so all C(300,2) pairs are true candidates."""
+    from ocrflow.dataops import edit_candidates
+    docs = spark.createDataFrame(
+        [(i, "abcdefgh", 8) for i in range(300)],
+        "doc_id long, text string, ln int")
+    assert edit_candidates(docs).count() == 300 * 299 // 2
+
+
+def test_edit_candidates_sentinel_length_keys_split_and_cover(spark):
+    """The sentinel is keyed by prefix-doc length: (a) tiny docs whose
+    lengths differ by more than d never meet (no quadratic all-tiny
+    bucket), and (b) a boundary pair — 17-char prefix-tiny doc vs a
+    21-char container doc (>= l_tiny, so it posts no pfx sentinel) at
+    length gap d — is still covered via the container's reach-down
+    postings."""
+    from ocrflow.dataops import edit_candidates
+    docs = spark.createDataFrame(
+        [(1, "abc", 3), (2, "abcdefghijklmno", 15)],
+        "doc_id long, text string, ln int")
+    far = {(r["doc_a"], r["doc_b"]) for r in edit_candidates(docs).collect()}
+    assert (1, 2) not in far
+    t17 = "abcdefghijklmnopq"          # 17 chars: prefix-tiny
+    t21 = t17 + "rstu"                 # 21 chars: container-only, lev = 4
+    docs2 = spark.createDataFrame(
+        [(1, t17, 17), (2, t21, 21)],
+        "doc_id long, text string, ln int")
+    near = {(r["doc_a"], r["doc_b"]) for r in edit_candidates(docs2).collect()}
+    assert (1, 2) in near
