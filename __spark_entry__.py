@@ -167,37 +167,63 @@ def entry(spark: SparkSession) -> DataFrame:
 # string-exact at sf0.01 under the STOCK default session (the
 # rotation-readiness proof prior rotations required), so all nineteen
 # join the round-5 candidate list pre-qualified.
+# Ninth rotation (round 5): NEAR-FULL rotation — 49 of the 50 window
+# slots go to keys that have NEVER had an external CORRECTNESS row
+# (the round-4 VERDICT's top residual gap: 194 oracled keys without
+# one; its stated round-5 target is >=15 first-timers and cumulative
+# external coverage >=160). All 49 r04-green keys rotate out after
+# their first external row, the precedent rotation #8 set; every
+# family they leave keeps local oracle-gate coverage (tests/
+# test_oracle.py, all 300+ keys every run) and most keep a NEWER
+# in-window representative. scd2_build is the one holdover: its r04
+# row was red (pandas-ns sentinel overflow, fixed this round — the
+# 9999-12-31 open-version date now 2200-01-01), so it stays to get a
+# green row. In: the 25 pre-qualified session-8/9 keys (er_sorted_
+# neighborhood, ts_cusum_drift, dq_freshness_sla, emb_jl_projection,
+# sql_group_by_all/unpivot, the retrieval trio, udf_arrow_optimized,
+# stat_* six, eval_* six, ts_forecast_accuracy, sketch_count_min/
+# histogram_quantile); the FIVE streaming batch-twin keys (first
+# external rows for the streaming family — oracle_sql previously
+# omitted the streaming import so the driver saw them rows-only);
+# the four newly oracled keys (conv_reassembly golden-md5,
+# ann_lsh_recall, mm_resize, mm_frame_sample); feat_quantile_
+# normalize + er_sorted_neighborhood to externally pin the round-5
+# global_rank determinism rewrite on both its numeric and string
+# paths; dedup_edit_scanner to externally pin the sentinel rework;
+# and family fills tpch_q3/q5_shape, source_csv/orc/xml_roundtrip,
+# sink_jsonl_roundtrip, source_icelite_snapshot, udf_scalar_pandas,
+# udf_cogrouped_map, udtf_tokens, text_lang_id, text_quality_score,
+# observed_gate (A11 lineage-metrics parity). All 50 proven
+# string-exact at sf0.01 under BOTH the tuned and the stock default
+# session this round (bench/r05/sweep_{tuned,stock}.json).
 # Everything after the window:
 # remaining oracled keys first (next in line if the window grows), then
 # rows-only keys (streams, sketches, sinks, iterative ops) last.
 _WINDOW = [
-    "graph_shortest_hops",
-    "layout_zorder",
-    "str_printf_format",
-    "scalar_null_semantics", "emb_quantize_int8",
-    "agg_winsorized", "icelite_merge_upsert",
-    "win_rolling_median", "dq_constraint_checks",
-    "cohort_overlap",
-    "source_icelite_incremental",
-    "profile_columns", "join_cbo_reordered",
-    "explode_outer_semantics", "corpus_temperature_mix",
-    "corpus_epoch_shuffle",
-    "conv_reassembly_order", "sink_partitioned", "ngram_novelty_curve",
-    "mv_incremental_refresh", "agg_bitmap_distinct",
-    "interval_merge",
-    "dedup_kgram_exact", "ts_ewma_blocked", "text_sentence_dedup",
-    "vocab_coverage_topk", "sql_scripting_while",
-    "tpch_q1_shape", "join_asof_nearest", "sft_pairs_e2e",
-    "join_runtime_bloom", "udtf_partitioned_input",
-    "tfidf_cosine_pairs", "dedup_containment",
-    "dedup_containment_scanner", "dedup_exact",
-    "join_spatial_grid", "dbscan_core_points", "knn_within_eps",
-    "dbscan_clusters",
-    "retention_cohort", "funnel_steps", "gaps_islands",
-    "sample_stratified", "sample_weighted_topk",
-    "tfidf_top_terms", "decontaminate_overlap",
-    "scd2_build", "join_point_in_time",
-    "udf_grouped_map",
+    "scd2_build",
+    "conv_reassembly",
+    "er_sorted_neighborhood", "feat_quantile_normalize",
+    "dedup_edit_scanner",
+    "stream_tumbling", "stream_sliding", "stream_dedup",
+    "stream_join_static", "stream_stream_join",
+    "ts_cusum_drift", "dq_freshness_sla", "emb_jl_projection",
+    "sql_group_by_all", "sql_unpivot_syntax",
+    "search_bm25_topk", "search_phrase_match", "search_snippet_highlight",
+    "udf_arrow_optimized",
+    "stat_chi_square", "stat_ks_two_sample", "stat_mannwhitney_u",
+    "stat_ab_proportions", "stat_spearman_rho", "stat_welch_ttest",
+    "eval_mrr", "eval_ndcg_at_k", "eval_ece_calibration",
+    "eval_auc_roc", "eval_confusion_binary", "eval_equalized_odds",
+    "ts_forecast_accuracy",
+    "sketch_count_min", "sketch_histogram_quantile",
+    "ann_lsh_recall", "mm_resize", "mm_frame_sample",
+    "tpch_q3_shape", "tpch_q5_shape",
+    "source_csv_roundtrip", "source_orc_roundtrip",
+    "source_xml_roundtrip", "sink_jsonl_roundtrip",
+    "source_icelite_snapshot",
+    "udf_scalar_pandas", "udf_cogrouped_map", "udtf_tokens",
+    "text_lang_id", "text_quality_score",
+    "observed_gate",
 ]
 
 

@@ -7,6 +7,12 @@ sys.path.insert(0, "src"); sys.path.insert(0, ".")
 mode = sys.argv[1] if len(sys.argv) > 1 else "tuned"
 out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sweep_{mode}.json"
 
+# Import the entry module FIRST in both modes: it exports PYTHONPATH
+# for executor python workers (the driver does the same — it imports
+# __spark_entry__ before building its session). Creating the stock
+# session first leaves workers unable to unpickle ocrflow UDFs.
+import __spark_entry__ as E
+
 if mode == "stock":
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[8]")
@@ -15,8 +21,6 @@ if mode == "stock":
 else:
     from ocrflow.session import build_session
     spark = build_session()
-
-import __spark_entry__ as E
 Q, O = E.queries(), E.oracle_sql()
 SF = "/root/testdata/sf0.01"
 con = duckdb.connect()

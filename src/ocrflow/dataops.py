@@ -7380,3 +7380,320 @@ def sketch_histogram_quantile(spark, sf):
     return (est.crossJoin(F.broadcast(exact))
             .select(F.col("n").cast("bigint").alias("n"),
                     "est_median", "exact_median"))
+
+
+# =========================================================================
+# Round-5 additions: fuzzy decontamination, PII redaction, URL dedup
+# =========================================================================
+
+@q("decontaminate_fuzzy", r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+  FROM toks WHERE len(tk) >= 3
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_g FROM grams GROUP BY doc_id
+), bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % 11 = 0),
+corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 11 <> 0),
+inter AS (
+  SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS i
+  FROM corpus c JOIN bench b ON c.g = b.g
+  GROUP BY c.doc_id, b.bench_id
+)
+SELECT i.doc_id, i.bench_id,
+       ROUND(CAST(i.i AS DOUBLE) / (sc.n_g + sb.n_g - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sc ON sc.doc_id = i.doc_id
+JOIN sizes sb ON sb.doc_id = i.bench_id
+WHERE CAST(i.i AS DOUBLE) / (sc.n_g + sb.n_g - i.i) >= 0.3
+""")
+def decontaminate_fuzzy(spark, sf):
+    """FUZZY decontamination — the paraphrase-tolerant upgrade of
+    decontaminate_overlap: a corpus doc is contaminated when its word
+    3-gram set has Jaccard >= 0.3 with ANY benchmark doc (bench split =
+    doc_id % 11 == 0, same as the exact twin), not only on literal
+    shared grams. LOSSLESS by construction, no LSH probability: any
+    pair with Jaccard > 0 shares >= 1 gram, so the gram equi-join
+    (bench side broadcast — benchmark suites are tiny next to a 100 TB
+    corpus) enumerates a superset of all qualifying pairs, and the
+    exact Jaccard i/(|A|+|B|-i) filters them; per-doc distinct-gram
+    sizes ride a category-sized broadcast. This is the decontamination
+    a training-data pipeline actually runs before eval: exact n-gram
+    hits catch copies, the Jaccard bound catches shuffled/partial
+    overlaps of the same benchmark item.
+
+    At 100 TB: one wide exchange (gram join against the broadcast
+    bench grams), one (doc, bench) aggregate bounded by |bench| per
+    doc — same shape as decontaminate_overlap, plus two broadcast
+    joins for the size lookups."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull()
+                 & (F.length(F.trim("text")) > 0)))
+    tk = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
+    grams = (tk.filter(F.size("tk") >= 3)
+             .select("doc_id", F.explode(F.expr(
+                 "transform(sequence(1, size(tk) - 2), "
+                 "i -> concat(tk[i-1], ' ', tk[i], ' ', tk[i+1]))"))
+                 .alias("g"))
+             .distinct())
+    sizes = grams.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_g"))
+    bench = (grams.filter(F.col("doc_id") % 11 == 0)
+             .select(F.col("doc_id").alias("bench_id"), "g"))
+    corpus = grams.filter(F.col("doc_id") % 11 != 0)
+    inter = (corpus.join(F.broadcast(bench), "g")
+             .groupBy("doc_id", "bench_id")
+             .agg(F.count("*").cast("bigint").alias("i")))
+    j = (inter
+         .join(F.broadcast(sizes.withColumnRenamed("n_g", "na")), "doc_id")
+         .join(F.broadcast(sizes.select(F.col("doc_id").alias("bench_id"),
+                                        F.col("n_g").alias("nb"))),
+               "bench_id"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (j.filter(jac >= 0.3)
+            .select("doc_id", "bench_id", F.round(jac, 6).alias("jaccard")))
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@q("text_pii_redact", rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS txt
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(txt, '{_PII_EMAIL}')) - 1 AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_split_to_array(txt, '{_PII_PHONE}')) - 1 AS BIGINT)
+           AS n_phones,
+       md5(regexp_replace(regexp_replace(txt, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g')) AS clean_md5
+FROM aug
+""")
+def text_pii_redact(spark, sf):
+    """PII redaction over document text — the privacy scrub a corpus
+    passes before training: regex-detect emails and phone numbers,
+    count them per doc, and emit the md5 of the redacted text (counts
+    prove detection; the hash proves the REPLACEMENT bytes, so a
+    half-redacted doc cannot pass). Test data has no natural PII, so
+    both engines deterministically INJECT an email into every 7th doc
+    and a phone into every 13th from doc_id alone — the redactor is
+    then verified against known-positive and known-negative rows in
+    the same run. Patterns stay in the Java-regex/RE2 common subset so
+    the two engines match identical spans. Complements
+    pii_pseudonymize (which hashes IDENTIFIER COLUMNS; this scrubs
+    free text). Pure JVM regexp — one scan, no shuffle, no UDF."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    txt = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now"))).otherwise(""),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(F.lit(" call "),
+                        F.lpad((F.col("doc_id") % 1000).cast("string"),
+                               3, "0"),
+                        F.lit("-555-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"),
+                               4, "0"))).otherwise(""))
+    a = d.select("doc_id", txt.alias("txt"))
+    return a.select(
+        "doc_id",
+        (F.size(F.split("txt", _PII_EMAIL, -1)) - 1).cast("bigint")
+        .alias("n_emails"),
+        (F.size(F.split("txt", _PII_PHONE, -1)) - 1).cast("bigint")
+        .alias("n_phones"),
+        F.md5(F.encode(
+            F.regexp_replace(
+                F.regexp_replace("txt", _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE, "<PHONE>"), "utf-8")).alias("clean_md5"))
+
+
+@q("corpus_url_dedup", """
+WITH urls AS (
+  SELECT doc_id,
+         'HTTPS://' || source || '.Example.COM/page/'
+         || CAST(doc_id % 50 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '?utm_source=feed&sid=' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END AS url
+  FROM documents
+), norm AS (
+  SELECT doc_id,
+         regexp_replace(
+           lower(regexp_replace(regexp_replace(url, '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
+                                '\\?.*$', '')), '/+$', '') AS nurl
+  FROM urls
+)
+SELECT nurl, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM norm GROUP BY nurl
+""")
+def corpus_url_dedup(spark, sf):
+    """URL-normalized deduplication — the first dedup pass of every
+    web-crawl pipeline: canonicalize each document's URL (lowercase,
+    strip scheme, strip query string, strip trailing slash) and
+    collapse to one kept doc per canonical URL (min doc_id, the
+    deterministic survivor rule dedup_keep_best also uses). The corpus
+    has categorical sources rather than real URLs, so both engines
+    derive the SAME synthetic URL from (source, doc_id) — scheme-case,
+    utm-query and trailing-slash variants injected deterministically —
+    and the normalizer is verified against all three variant classes
+    at once. One hash exchange on the canonical URL with map-side
+    partial aggregation; at 100 TB this is the cheapest dedup stage
+    and runs FIRST, before any content hashing."""
+    d = t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"), F.col("source"), F.lit(".Example.COM/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("?utm_source=feed&sid="),
+                        F.col("doc_id").cast("string"))).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(""))
+    nurl = F.regexp_replace(F.lower(F.regexp_replace(
+        F.regexp_replace(url, r"^[Hh][Tt][Tt][Pp][Ss]?://", ""),
+        r"\?.*$", "")), r"/+$", "")
+    return (d.select(nurl.alias("nurl"), "doc_id")
+            .groupBy("nurl")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.min("doc_id").cast("bigint").alias("keep_id")))
+
+
+@q("conv_tool_stats", """
+WITH tr AS (
+  SELECT 'conv-' || lpad(CAST(doc_id % 50 AS VARCHAR), 8, '0') AS conv_id,
+         CAST(doc_id // 50 AS INT) AS turn_idx,
+         CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              WHEN 2 THEN 'assistant' ELSE 'tool' END AS role,
+         CASE WHEN doc_id % 4 = 3
+              THEN 'tool-' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END AS tool
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (role = 'assistant') AS BIGINT) AS n_assistant,
+       CAST(count(*) FILTER (role = 'tool') AS BIGINT) AS n_tool_calls,
+       CAST(count(DISTINCT CASE WHEN tool <> '' THEN tool END) AS BIGINT)
+           AS n_distinct_tools,
+       CAST(min(CASE WHEN role = 'tool' THEN turn_idx END) AS BIGINT)
+           AS first_tool_turn,
+       ROUND(CAST(count(*) FILTER (role = 'assistant') AS DOUBLE)
+             / count(*), 6) AS assistant_ratio
+FROM tr GROUP BY conv_id
+""")
+def conv_tool_stats(spark, sf):
+    """Per-conversation role/tool analytics over the north-rule
+    transcript shape (conv_id, turn_idx, role, tool): assistant/tool
+    turn counts, distinct tools invoked, the first tool-call position,
+    and the assistant-turn ratio — the agent-trace profiling an
+    SFT/agentic pipeline runs to stratify conversations before
+    sampling (pure tool-relay convs, tool-free convs, tool-heavy
+    convs). Roles/tools are derived deterministically from doc_id with
+    the same documents→transcripts mapping the flagship entry() uses,
+    so both engines construct identical input. One hash exchange on
+    conv_id with full partial aggregation — the same A8 grouping the
+    reassembly keys use, with count-distinct rewritten engine-portably
+    (CASE-null trick on both sides)."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    tr = d.select(
+        F.concat(F.lit("conv-"),
+                 F.lpad((F.col("doc_id") % 50).cast("string"), 8, "0")
+                 ).alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.element_at(F.array(F.lit("user"), F.lit("assistant"),
+                             F.lit("assistant"), F.lit("tool")),
+                     (F.col("doc_id") % 4 + 1).cast("int")).alias("role"),
+        F.when(F.col("doc_id") % 4 == 3,
+               F.concat(F.lit("tool-"),
+                        (F.col("doc_id") % 5).cast("string")))
+        .otherwise("").alias("tool"))
+    is_asst = F.col("role") == "assistant"
+    return (tr.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.count_if(is_asst).cast("bigint").alias("n_assistant"),
+        F.count_if(F.col("role") == "tool").cast("bigint")
+        .alias("n_tool_calls"),
+        F.countDistinct(F.when(F.col("tool") != "", F.col("tool")))
+        .cast("bigint").alias("n_distinct_tools"),
+        F.min(F.when(F.col("role") == "tool", F.col("turn_idx")))
+        .cast("bigint").alias("first_tool_turn"),
+        F.round(F.count_if(is_asst).cast("double") / F.count("*"), 6)
+        .alias("assistant_ratio")))
+
+
+@q("rlhf_pref_pairs", """
+WITH scored AS (
+  SELECT doc_id, lang, CAST(doc_id % 20 AS BIGINT) AS prompt_id,
+         CAST(n_chars AS BIGINT) * 1000 + doc_id % 1000 AS score
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+), ranked AS (
+  SELECT prompt_id, lang, doc_id, score,
+         row_number() OVER (PARTITION BY lang, prompt_id
+                            ORDER BY score DESC, doc_id) AS rn_top,
+         row_number() OVER (PARTITION BY lang, prompt_id
+                            ORDER BY score ASC, doc_id) AS rn_bot
+  FROM scored
+)
+SELECT t.lang, t.prompt_id,
+       t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+       t.score - b.score AS margin
+FROM ranked t JOIN ranked b
+  ON t.lang = b.lang AND t.prompt_id = b.prompt_id
+WHERE t.rn_top = 1 AND b.rn_bot = 1 AND t.doc_id <> b.doc_id
+""")
+def rlhf_pref_pairs(spark, sf):
+    """Preference-pair construction for DPO/RLHF data prep: within
+    each (lang, prompt bucket) group, pair the highest-scored response
+    (chosen) with the lowest-scored (rejected) and emit the score
+    margin — the standard max-margin pairing when responses carry a
+    scalar quality signal. The score is EXACT integer arithmetic
+    (n_chars*1000 + doc_id%1000: a deterministic quality proxy with a
+    built-in unique tie-break), so both engines rank identically with
+    no float-order hazard; groups with a single doc produce no pair
+    (chosen <> rejected guard on both sides). Two windows over the
+    same (lang, prompt_id) key plan ONE exchange (EnsureRequirements
+    dedupes the partitioning), then a self-join on the tiny rank-1
+    heads — at 100 TB the pairing cost is the one keyed exchange;
+    the self-join sides are |groups|-sized."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+         .select("doc_id", "lang",
+                 (F.col("doc_id") % 20).cast("bigint").alias("prompt_id"),
+                 (F.col("n_chars").cast("bigint") * 1000
+                  + F.col("doc_id") % 1000).alias("score")))
+    wt = W.partitionBy("lang", "prompt_id").orderBy(
+        F.col("score").desc(), "doc_id")
+    wb = W.partitionBy("lang", "prompt_id").orderBy(
+        F.col("score").asc(), "doc_id")
+    r = (d.withColumn("rn_top", F.row_number().over(wt))
+         .withColumn("rn_bot", F.row_number().over(wb)))
+    top = (r.filter(F.col("rn_top") == 1)
+           .select("lang", "prompt_id",
+                   F.col("doc_id").alias("chosen_id"),
+                   F.col("score").alias("s_top")))
+    bot = (r.filter(F.col("rn_bot") == 1)
+           .select("lang", "prompt_id",
+                   F.col("doc_id").alias("rejected_id"),
+                   F.col("score").alias("s_bot")))
+    return (top.join(bot, ["lang", "prompt_id"])
+            .filter(F.col("chosen_id") != F.col("rejected_id"))
+            .select("lang", "prompt_id", "chosen_id", "rejected_id",
+                    (F.col("s_top") - F.col("s_bot")).alias("margin")))
