@@ -38,7 +38,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "src"))
 
-N_BASE = 20_000
+# Sized for the quadratic sentinel path: with lengths uniform on
+# 5..23, n docs put n/19 in each length bucket and each prefix doc
+# meets ~9n/19 containers, so candidates ~ 9n^2/19 — 3,000 docs is
+# ~4M candidate pairs at 1x and ~68M at 4x, the largest 4x this
+# host verifies in minutes. (The first attempt used 20k/80k docs =
+# 3e9 pairs at 4x — the quadratic bound is the finding, recorded
+# here instead of burned into wall-clock.)
+N_BASE = 3_000
 
 
 def tiny_docs(spark, n: int):

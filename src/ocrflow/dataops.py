@@ -2308,14 +2308,23 @@ def edit_candidates(docs, d: int = EDIT_D, qw: int = EDIT_Q,
     posts every reachable key in [ln-d, ln+d], since the length filter
     |lnA−lnB| ≤ d bounds who a tiny doc can pair with), so
     tiny-vs-tiny and tiny-vs-near-tiny pairs surface through l_tiny
-    small dedicated buckets. Sentinel buckets are EXEMPT from the
-    max_bucket hot-gram cap, so losslessness is unconditional, not
-    data-dependent — even a degenerate all-tiny corpus keeps every
-    true pair (and splits across length keys rather than collapsing
-    into one quadratic bucket). Docs shorter than q chars have
-    zero grams and ride the sentinel alone (sequence(1, ln-q+1) would
-    generate a DESCENDING [1,0] sequence for ln < q — Spark's
-    sequence() direction trap — hence the explicit CASE guard).
+    small dedicated buckets. Sentinel pairs are generated by an
+    EQUI-JOIN on the length key, NOT the collect_list gather, and are
+    exempt from the max_bucket cap — so losslessness is unconditional,
+    not data-dependent, AND a dense tiny-doc population can never
+    blow up a single aggregation buffer: the sentinel candidate set
+    is Theta(n_tiny^2 / buckets) BY NATURE (sub-pigeonhole docs are
+    unfilterable without losing pairs — n identical tiny docs have
+    n(n-1)/2 TRUE pairs), and a shuffle join streams that quadratic
+    output across the cluster where the in-array expansion would
+    materialize a whole bucket's pair array in one row
+    (BENCH/r05_edit_tiny_growth.json measures the path; the honest
+    100 TB answer for tiny-doc-heavy corpora is the sub-20-char
+    quality gate or exact-hash dedup FIRST, both standard). Docs
+    shorter than q chars have zero grams and ride the sentinel alone
+    (sequence(1, ln-q+1) would generate a DESCENDING [1,0] sequence
+    for ln < q — Spark's sequence() direction trap — hence the
+    explicit CASE guard).
 
     ``max_bucket`` caps hot-gram postings BEFORE the collect_list
     gather exactly like the LSH/containment scanners (window count on
@@ -2343,29 +2352,30 @@ def edit_candidates(docs, d: int = EDIT_D, qw: int = EDIT_Q,
     # bound guarantees the true container is among them, so
     # losslessness is unconditional. 2d+1 extra postings per tiny doc.
     sent_pfx = (docs.filter(F.col("ln") < l_tiny)
-                .select("doc_id",
-                        F.concat(F.lit("\x00tiny:"),
-                                 F.col("ln").cast("string")).alias("w"),
-                        F.lit(True).alias("pfx")))
+                .select(F.col("doc_id").alias("pa"),
+                        F.col("ln").alias("k")))
     sent_cont = (docs.filter(F.col("ln") < l_tiny + d)
-                 .select("doc_id",
+                 .select(F.col("doc_id").alias("pb"),
                          F.explode(F.expr(
-                             f"transform(sequence(greatest(0, ln - {d}), "
-                             f"least(ln + {d}, {l_tiny - 1})), "
-                             f"k -> concat(char(0), 'tiny:', "
-                             f"CAST(k AS STRING)))")).alias("w"),
-                         F.lit(False).alias("pfx")))
-    posts = posts.unionByName(sent_pfx).unionByName(sent_cont)
+                             f"sequence(greatest(0, ln - {d}), "
+                             f"least(ln + {d}, {l_tiny - 1}))")).alias("k")))
+    # join-based sentinel pairs: the quadratic output STREAMS through
+    # a shuffle join (each side hashpartitioned on the length key)
+    # instead of materializing per-bucket pair arrays — no cap, no
+    # aggregation-buffer bound, losslessness by construction
+    sent_pairs = (sent_pfx.join(sent_cont, "k")
+                  .filter(F.col("pa") != F.col("pb"))
+                  .select(F.least("pa", "pb").alias("doc_a"),
+                          F.greatest("pa", "pb").alias("doc_b")))
     bsz = F.count("*").over(W.partitionBy("w"))
     posts = posts.withColumn("bsz", bsz).filter(F.col("bsz") >= 2)
     if max_bucket is not None:
-        # The hot-gram cap applies only to REAL gram buckets — dropping
-        # a sentinel bucket would silently lose tiny-doc pairs and
-        # break the unconditional-losslessness contract. (Capping real
-        # grams is the same documented recall/scale tradeoff as the
-        # LSH/containment scanners; it never engages at test SF.)
-        posts = posts.filter((F.col("bsz") <= max_bucket)
-                             | F.col("w").startswith("\x00tiny:"))
+        # The hot-gram cap applies only to REAL gram buckets (the
+        # sentinel path above is join-based and uncapped — capping it
+        # would silently lose tiny-doc pairs). Capping real grams is
+        # the same documented recall/scale tradeoff as the
+        # LSH/containment scanners; it never engages at test SF.
+        posts = posts.filter(F.col("bsz") <= max_bucket)
     grouped = (posts.groupBy("w")
                .agg(F.collect_list(F.struct("doc_id", "pfx")).alias("ids")))
     pair_expr = F.expr("""
@@ -2374,9 +2384,10 @@ def edit_candidates(docs, d: int = EDIT_D, qw: int = EDIT_Q,
                 struct(least(x.doc_id, y.doc_id) AS a,
                        greatest(x.doc_id, y.doc_id) AS b))))
     """)
-    return (grouped.select(F.explode(pair_expr).alias("pr"))
-            .select(F.col("pr.a").alias("doc_a"), F.col("pr.b").alias("doc_b"))
-            .distinct())
+    gram_pairs = (grouped.select(F.explode(pair_expr).alias("pr"))
+                  .select(F.col("pr.a").alias("doc_a"),
+                          F.col("pr.b").alias("doc_b")))
+    return gram_pairs.unionByName(sent_pairs).distinct()
 
 
 @q("dedup_edit_scanner", _EDIT_SQL)
@@ -7630,7 +7641,10 @@ def conv_tool_stats(spark, sf):
         F.count_if(is_asst).cast("bigint").alias("n_assistant"),
         F.count_if(F.col("role") == "tool").cast("bigint")
         .alias("n_tool_calls"),
-        F.countDistinct(F.when(F.col("tool") != "", F.col("tool")))
+        # size(collect_set) not countDistinct: the distinct-aggregate
+        # rewrite would plan a second (expand) exchange; the set is
+        # bounded by the tool vocabulary, so one exchange suffices
+        F.size(F.collect_set(F.when(F.col("tool") != "", F.col("tool"))))
         .cast("bigint").alias("n_distinct_tools"),
         F.min(F.when(F.col("role") == "tool", F.col("turn_idx")))
         .cast("bigint").alias("first_tool_turn"),

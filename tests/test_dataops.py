@@ -742,17 +742,22 @@ def test_edit_candidates_sentinel_covers_tiny_docs(spark):
 
 
 def test_edit_candidates_join_free_and_cap_pre_gather(spark):
-    # scale contract: candidate generation has NO join and the bsz cap
-    # filter sits BELOW the collect_list aggregate in the printed
-    # (top-down) plan — same gather-and-expand shape as the LSH and
-    # containment scanners.
+    # scale contract: the GRAM path has no join (gather-and-expand,
+    # same shape as the LSH and containment scanners) with the bsz cap
+    # filter BELOW the collect_list aggregate in the printed (top-down)
+    # plan; the ONLY join is the round-5 sentinel equi-join on the
+    # tiny-doc length key, which streams the inherently-quadratic
+    # tiny-pair output instead of materializing per-bucket pair arrays
+    # in one aggregation buffer.
     from ocrflow.dataops import edit_candidates
     docs = spark.createDataFrame(
         [(i, "doc %03d body text" % (i % 7), 17) for i in range(50)],
         "doc_id long, text string, ln int")
     plan = edit_candidates(docs)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "Join" not in plan
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert len(join_lines) == 1, join_lines
+    assert "k#" in join_lines[0], join_lines[0]  # sentinel length key
     assert plan.index("bsz") > plan.index("collect_list")
 
 
