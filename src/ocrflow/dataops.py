@@ -7437,35 +7437,35 @@ def decontaminate_fuzzy(spark, sf):
     hits catch copies, the Jaccard bound catches shuffled/partial
     overlaps of the same benchmark item.
 
-    At 100 TB: one wide exchange (gram join against the broadcast
-    bench grams), one (doc, bench) aggregate bounded by |bench| per
-    doc — same shape as decontaminate_overlap, plus two broadcast
-    joins for the size lookups."""
+    At 100 TB: ONE wide exchange total. The per-doc gram set is
+    deduped INSIDE the row (array_distinct over the transform — no
+    distinct exchange) and its size rides along as a column, so the
+    exploded postings are (doc, gram)-distinct by construction and
+    both |A| and |B| arrive with the rows they describe — no separate
+    size aggregate, no size-lookup joins. The only exchange is the
+    (doc, bench) intersection count's groupBy; the bench side
+    broadcasts."""
     d = (t(spark, sf, "documents")
          .filter(F.col("text").isNotNull()
                  & (F.length(F.trim("text")) > 0)))
     tk = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
-    grams = (tk.filter(F.size("tk") >= 3)
-             .select("doc_id", F.explode(F.expr(
-                 "transform(sequence(1, size(tk) - 2), "
-                 "i -> concat(tk[i-1], ' ', tk[i], ' ', tk[i+1]))"))
-                 .alias("g"))
-             .distinct())
-    sizes = grams.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_g"))
-    bench = (grams.filter(F.col("doc_id") % 11 == 0)
-             .select(F.col("doc_id").alias("bench_id"), "g"))
-    corpus = grams.filter(F.col("doc_id") % 11 != 0)
+    garr = (tk.filter(F.size("tk") >= 3)
+            .select("doc_id", F.expr(
+                "array_distinct(transform(sequence(1, size(tk) - 2), "
+                "i -> concat(tk[i-1], ' ', tk[i], ' ', tk[i+1])))")
+                .alias("ga")))
+    posts = garr.select("doc_id",
+                        F.size("ga").cast("bigint").alias("n_g"),
+                        F.explode("ga").alias("g"))
+    bench = (posts.filter(F.col("doc_id") % 11 == 0)
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.col("n_g").alias("nb"), "g"))
+    corpus = posts.filter(F.col("doc_id") % 11 != 0)
     inter = (corpus.join(F.broadcast(bench), "g")
-             .groupBy("doc_id", "bench_id")
+             .groupBy("doc_id", "bench_id", "n_g", "nb")
              .agg(F.count("*").cast("bigint").alias("i")))
-    j = (inter
-         .join(F.broadcast(sizes.withColumnRenamed("n_g", "na")), "doc_id")
-         .join(F.broadcast(sizes.select(F.col("doc_id").alias("bench_id"),
-                                        F.col("n_g").alias("nb"))),
-               "bench_id"))
-    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (j.filter(jac >= 0.3)
+    jac = F.col("i").cast("double") / (F.col("n_g") + F.col("nb") - F.col("i"))
+    return (inter.filter(jac >= 0.3)
             .select("doc_id", "bench_id", F.round(jac, 6).alias("jaccard")))
 
 
@@ -7711,3 +7711,236 @@ def rlhf_pref_pairs(spark, sf):
             .filter(F.col("chosen_id") != F.col("rejected_id"))
             .select("lang", "prompt_id", "chosen_id", "rejected_id",
                     (F.col("s_top") - F.col("s_bot")).alias("margin")))
+
+
+@q("source_icelite_schema_evolution", """
+WITH old AS (
+  SELECT event_id, user_id, CAST(NULL AS VARCHAR) AS event_type
+  FROM events WHERE event_id % 2 = 0
+), new AS (
+  SELECT event_id, user_id, event_type
+  FROM events WHERE event_id % 2 = 1
+), u AS (SELECT * FROM old UNION ALL SELECT * FROM new)
+SELECT coalesce(event_type, '<pre-evolution>') AS event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(event_type) AS BIGINT) AS n_with_col,
+       max(event_id) AS max_id
+FROM u GROUP BY 1
+""")
+def source_icelite_schema_evolution(spark, sf):
+    """ADDITIVE SCHEMA EVOLUTION through the table format, oracled:
+    commit 1 writes (event_id, user_id); commit 2 ADDS event_type;
+    reading the head snapshot with merge_schema=True yields the union
+    schema with pre-evolution rows null-filled — Iceberg's add-column
+    semantics, which DuckDB predicts relationally (old half → NULL
+    column), so the evolution property itself takes the string-exact
+    gate. The merged scan is planned from MANIFEST column signatures
+    (recorded at commit time): homogeneous file groups scan without
+    mergeSchema and unionByName null-fills — zero footer reads at
+    plan time, the Iceberg model at 10^5-file manifests
+    (icelite.py read(); behavioral tests in test_resume.py cover the
+    legacy-manifest fallback)."""
+    from .icelite import IceliteTable, write_dataframe_files
+    tbl = IceliteTable(_scratch("icelite_schema_evo"))
+    e = t(spark, sf, "events")
+    f1 = write_dataframe_files(
+        e.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id"),
+        tbl.new_commit_dir("c1"))
+    tbl.commit_append(f1)
+    f2 = write_dataframe_files(
+        e.filter(F.col("event_id") % 2 == 1)
+        .select("event_id", "user_id", "event_type"),
+        tbl.new_commit_dir("c2"))
+    tbl.commit_append(f2)
+    merged = tbl.read(spark, merge_schema=True)
+    return (merged.groupBy(
+        F.coalesce("event_type", F.lit("<pre-evolution>"))
+        .alias("event_type"))
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.count("event_type").cast("bigint").alias("n_with_col"),
+             F.max("event_id").alias("max_id")))
+
+
+@q("pack_sequences_ffd", r"""
+WITH RECURSIVE s AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY len(regexp_split_to_array(trim(text), '\s+')) DESC,
+                                     doc_id) AS rn
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), r AS (
+  SELECT source, doc_id, n, rn,
+         [n] AS bins, CAST(1 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS off
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.source, s.doc_id, s.n, s.rn,
+         CASE WHEN x.idx = 0 THEN list_append(r.bins, s.n)
+              ELSE r.bins[:x.idx - 1] || [r.bins[x.idx] + s.n]
+                   || r.bins[x.idx + 1:] END,
+         CASE WHEN x.idx = 0 THEN len(r.bins) + 1
+              ELSE CAST(x.idx AS BIGINT) END,
+         CASE WHEN x.idx = 0 THEN 0 ELSE r.bins[x.idx] END
+  FROM r JOIN s ON s.source = r.source AND s.rn = r.rn + 1,
+       LATERAL (SELECT coalesce(list_position(
+                  list_transform(r.bins, b -> b + s.n <= 256), true),
+                  0) AS idx) x
+)
+SELECT source, doc_id, n AS n_tokens, bin AS bin_id, off AS offset_in_bin
+FROM r
+""")
+def pack_sequences_ffd(spark, sf):
+    """FIRST-FIT-DECREASING sequence packing — the production upgrade
+    of pack_sequences_nextfit: sort each source's documents by token
+    count descending (doc_id tie-break), place each into the FIRST
+    open pack with room, else open a new pack. FFD is the classic
+    11/9·OPT+1 bin-packing approximation; against next-fit's 2·OPT it
+    is what batch-construction pipelines actually run when pad-token
+    waste matters. Oversized docs (> 256 tokens) fit no pack and
+    isolate themselves naturally (b + n <= budget fails even for an
+    empty-pack load of 0 only when n > budget... i.e. they open a
+    pack no later doc can join). Same Spark shape as next-fit —
+    packing is sequential PER GROUP, so applyInPandas over source
+    shards, parallelism from the shard count. The oracle is a DuckDB
+    RECURSIVE CTE threading the ENTIRE bin-load LIST through the
+    recursion (list_position over list_transform finds the first
+    fitting bin — the imperative first-fit scan as a list expression);
+    the Python kernel and the recursive query agree row-for-row on
+    (bin_id, offset), not just on pack counts."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+         .select("source", "doc_id",
+                 F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+                 .alias("n_tokens")))
+    out_schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("offset_in_bin", T.LongType()),
+    ])
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "doc_id"],
+                              ascending=[False, True]).reset_index(drop=True)
+        loads: list[int] = []
+        bins = np.zeros(len(pdf), dtype=np.int64)
+        offs = np.zeros(len(pdf), dtype=np.int64)
+        for i, n in enumerate(pdf["n_tokens"].to_numpy()):
+            for j, b in enumerate(loads):
+                if b + n <= _PACK_BUDGET:
+                    bins[i], offs[i] = j + 1, b
+                    loads[j] = b + n
+                    break
+            else:
+                loads.append(int(n))
+                bins[i], offs[i] = len(loads), 0
+        pdf["bin_id"] = bins
+        pdf["offset_in_bin"] = offs
+        return pdf[["source", "doc_id", "n_tokens", "bin_id",
+                    "offset_in_bin"]]
+
+    return d.groupBy("source").applyInPandas(pack, out_schema)
+
+
+@q("eval_pass_at_k", """
+WITH s AS (
+  SELECT CAST(user_id % 50 AS BIGINT) AS problem_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (value > 0.6) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+), f AS (
+  SELECT problem_id, n, c, n - c AS w FROM s WHERE n >= 5
+)
+SELECT problem_id, n, c,
+       ROUND(CASE WHEN w < 5 THEN 1.0
+             ELSE 1.0 - CAST(w * (w-1) * (w-2) * (w-3) * (w-4) AS DOUBLE)
+                        / (n * (n-1) * (n-2) * (n-3) * (n-4))
+             END, 6) AS pass_at_5
+FROM f
+""")
+def eval_pass_at_k(spark, sf):
+    """pass@k (k = 5) — the code/agent-eval estimator (Chen et al.
+    2021): given n samples per problem with c passing, the unbiased
+    probability that at least one of k drawn samples passes is
+    1 - C(n-c, k)/C(n, k). Computed with EXACT INTEGER falling
+    factorials (w(w-1)...(w-4) over n(n-1)...(n-4), bigint-safe for
+    n up to ~50k at k=5) and ONE final double division + round — no
+    float fold, no lgamma, so both engines agree to the string. Each
+    (problem, sample) group is one map-side-combinable aggregate; the
+    estimator is a scalar projection — at 100 TB of eval logs this is
+    a single count-style pass. Samples: events bucketed into 50
+    problems, 'pass' = value > 0.6 (deterministic proxy; real
+    harnesses supply a boolean column and the identical plan runs)."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    s = (e.groupBy((F.col("user_id") % 50).cast("bigint")
+                   .alias("problem_id"))
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.count_if(F.col("value") > 0.6).cast("bigint").alias("c"))
+         .filter(F.col("n") >= 5))
+    w = F.col("n") - F.col("c")
+    num = w * (w - 1) * (w - 2) * (w - 3) * (w - 4)
+    den = (F.col("n") * (F.col("n") - 1) * (F.col("n") - 2)
+           * (F.col("n") - 3) * (F.col("n") - 4))
+    return s.select(
+        "problem_id", "n", "c",
+        F.round(F.when(w < 5, F.lit(1.0))
+                .otherwise(F.lit(1.0) - num.cast("double") / den), 6)
+        .alias("pass_at_5"))
+
+
+@q("eval_rouge1_f1", r"""
+WITH pairs AS (
+  SELECT a.doc_id AS cand_id, b.doc_id AS ref_id,
+         list_distinct(regexp_split_to_array(trim(a.text), '\s+')) AS ca,
+         list_distinct(regexp_split_to_array(trim(b.text), '\s+')) AS rf
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 = 0 AND a.text IS NOT NULL AND b.text IS NOT NULL
+    AND length(trim(a.text)) > 0 AND length(trim(b.text)) > 0
+), m AS (
+  SELECT cand_id, ref_id,
+         CAST(len(list_intersect(ca, rf)) AS BIGINT) AS inter,
+         CAST(len(ca) AS BIGINT) AS nc, CAST(len(rf) AS BIGINT) AS nr
+  FROM pairs
+)
+SELECT cand_id, ref_id,
+       ROUND(CAST(inter AS DOUBLE) / nc, 6) AS p1,
+       ROUND(CAST(inter AS DOUBLE) / nr, 6) AS r1,
+       ROUND(CASE WHEN inter = 0 THEN 0.0
+             ELSE 2.0 * inter / (nc + nr) END, 6) AS f1
+FROM m
+""")
+def eval_rouge1_f1(spark, sf):
+    """ROUGE-1 (distinct-unigram) precision/recall/F1 between
+    candidate/reference text pairs — the generation-eval overlap
+    metric next to the ranking metrics (eval_mrr/ndcg) and the
+    classification metrics (eval_confusion/auc). Pairs are adjacent
+    doc_ids (every 10th doc as candidate, its successor as reference
+    — a deterministic pairing both engines construct; a real harness
+    supplies (cand, ref) columns and the identical plan runs).
+    Token sets are deduped INSIDE the row (array_distinct — the
+    decontaminate_fuzzy trick), intersections are array_intersect,
+    and the only joins are the id-adjacency equi-join; F1's
+    2i/(nc+nr) identity avoids the p*r/(p+r) float fold so the
+    rounded values are engine-exact."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull()
+                 & (F.length(F.trim("text")) > 0)))
+    a = (d.filter(F.col("doc_id") % 10 == 0)
+         .select(F.col("doc_id").alias("cand_id"),
+                 F.array_distinct(F.split(F.trim("text"), r"\s+"))
+                 .alias("ca")))
+    b = d.select(F.col("doc_id").alias("ref_id"),
+                 F.array_distinct(F.split(F.trim("text"), r"\s+"))
+                 .alias("rf"))
+    j = a.join(b, F.col("ref_id") == F.col("cand_id") + 1)
+    inter = F.size(F.array_intersect("ca", "rf")).cast("bigint")
+    nc = F.size("ca").cast("bigint")
+    nr = F.size("rf").cast("bigint")
+    return j.select(
+        "cand_id", "ref_id",
+        F.round(inter.cast("double") / nc, 6).alias("p1"),
+        F.round(inter.cast("double") / nr, 6).alias("r1"),
+        F.round(F.when(inter == 0, F.lit(0.0))
+                .otherwise(F.lit(2.0) * inter / (nc + nr)), 6).alias("f1"))

@@ -1118,3 +1118,25 @@ def test_welch_identical_samples_t_zero(spark):
         os.path.join(tmp, "events.parquet"))
     row = D.stat_welch_ttest(spark, tmp).collect()[0]
     assert (row.n1, row.n2, row.t_stat, row.df) == (3, 3, 0.0, 4.0)
+
+
+def test_ffd_packs_no_worse_than_nextfit_and_respects_budget(spark):
+    """First-fit-decreasing must (a) never exceed the token budget in
+    any pack except a single oversized doc's own pack, and (b) use no
+    MORE packs than next-fit in any source group (FFD is 11/9 OPT + 1
+    vs next-fit's 2 OPT — equality is possible, regression is not)."""
+    from pyspark.sql import functions as F
+    import ocrflow.dataops as D
+    ffd = D.QUERIES["pack_sequences_ffd"](spark, SF_DIR)
+    nf = D.QUERIES["pack_sequences_nextfit"](spark, SF_DIR)
+    per_bin = (ffd.groupBy("source", "bin_id")
+               .agg(F.sum("n_tokens").alias("load"),
+                    F.count("*").alias("n_docs")))
+    over = per_bin.filter((F.col("load") > 256) & (F.col("n_docs") > 1))
+    assert over.count() == 0
+    a = {r["source"]: r["nb"] for r in
+         ffd.groupBy("source").agg(F.max("bin_id").alias("nb")).collect()}
+    b = {r["source"]: r["nb"] for r in
+         nf.groupBy("source").agg(F.max("bin_id").alias("nb")).collect()}
+    assert set(a) == set(b)
+    assert all(a[s_] <= b[s_] for s_ in a), (a, b)
