@@ -30,6 +30,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 OPS = [
     "decontaminate_fuzzy", "text_pii_redact", "corpus_url_dedup",
+    "conv_tool_stats", "rlhf_pref_pairs", "pack_sequences_ffd",
+    "eval_pass_at_k", "eval_rouge1_f1",
 ]
 
 STATIC_TABLES = ("region", "nation", "customer", "supplier", "part")

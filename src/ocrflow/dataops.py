@@ -7855,8 +7855,12 @@ WITH s AS (
 )
 SELECT problem_id, n, c,
        ROUND(CASE WHEN w < 5 THEN 1.0
-             ELSE 1.0 - CAST(w * (w-1) * (w-2) * (w-3) * (w-4) AS DOUBLE)
-                        / (n * (n-1) * (n-2) * (n-3) * (n-4))
+             ELSE 1.0 - ((((
+                  (CAST(w AS DOUBLE) / n)
+                  * (CAST(w - 1 AS DOUBLE) / (n - 1)))
+                  * (CAST(w - 2 AS DOUBLE) / (n - 2)))
+                  * (CAST(w - 3 AS DOUBLE) / (n - 3)))
+                  * (CAST(w - 4 AS DOUBLE) / (n - 4)))
              END, 6) AS pass_at_5
 FROM f
 """)
@@ -7864,10 +7868,15 @@ def eval_pass_at_k(spark, sf):
     """pass@k (k = 5) — the code/agent-eval estimator (Chen et al.
     2021): given n samples per problem with c passing, the unbiased
     probability that at least one of k drawn samples passes is
-    1 - C(n-c, k)/C(n, k). Computed with EXACT INTEGER falling
-    factorials (w(w-1)...(w-4) over n(n-1)...(n-4), bigint-safe for
-    n up to ~50k at k=5) and ONE final double division + round — no
-    float fold, no lgamma, so both engines agree to the string. Each
+    1 - C(n-c, k)/C(n, k) = 1 - prod_{i<k} (w-i)/(n-i), w = n-c.
+    Computed as the RATIO-FACTOR product, each factor a double
+    division, multiplied in one fixed left-associated order written
+    identically in both engines — IEEE double ops are deterministic,
+    so the strings agree, and every factor is <= 1 so the form is
+    overflow-free for ANY n (the first cut used exact bigint falling
+    factorials, which overflow at n ~ 6,200 for k = 5: the 4x-sf0.1
+    growth study caught it as an ANSI ARITHMETIC_OVERFLOW — exactly
+    the failure mode the growth protocol exists to catch). Each
     (problem, sample) group is one map-side-combinable aggregate; the
     estimator is a scalar projection — at 100 TB of eval logs this is
     a single count-style pass. Samples: events bucketed into 50
@@ -7879,14 +7888,16 @@ def eval_pass_at_k(spark, sf):
          .agg(F.count("*").cast("bigint").alias("n"),
               F.count_if(F.col("value") > 0.6).cast("bigint").alias("c"))
          .filter(F.col("n") >= 5))
-    w = F.col("n") - F.col("c")
-    num = w * (w - 1) * (w - 2) * (w - 3) * (w - 4)
-    den = (F.col("n") * (F.col("n") - 1) * (F.col("n") - 2)
-           * (F.col("n") - 3) * (F.col("n") - 4))
+    n, w = F.col("n"), F.col("n") - F.col("c")
+    prod = (((((w.cast("double") / n)
+               * ((w - 1).cast("double") / (n - 1)))
+              * ((w - 2).cast("double") / (n - 2)))
+             * ((w - 3).cast("double") / (n - 3)))
+            * ((w - 4).cast("double") / (n - 4)))
     return s.select(
         "problem_id", "n", "c",
         F.round(F.when(w < 5, F.lit(1.0))
-                .otherwise(F.lit(1.0) - num.cast("double") / den), 6)
+                .otherwise(F.lit(1.0) - prod), 6)
         .alias("pass_at_5"))
 
 
