@@ -351,3 +351,23 @@ def test_edit_candidates_sentinel_length_keys_split_and_cover(spark):
         "doc_id long, text string, ln int")
     near = {(r["doc_a"], r["doc_b"]) for r in edit_candidates(docs2).collect()}
     assert (1, 2) in near
+
+
+def test_global_rank_date_leading_key(spark):
+    """The date-typed surrogate branch (days-since-epoch): ranks must
+    equal the single-partition window on a (date, id) key."""
+    import datetime
+    import ocrflow.dataops as D
+    from pyspark.sql import functions as F, Window as W
+
+    base = datetime.date(2023, 1, 1)
+    rows = [(base + datetime.timedelta(days=(i * 17) % 400), i)
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "d date, id long")
+    truth = {r["id"]: r["rn"] for r in df.select(
+        "id", F.row_number().over(W.orderBy("d", "id")).alias("rn")
+    ).collect()}
+    got = {r["id"]: r["rn"]
+           for r in D.global_rank(df, ["d", "id"], partitions=8)
+           .select("id", "rn").collect()}
+    assert got == truth
