@@ -191,7 +191,49 @@ def mm_resize(spark, sf):
         resize, schema="asset_id bigint, thumb_sum bigint, thumb_px bigint")
 
 
-@q("mm_dedup_phash")  # rows-only
+@q("mm_dedup_phash", """
+WITH img AS (
+  SELECT doc_id AS asset_id,
+         CAST(doc_id % 64 + 16 AS BIGINT) AS w,
+         CAST(doc_id % 48 + 16 AS BIGINT) AS h,
+         hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS L
+  FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
+),
+px AS (
+  SELECT asset_id, hx, L, iy.k * 8 + ix.k AS bit_idx,
+         ((iy.k * (h - 1)) // 7) * w + ((ix.k * (w - 1)) // 7) AS pos
+  FROM img, range(8) iy(k), range(8) ix(k)
+),
+b AS (
+  SELECT asset_id, bit_idx,
+         CASE WHEN L = 0 THEN 0 ELSE
+           (strpos('0123456789ABCDEF',
+                   substr(hx, CAST(2 * (pos % L) + 1 AS BIGINT), 1)) - 1) * 16
+           + strpos('0123456789ABCDEF',
+                    substr(hx, CAST(2 * (pos % L) + 2 AS BIGINT), 1)) - 1
+         END AS v
+  FROM px
+),
+b2 AS (
+  SELECT asset_id, bit_idx, v,
+         sum(v) OVER (PARTITION BY asset_id) AS tot
+  FROM b
+),
+sig AS (
+  SELECT asset_id,
+         CAST(sum(CASE WHEN 64 * v > tot
+                       THEN CASE WHEN bit_idx = 63
+                                 THEN -9223372036854775808
+                                 ELSE (CAST(1 AS BIGINT) << bit_idx) END
+                       ELSE 0 END) AS BIGINT) AS phash
+  FROM b2 GROUP BY asset_id
+)
+SELECT phash, CAST(min(asset_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       min(phash) >> 48 AS near_bucket
+FROM sig GROUP BY phash
+""")
 def mm_dedup_phash(spark, sf):
     """Multimodal dedup: average-hash (aHash) over decoded images —
     decode → 8×8 downsample → mean-threshold bit signature → 64-bit
@@ -200,7 +242,15 @@ def mm_dedup_phash(spark, sf):
     signature math (vectorized numpy over the batch) and the
     hash-groupBy dedup tail are the real 100 TB shape — identical to
     dedup_exact but keyed on perceptual content, not bytes.
-    """
+
+    ORACLED (round 5, completing the multimodal family): integer
+    stride indices + the EXACT mean threshold 64·px > Σpx (integer
+    cross-multiply — no float mean), and the 64-bit signature built as
+    Σ bit_i·2^i with bit 63 contributing −2^63, which equals numpy's
+    uint64→int64 two's-complement wrap exactly; DuckDB re-derives
+    every sampled byte via the hex-nibble decode over the tiled
+    payload (the mm_resize trick) and both engines' arithmetic >> 48
+    agree on the sign-extended near bucket."""
     assets = make_assets(spark, sf).filter(F.col("kind") == "image")
 
     def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -210,10 +260,11 @@ def mm_dedup_phash(spark, sf):
             for i, (p, w, h) in enumerate(zip(pdf["payload"], pdf["width"],
                                               pdf["height"])):
                 img = _decode_image(p, w, h)
-                ys = np.linspace(0, h - 1, g).astype(np.intp)
-                xs = np.linspace(0, w - 1, g).astype(np.intp)
-                small = img[np.ix_(ys, xs)].astype(np.float64)
-                bits = (small > small.mean()).flatten()
+                ys = ((np.arange(g) * (h - 1)) // (g - 1)).astype(np.intp)
+                xs = ((np.arange(g) * (w - 1)) // (g - 1)).astype(np.intp)
+                small = img[np.ix_(ys, xs)].astype(np.int64)
+                # exact integer mean threshold: 64*px > sum(px)
+                bits = (64 * small > small.sum()).flatten()
                 hashes[i] = np.int64(
                     (bits.astype(np.uint64)
                      << np.arange(g * g, dtype=np.uint64)).sum()
@@ -223,8 +274,8 @@ def mm_dedup_phash(spark, sf):
 
     sigs = assets.mapInPandas(phash, schema="asset_id bigint, phash bigint")
     return (sigs.groupBy("phash")
-            .agg(F.min("asset_id").alias("keep_id"),
-                 F.count("*").alias("n_dups"),
+            .agg(F.min("asset_id").cast("bigint").alias("keep_id"),
+                 F.count("*").cast("bigint").alias("n_dups"),
                  F.shiftright(F.min("phash"), 48).alias("near_bucket")))
 
 
