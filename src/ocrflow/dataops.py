@@ -7682,35 +7682,31 @@ def rlhf_pref_pairs(spark, sf):
     (n_chars*1000 + doc_id%1000: a deterministic quality proxy with a
     built-in unique tie-break), so both engines rank identically with
     no float-order hazard; groups with a single doc produce no pair
-    (chosen <> rejected guard on both sides). Two windows over the
-    same (lang, prompt_id) key plan ONE exchange (EnsureRequirements
-    dedupes the partitioning), then a self-join on the tiny rank-1
-    heads — at 100 TB the pairing cost is the one keyed exchange;
-    the self-join sides are |groups|-sized."""
+    (chosen <> rejected guard on both sides). The pairing is ONE
+    map-side-combinable aggregate — chosen = max(struct(score,
+    -doc_id)) and rejected = min(struct(score, doc_id)), lexicographic
+    struct comparison encoding both the score order and the min-doc_id
+    tie-break — so the whole op is a single keyed exchange with NO
+    join and no window (the first cut ran two rank windows + a
+    broadcast self-join: two exchanges for the same answer). The
+    DuckDB oracle keeps the row_number formulation, so the gate
+    cross-checks two independent formulations of the same spec."""
     d = (t(spark, sf, "documents")
          .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
          .select("doc_id", "lang",
                  (F.col("doc_id") % 20).cast("bigint").alias("prompt_id"),
                  (F.col("n_chars").cast("bigint") * 1000
                   + F.col("doc_id") % 1000).alias("score")))
-    wt = W.partitionBy("lang", "prompt_id").orderBy(
-        F.col("score").desc(), "doc_id")
-    wb = W.partitionBy("lang", "prompt_id").orderBy(
-        F.col("score").asc(), "doc_id")
-    r = (d.withColumn("rn_top", F.row_number().over(wt))
-         .withColumn("rn_bot", F.row_number().over(wb)))
-    top = (r.filter(F.col("rn_top") == 1)
-           .select("lang", "prompt_id",
-                   F.col("doc_id").alias("chosen_id"),
-                   F.col("score").alias("s_top")))
-    bot = (r.filter(F.col("rn_bot") == 1)
-           .select("lang", "prompt_id",
-                   F.col("doc_id").alias("rejected_id"),
-                   F.col("score").alias("s_bot")))
-    return (top.join(bot, ["lang", "prompt_id"])
-            .filter(F.col("chosen_id") != F.col("rejected_id"))
-            .select("lang", "prompt_id", "chosen_id", "rejected_id",
-                    (F.col("s_top") - F.col("s_bot")).alias("margin")))
+    agg = d.groupBy("lang", "prompt_id").agg(
+        F.max(F.struct(F.col("score"),
+                       (-F.col("doc_id")).alias("nid"))).alias("top"),
+        F.min(F.struct(F.col("score"), F.col("doc_id"))).alias("bot"))
+    return (agg.select(
+        "lang", "prompt_id",
+        (-F.col("top.nid")).alias("chosen_id"),
+        F.col("bot.doc_id").alias("rejected_id"),
+        (F.col("top.score") - F.col("bot.score")).alias("margin"))
+        .filter(F.col("chosen_id") != F.col("rejected_id")))
 
 
 @q("source_icelite_schema_evolution", """

@@ -405,3 +405,43 @@ def test_ndcg_windows_share_one_user_exchange(spark):
     import re
     user_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
     assert len(user_exchanges) == 1, plan.count("Exchange")
+
+
+def test_decontaminate_fuzzy_single_exchange_broadcast_bench(spark):
+    # round-5 plan contract: per-doc gram sets dedupe INSIDE the row
+    # (array_distinct) with sizes carried as columns, so the ONLY
+    # exchange is the (doc, bench) intersection-count groupBy and the
+    # bench side broadcasts — the original form paid 7 exchanges for
+    # the same answer (re-deriving distinct postings and size lookups)
+    plan = _plan(QUERIES["decontaminate_fuzzy"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rlhf_pref_pairs_single_agg_no_join(spark):
+    # chosen/rejected come from ONE map-side-combinable aggregate
+    # (max/min over comparable structs): a single keyed exchange, no
+    # window, no join — the two-window + broadcast-self-join form
+    # paid two exchanges for the same answer
+    plan = _plan(QUERIES["rlhf_pref_pairs"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_max" in plan or "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_conv_tool_stats_single_exchange(spark):
+    # collect_set (bounded tool vocabulary) not countDistinct: the
+    # distinct-aggregate rewrite would add an Expand + second exchange
+    plan = _plan(QUERIES["conv_tool_stats"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Expand" not in plan
+
+
+def test_corpus_url_dedup_partial_agg_single_exchange(spark):
+    # canonical-URL dedup: one exchange with map-side partial
+    # aggregation (partial_count before the shuffle)
+    plan = _plan(QUERIES["corpus_url_dedup"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
