@@ -1140,3 +1140,44 @@ def test_ffd_packs_no_worse_than_nextfit_and_respects_budget(spark):
          nf.groupBy("source").agg(F.max("bin_id").alias("nb")).collect()}
     assert set(a) == set(b)
     assert all(a[s_] <= b[s_] for s_ in a), (a, b)
+
+
+def test_decontaminate_fuzzy_finds_planted_benchmark_copy(spark):
+    """A corpus doc that IS a benchmark doc (doc_id % 11 == 0 side)
+    must surface with jaccard 1.0; an unrelated doc must not pair."""
+    import tempfile
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench_doc = src.filter("doc_id % 11 = 0 AND text IS NOT NULL").first()
+    copy_id = 77779  # 77779 % 11 != 0 → corpus side
+    assert copy_id % 11 != 0
+    planted = spark.createDataFrame(
+        [(copy_id, bench_doc["text"], bench_doc["lang"],
+          bench_doc["source"], bench_doc["n_chars"])], src.schema)
+    tmp = tempfile.mkdtemp(prefix="ocrflow_dfz_")
+    src.unionByName(planted).write.parquet(
+        os.path.join(tmp, "documents.parquet"))
+    hits = {(r["doc_id"], r["bench_id"]): r["jaccard"]
+            for r in D.QUERIES["decontaminate_fuzzy"](spark, tmp).collect()}
+    assert hits.get((copy_id, bench_doc["doc_id"])) == 1.0
+
+
+def test_pii_redact_is_idempotent_and_counts_injections(spark):
+    """Redacting already-redacted text changes nothing (the
+    replacement tokens contain no PII-shaped substrings), and the
+    deterministic injections are detected exactly: every 7th doc has
+    >= 1 email, every 13th >= 1 phone, docs in neither class have 0."""
+    from ocrflow.dataops import _PII_EMAIL, _PII_PHONE
+    rows = D.QUERIES["text_pii_redact"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        did = r["doc_id"]
+        if did % 7 == 0:
+            assert r["n_emails"] >= 1, did
+        if did % 13 == 0:
+            assert r["n_phones"] >= 1, did
+        if did % 7 != 0 and did % 13 != 0:
+            # the synthetic corpus itself carries no PII
+            assert r["n_emails"] == 0 and r["n_phones"] == 0, did
+    import re
+    assert re.search(_PII_EMAIL, "<EMAIL>") is None
+    assert re.search(_PII_PHONE, "<PHONE>") is None
