@@ -7442,21 +7442,48 @@ def decontaminate_fuzzy(spark, sf):
     distinct exchange) and its size rides along as a column, so the
     exploded postings are (doc, gram)-distinct by construction and
     both |A| and |B| arrive with the rows they describe — no separate
-    size aggregate, no size-lookup joins. The only exchange is the
-    (doc, bench) intersection count's groupBy; the bench side
-    broadcasts."""
+    size aggregate, no size-lookup joins. The only REQUIRED exchange
+    is the (doc, bench) intersection count's groupBy; the bench side
+    broadcasts.
+
+    Two hard-won execution lessons live here (both found when the
+    one-exchange rework silently went 1.5 s -> 17.5 s at sf0.1):
+    (1) Gram construction is a REGEX, not a higher-order transform.
+    The interpreted lambda form (transform(sequence(...), i ->
+    concat(tk[i-1],...))) costs ~0.8 ms/row, and Catalyst's
+    InferFiltersFromGenerate inlines the whole gram expression into
+    inferred `size(ga)>0 / isnotnull(ga)` filters that predicate
+    pushdown drops BELOW any exchange — i.e. into the scan stage,
+    evaluated 2-3x per row at the SCAN's parallelism. A zero-width-
+    lookahead regexp_extract_all over space-normalized text yields
+    the IDENTICAL overlapping-trigram set (verified set-equal on the
+    full sf0.1 corpus) ~50x cheaper per eval, so even the duplicated
+    inferred-filter evals are noise. (2) Map-parallelism guard: with
+    no pre-join exchange, explode parallelism equals the SCAN's, and
+    a one-row-group input file serializes the whole pipeline. When
+    the scan yields fewer splits than the cluster has slots, a
+    round-robin repartition of the raw docs (text-sized, cheaper
+    than shuffling exploded grams) restores parallelism; at real
+    scale the scan has thousands of splits and the guard never
+    fires, keeping the one-exchange plan. Measured: 17.5 s (lambda,
+    no guard) -> 9.6 s (lambda + guard) -> 1.09 s (regex + guard)."""
     d = (t(spark, sf, "documents")
          .filter(F.col("text").isNotNull()
                  & (F.length(F.trim("text")) > 0)))
-    tk = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
-    garr = (tk.filter(F.size("tk") >= 3)
-            .select("doc_id", F.expr(
-                "array_distinct(transform(sequence(1, size(tk) - 2), "
-                "i -> concat(tk[i-1], ' ', tk[i], ' ', tk[i+1])))")
-                .alias("ga")))
-    posts = garr.select("doc_id",
-                        F.size("ga").cast("bigint").alias("n_g"),
-                        F.explode("ga").alias("g"))
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    ga = F.array_distinct(F.expr(
+        r"regexp_extract_all(concat(' ', regexp_replace(trim(text), "
+        r"'\\s+', ' ')), ' (?=([^ ]+ [^ ]+ [^ ]+))', 1)"))
+    garr = (d.select("doc_id", ga.alias("ga"))
+            .filter(F.size("ga") > 0))
+    # n_g is computed BEFORE the explode so the Generate's required
+    # child output is (doc_id, n_g), not the whole gram array — a
+    # size() above the Generate would carry ga per exploded row.
+    posts = (garr.select("doc_id",
+                         F.size("ga").cast("bigint").alias("n_g"), "ga")
+             .select("doc_id", "n_g", F.explode("ga").alias("g")))
     bench = (posts.filter(F.col("doc_id") % 11 == 0)
              .select(F.col("doc_id").alias("bench_id"),
                      F.col("n_g").alias("nb"), "g"))
@@ -7951,3 +7978,138 @@ def eval_rouge1_f1(spark, sf):
         F.round(inter.cast("double") / nr, 6).alias("r1"),
         F.round(F.when(inter == 0, F.lit(0.0))
                 .otherwise(F.lit(2.0) * inter / (nc + nr)), 6).alias("f1"))
+
+
+@q("text_nb_train", r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tk
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL AND length(trim(text)) > 0
+), nc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_c FROM d GROUP BY lang),
+tok AS (SELECT doc_id, lang, unnest(tk) AS t FROM d),
+dfreq AS (
+  SELECT lang, t, CAST(count(*) AS BIGINT) AS df
+  FROM tok GROUP BY lang, t
+)
+SELECT f.lang, f.t AS token, f.df, nc.n_c,
+       CAST(ROUND(ln((f.df + 1.0) / (nc.n_c + 2.0)) * 1000000, 0) AS BIGINT)
+           AS w_micro
+FROM dfreq f JOIN nc USING (lang)
+""")
+def text_nb_train(spark, sf):
+    """Distributed Naive Bayes TRAINING (Bernoulli-presence model,
+    lang as the class): per-(class, token) document frequencies →
+    Laplace-smoothed log likelihood log((df+1)/(N_c+2)), emitted in
+    INTEGER MICRO-UNITS so downstream scoring can SUM exactly (the
+    search_bm25 trick: one double log per weight — computed from an
+    exact rational, identical in both engines — then rounded once; no
+    float folds anywhere). This is the quality/language-classifier
+    training a curation pipeline runs at corpus scale (fastText-class
+    models are the same shape: per-token weights from one counting
+    pass): ONE map-side-combinable aggregate over (class, token) plus
+    a broadcast class-size join — no iteration, no driver data. The
+    model table is vocabulary x classes, broadcastable to the scorer
+    (text_nb_classify)."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & F.col("lang").isNotNull()
+                 & (F.length(F.trim("text")) > 0))
+         .select("doc_id", "lang",
+                 F.array_distinct(F.split(F.trim("text"), r"\s+"))
+                 .alias("tk")))
+    nc = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_c"))
+    tok = d.select("doc_id", "lang", F.explode("tk").alias("t"))
+    dfreq = (tok.groupBy("lang", "t")
+             .agg(F.count("*").cast("bigint").alias("df")))
+    return (dfreq.join(F.broadcast(nc), "lang")
+            .select("lang", F.col("t").alias("token"), "df", "n_c",
+                    F.round(F.log((F.col("df") + 1.0)
+                                  / (F.col("n_c") + 2.0)) * 1000000, 0)
+                    .cast("bigint").alias("w_micro")))
+
+
+@q("text_nb_classify", r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tk
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL AND length(trim(text)) > 0
+), nc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_c FROM d GROUP BY lang),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+prior AS (
+  SELECT lang,
+         CAST(ROUND(ln(CAST(n_c AS DOUBLE) / n.n) * 1000000, 0) AS BIGINT)
+             AS p_micro
+  FROM nc, n),
+tok AS (SELECT doc_id, lang, unnest(tk) AS t FROM d),
+model AS (
+  SELECT lang, t, CAST(ROUND(ln((count(*) + 1.0)
+                  / (any_value(nc2.n_c) + 2.0)) * 1000000, 0) AS BIGINT)
+             AS w_micro
+  FROM tok JOIN nc nc2 USING (lang)
+  GROUP BY lang, t
+), probe AS (SELECT doc_id, unnest(tk) AS t FROM d WHERE doc_id % 5 = 0),
+scored AS (
+  SELECT p.doc_id, m.lang,
+         CAST(sum(m.w_micro) AS BIGINT) AS s_micro
+  FROM probe p JOIN model m ON p.t = m.t
+  GROUP BY p.doc_id, m.lang
+), withp AS (
+  SELECT s.doc_id, s.lang, s.s_micro + pr.p_micro AS score_micro,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY s.s_micro + pr.p_micro DESC, s.lang)
+             AS rn
+  FROM scored s JOIN prior pr USING (lang)
+)
+SELECT doc_id, lang AS pred_lang, CAST(score_micro AS BIGINT) AS score_micro
+FROM withp WHERE rn = 1
+""")
+def text_nb_classify(spark, sf):
+    """Naive Bayes SCORING over the trained model (text_nb_train's
+    weights re-derived in-plan): every 5th doc is the probe set, each
+    probe token inner-joins the BROADCAST model table (tokens absent
+    from a class's vocabulary contribute nothing — documented
+    Bernoulli-presence simplification), per-(doc, class) scores are
+    EXACT INTEGER sums of micro-unit weights plus the class log-prior
+    (order-independent — the property that makes the argmax
+    deterministic cross-engine), and the predicted class is the
+    rank-1 row ordered by (score DESC, lang) so even exact ties break
+    identically. At 100 TB: the model is vocabulary-sized and
+    broadcasts; the probe side never shuffles until the per-doc
+    aggregate — one keyed exchange plus the argmax window on the
+    |probes| x |classes| scored table."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & F.col("lang").isNotNull()
+                 & (F.length(F.trim("text")) > 0))
+         .select("doc_id", "lang",
+                 F.array_distinct(F.split(F.trim("text"), r"\s+"))
+                 .alias("tk")))
+    nc = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_c"))
+    n = d.agg(F.count("*").cast("bigint").alias("n"))
+    prior = (nc.crossJoin(F.broadcast(n))
+             .select("lang",
+                     F.round(F.log(F.col("n_c").cast("double")
+                                   / F.col("n")) * 1000000, 0)
+                     .cast("bigint").alias("p_micro")))
+    tok = d.select("doc_id", "lang", F.explode("tk").alias("t"))
+    model = (tok.groupBy("lang", "t")
+             .agg(F.count("*").cast("bigint").alias("df"))
+             .join(F.broadcast(nc), "lang")
+             .select("lang", "t",
+                     F.round(F.log((F.col("df") + 1.0)
+                                   / (F.col("n_c") + 2.0)) * 1000000, 0)
+                     .cast("bigint").alias("w_micro")))
+    probe = (d.filter(F.col("doc_id") % 5 == 0)
+             .select("doc_id", F.explode("tk").alias("t")))
+    scored = (probe.join(F.broadcast(model), "t")
+              .groupBy("doc_id", "lang")
+              .agg(F.sum("w_micro").cast("bigint").alias("s_micro")))
+    withp = (scored.join(F.broadcast(prior), "lang")
+             .select("doc_id", "lang",
+                     (F.col("s_micro") + F.col("p_micro"))
+                     .alias("score_micro")))
+    w = W.partitionBy("doc_id").orderBy(F.col("score_micro").desc(), "lang")
+    return (withp.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("lang").alias("pred_lang"),
+                    F.col("score_micro").cast("bigint").alias("score_micro")))

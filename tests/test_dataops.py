@@ -1181,3 +1181,43 @@ def test_pii_redact_is_idempotent_and_counts_injections(spark):
     import re
     assert re.search(_PII_EMAIL, "<EMAIL>") is None
     assert re.search(_PII_PHONE, "<PHONE>") is None
+
+
+def test_text_nb_classifier_separable_corpus_is_perfect(spark):
+    """On a corpus where each lang has a DISJOINT vocabulary, the NB
+    classifier must predict every probe doc's own lang (the synthetic
+    sf tables share one vocab across langs, so corpus accuracy there
+    is noise — this fixture is the real behavioral check), and the
+    trained weights must be monotone in df: a token seen in more of a
+    class's docs gets a strictly higher weight."""
+    vocab = {"aa": ["aardvark", "apple", "anchor", "arrow"],
+             "bb": ["banana", "bottle", "bridge", "button"],
+             "cc": ["cactus", "candle", "copper", "circle"]}
+    rows = []
+    for li, (lang, toks) in enumerate(sorted(vocab.items())):
+        for i in range(20):
+            # rotate so token df varies within the class
+            text = " ".join(toks[(i + j) % 4] for j in range(3))
+            rows.append((li * 100 + i, text, lang, "synth", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    tmp = tempfile.mkdtemp(prefix="ocrflow_nb_")
+    docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+
+    pred = {r["doc_id"]: r["pred_lang"]
+            for r in D.QUERIES["text_nb_classify"](spark, tmp).collect()}
+    truth = {r[0]: r[2] for r in rows}
+    probes = [d for d in truth if d % 5 == 0]
+    assert probes and set(pred) == set(probes)
+    assert all(pred[d] == truth[d] for d in probes)
+
+    model = D.QUERIES["text_nb_train"](spark, tmp).collect()
+    by_lang = {}
+    for r in model:
+        by_lang.setdefault(r["lang"], {})[r["token"]] = (r["df"], r["w_micro"])
+    for lang, toks in by_lang.items():
+        pairs = sorted(toks.values())
+        for (df1, w1), (df2, w2) in zip(pairs, pairs[1:]):
+            if df2 > df1:
+                assert w2 > w1, (lang, pairs)

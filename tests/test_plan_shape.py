@@ -417,6 +417,16 @@ def test_decontaminate_fuzzy_single_exchange_broadcast_bench(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+    # map-parallelism guard: the test dir is a one-file scan, so the
+    # round-robin repartition MUST be in the plan — without it the
+    # whole gram explode serializes into one task (17.5 s vs 1.1 s at
+    # sf0.1; see the operator docstring)
+    assert "RoundRobinPartitioning" in plan, plan
+    # gram construction must stay a regex, never an interpreted
+    # higher-order lambda: InferFiltersFromGenerate inlines the gram
+    # expression into scan-stage filters, so a ~0.8 ms/row lambda gets
+    # re-evaluated 2-3x per row below the exchange
+    assert "lambdafunction" not in plan, plan
 
 
 def test_rlhf_pref_pairs_single_agg_no_join(spark):
@@ -445,3 +455,22 @@ def test_corpus_url_dedup_partial_agg_single_exchange(spark):
     plan = _plan(QUERIES["corpus_url_dedup"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_text_nb_classify_broadcasts_model_no_smj(spark):
+    # the NB model is vocabulary x classes — broadcastable by
+    # construction. The scoring join (probe tokens x model) and the
+    # class-size/prior joins must all be broadcast: the only hash
+    # exchanges are the counting aggregates and the per-doc score
+    # groupBy, never a sort-merge join of the fact against anything
+    plan = _plan(QUERIES["text_nb_classify"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_text_nb_train_single_count_agg_broadcast_sizes(spark):
+    # training is ONE (class, token) counting aggregate plus a
+    # broadcast join of the |classes|-row size table — no SMJ
+    plan = _plan(QUERIES["text_nb_train"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
