@@ -1598,12 +1598,11 @@ def text_ngram_top(spark, sf):
     dominates (same recipe as join_salted_skew)."""
     d = t(spark, sf, "documents").filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
-    toks = d.select("lang", F.split(F.trim("text"), r"\s+").alias("tk"))
-    bg = (toks.filter(F.size("tk") >= 2)
-          .select("lang", F.explode(F.expr(
-              "transform(sequence(1, size(tk) - 1),"
-              " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
-          )).alias("bigram")))
+    # overlapping bigrams via zero-width-lookahead regex, not an
+    # interpreted lambda (the decontaminate_fuzzy lesson)
+    bg = d.select("lang", F.explode(F.expr(
+        r"regexp_extract_all(concat(' ', regexp_replace(trim(text), "
+        r"'\\s+', ' ')), ' (?=([^ ]+ [^ ]+))', 1)")).alias("bigram"))
     cnt = bg.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
     w = W.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
     return (cnt.withColumn("r", F.row_number().over(w))
@@ -1826,12 +1825,14 @@ def decontaminate_overlap(spark, sf):
     by distinct-gram multiplicity, not raw repetition."""
     d = t(spark, sf, "documents").filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
-    toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
-    grams = (toks.filter(F.size("tk") >= 4)
-             .select("doc_id", F.explode(F.expr(
-                 "transform(sequence(1, size(tk) - 3), i -> concat_ws(' ',"
-                 " element_at(tk,i), element_at(tk,i+1), element_at(tk,i+2),"
-                 " element_at(tk,i+3)))")).alias("g")))
+    # overlapping 4-grams via zero-width-lookahead regex — no
+    # interpreted lambda in the hot path and nothing expensive for
+    # InferFiltersFromGenerate to inline below the exchange (the
+    # decontaminate_fuzzy lesson; verified gram-equal to the lambda
+    # form). Sub-4-token docs yield no matches — no size guard.
+    grams = d.select("doc_id", F.explode(F.expr(
+        r"regexp_extract_all(concat(' ', regexp_replace(trim(text), "
+        r"'\\s+', ' ')), ' (?=([^ ]+ [^ ]+ [^ ]+ [^ ]+))', 1)")).alias("g"))
     bench = (grams.filter(F.col("doc_id") % 11 == 0)
              .select(F.col("doc_id").alias("bench_id"), "g").distinct())
     corpus = (grams.filter(F.col("doc_id") % 11 != 0)
@@ -1997,12 +1998,13 @@ def corpus_curation_e2e(spark, sf):
     wd = W.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = (gated.withColumn("rn", F.row_number().over(wd))
                .filter(F.col("rn") == 1).select("doc_id", "w"))
-    # stage 3: decontamination
-    grams = (deduped.filter(F.size("w") >= 4)
-             .select("doc_id", F.explode(F.expr(
-                 "transform(sequence(1, size(w) - 3), i -> concat_ws(' ',"
-                 " element_at(w,i), element_at(w,i+1), element_at(w,i+2),"
-                 " element_at(w,i+3)))")).alias("g")))
+    # stage 3: decontamination — 4-grams via the zero-width-lookahead
+    # regex over the re-joined token array (concat_ws(' ', w) IS the
+    # space-normalized text), not an interpreted lambda (the
+    # decontaminate_fuzzy lesson; verified gram-equal)
+    grams = deduped.select("doc_id", F.explode(F.expr(
+        "regexp_extract_all(concat(' ', concat_ws(' ', w)), "
+        "' (?=([^ ]+ [^ ]+ [^ ]+ [^ ]+))', 1)")).alias("g"))
     bench = grams.filter(F.col("doc_id") % 11 == 0).select("g").distinct()
     contaminated = (grams.filter(F.col("doc_id") % 11 != 0)
                     .join(F.broadcast(bench), "g")
@@ -2113,13 +2115,14 @@ def text_lm_score(spark, sf):
     d = t(spark, sf, "documents").filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
     toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
-    bg = (toks.filter(F.size("tk") >= 2)
-          .select("doc_id",
-                  F.explode(F.expr(
-                      "transform(sequence(1, size(tk) - 1), i -> struct("
-                      " concat(element_at(tk,i), ' ', element_at(tk,i+1))"
-                      " AS bigram, element_at(tk,i) AS w1))")).alias("p"))
-          .select("doc_id", "p.bigram", "p.w1"))
+    # bigram strings via the zero-width-lookahead regex; w1 falls out
+    # of the exploded row with substring_index (JVM, codegen) instead
+    # of building structs in an interpreted lambda
+    bg = (toks.select("doc_id", F.explode(F.expr(
+              r"regexp_extract_all(concat(' ', concat_ws(' ', tk)), "
+              r"' (?=([^ ]+ [^ ]+))', 1)")).alias("bigram"))
+          .select("doc_id", "bigram",
+                  F.substring_index("bigram", " ", 1).alias("w1")))
     bc = bg.groupBy("bigram").agg(F.count("*").alias("nb"))
     uc = bg.groupBy("w1").agg(F.count("*").alias("nu"))
     j = (bg.join(F.broadcast(bc), "bigram")
@@ -2331,11 +2334,15 @@ def edit_candidates(docs, d: int = EDIT_D, qw: int = EDIT_Q,
     the gather's own exchange). docs: (doc_id, text, ln). Returns
     (doc_a < doc_b) candidate id pairs; the edit distance itself is
     verified exactly downstream on candidates only."""
+    # Overlapping char q-grams via zero-width-lookahead regex
+    # (verified row-equal to the transform/substring lambda on the
+    # full sf0.1 corpus): no interpreted lambda in the gram build and
+    # no CASE guard — sub-q-length docs simply yield no matches,
+    # sidestepping Spark's descending-sequence(1, 0) trap. (?s) keeps
+    # '.' matching newlines inside documents.
     grams = F.expr(
-        f"CASE WHEN char_length(text) >= {qw} THEN "
-        f"array_distinct(transform(sequence(1, char_length(text) - {qw - 1}), "
-        f"i -> substring(text, i, {qw}))) "
-        f"ELSE CAST(array() AS array<string>) END")
+        f"array_distinct(regexp_extract_all(text, "
+        f"'(?s)(?=(.{{{qw}}}))', 1))")
     srt = F.array_sort(F.transform(
         grams, lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("w"))))
     pfx_n = F.lit(d * qw + 1)
@@ -2765,19 +2772,24 @@ def ngram_novelty_curve(spark, sf):
     gram (one hash agg over the gram key) → rank equality; everything
     linear in total gram volume, join keyed on the gram."""
     d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
-    toks = F.split(F.trim("text"), r"\s+")
-    # guard size >= 3 BEFORE sequence(): sequence(1, 0) is DESCENDING
-    # in Spark and slice(_, 0, _) throws — short docs contribute no
-    # grams on either engine (DuckDB's range(1, len-1) is empty there)
-    grams = (d.filter(F.size(toks) >= 3)
-             .select(
-                 F.regexp_extract("source", r"src(\d+)", 1).cast("int")
-                 .alias("src_rank"),
-                 "source",
-                 F.explode(F.transform(
-                     F.sequence(F.lit(1), F.size(toks) - 2),
-                     lambda i: F.concat_ws(" ", F.slice(toks, i, 3))))
-                 .alias("gram")))
+    # Overlapping trigrams via zero-width-lookahead regex (verified
+    # set-equal to the transform/slice lambda form): the lambda is
+    # interpreted (~0.8 ms/row) AND InferFiltersFromGenerate inlines
+    # it into scan-stage filters below the exchange — the regex is
+    # ~50x cheaper per eval, 3.75 s -> 0.64 s at sf0.1 (the same
+    # lesson as decontaminate_fuzzy; see its docstring). Short docs
+    # (<3 tokens) simply yield no matches — no size guard needed.
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    gram_arr = F.expr(
+        r"regexp_extract_all(concat(' ', regexp_replace(trim(text), "
+        r"'\\s+', ' ')), ' (?=([^ ]+ [^ ]+ [^ ]+))', 1)")
+    grams = d.select(
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+        .alias("src_rank"),
+        "source",
+        F.explode(gram_arr).alias("gram"))
     # ONE wide exchange on the gram key: min-rank and the distinct
     # (source, rank) member set fold in the same hash aggregate (the
     # collect_set dedups map-side, replacing the old explicit
@@ -4864,11 +4876,17 @@ def dedup_kgram_exact(spark, sf):
          .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
          .select("doc_id",
                  F.split(F.lower(F.trim("text")), r"\s+").alias("tk")))
-    grams = (d.filter(F.size("tk") >= k)
-             .select("doc_id", F.explode(F.array_distinct(F.transform(
-                 F.sequence(F.lit(1), F.size("tk") - k + 1),
-                 lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i, k))))))
-                 .alias("gh")))
+    # overlapping k-gram strings via the zero-width-lookahead regex
+    # (the decontaminate_fuzzy lesson); md5 is applied per EXPLODED
+    # row — codegen'd — instead of per array element in an
+    # interpreted lambda. array_distinct on gram strings == distinct
+    # hashes (md5 is injective on distinct inputs here by assumption
+    # of no collisions, and both engines hash the same string set).
+    gram_rx = " ".join(["[^ ]+"] * k)
+    grams = (d.select("doc_id", F.explode(F.array_distinct(F.expr(
+                 f"regexp_extract_all(concat(' ', concat_ws(' ', tk)), "
+                 f"' (?=({gram_rx}))', 1)"))).alias("g"))
+             .select("doc_id", F.md5("g").alias("gh")))
     wn = F.count("*").over(W.partitionBy("gh"))
     banded = (grams.withColumn("n", wn)
               .filter((F.col("n") >= 2) & (F.col("n") <= 20)))
