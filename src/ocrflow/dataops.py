@@ -8131,3 +8131,305 @@ def text_nb_classify(spark, sf):
             .filter(F.col("rn") == 1)
             .select("doc_id", F.col("lang").alias("pred_lang"),
                     F.col("score_micro").cast("bigint").alias("score_micro")))
+
+
+@q("eval_cer", r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS nt
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+    AND strlen(text) = length(text)
+)
+SELECT a.doc_id AS cand_id, b.doc_id AS ref_id,
+       CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS dist,
+       CAST(length(b.nt) AS BIGINT) AS ref_chars,
+       ROUND(CAST(levenshtein(a.nt, b.nt) AS DOUBLE) / length(b.nt), 6)
+           AS cer
+FROM norm a JOIN norm b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 10 = 0
+""")
+def eval_cer(spark, sf):
+    """Character Error Rate — the OCR/ASR transcription metric:
+    levenshtein(candidate, reference) / |reference| on
+    whitespace-normalized text, candidate/reference pairs formed by
+    the same adjacent-doc_id pairing eval_rouge1_f1 uses (a real
+    harness supplies the two columns and the identical plan runs).
+    The edit distance runs in the JVM (codegen levenshtein,
+    O(|a|*|b|) per pair) after an id-adjacency equi-join — fully
+    distributed, no shuffle beyond the join, and at 100 TB each pair
+    is independent so the stage scales embarrassingly. ENGINE NOTE:
+    Spark's levenshtein counts UTF-16 units while DuckDB's counts
+    bytes, so the op guards on ASCII text (octet_length = char
+    length on the Spark side, strlen = length on the DuckDB side)
+    where the two definitions coincide; non-ASCII transcripts need a
+    codepoint-level UDF and the guard documents that boundary."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull()
+                 & (F.length(F.trim("text")) > 0)
+                 & (F.octet_length("text") == F.length("text")))
+         .select("doc_id",
+                 F.regexp_replace(F.trim("text"), r"\s+", " ").alias("nt")))
+    a = d.select(F.col("doc_id").alias("cand_id"), F.col("nt").alias("ca"))
+    b = d.select(F.col("doc_id").alias("ref_id"), F.col("nt").alias("rf"))
+    j = (a.filter(F.col("cand_id") % 10 == 0)
+         .join(b, F.col("ref_id") == F.col("cand_id") + 1))
+    dist = F.levenshtein("ca", "rf").cast("bigint")
+    return j.select(
+        "cand_id", "ref_id", dist.alias("dist"),
+        F.length("rf").cast("bigint").alias("ref_chars"),
+        F.round(dist.cast("double") / F.length("rf"), 6).alias("cer"))
+
+
+@q("eval_token_f1", r"""
+WITH pairs AS (
+  SELECT a.doc_id AS cand_id, b.doc_id AS ref_id,
+         regexp_split_to_array(trim(a.text), '\s+') AS ca,
+         regexp_split_to_array(trim(b.text), '\s+') AS rf
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 = 0 AND a.text IS NOT NULL AND b.text IS NOT NULL
+    AND length(trim(a.text)) > 0 AND length(trim(b.text)) > 0
+), ct AS (
+  SELECT cand_id, t, CAST(count(*) AS BIGINT) AS cc
+  FROM (SELECT cand_id, unnest(ca) AS t FROM pairs) GROUP BY 1, 2
+), rt AS (
+  SELECT cand_id, t, CAST(count(*) AS BIGINT) AS cr
+  FROM (SELECT cand_id, unnest(rf) AS t FROM pairs) GROUP BY 1, 2
+), ov AS (
+  SELECT cand_id, CAST(sum(least(cc, cr)) AS BIGINT) AS overlap
+  FROM ct JOIN rt USING (cand_id, t) GROUP BY 1
+)
+SELECT p.cand_id, p.ref_id,
+       CAST(coalesce(o.overlap, 0) AS BIGINT) AS overlap,
+       CAST(len(p.ca) AS BIGINT) AS nc, CAST(len(p.rf) AS BIGINT) AS nr,
+       ROUND(CAST(coalesce(o.overlap, 0) AS DOUBLE) / len(p.ca), 6) AS p,
+       ROUND(CAST(coalesce(o.overlap, 0) AS DOUBLE) / len(p.rf), 6) AS r,
+       ROUND(CASE WHEN coalesce(o.overlap, 0) = 0 THEN 0.0
+             ELSE 2.0 * o.overlap / (len(p.ca) + len(p.rf)) END, 6) AS f1
+FROM pairs p LEFT JOIN ov o USING (cand_id)
+""")
+def eval_token_f1(spark, sf):
+    """SQuAD-style token F1 with MULTIPLICITY CLIPPING — overlap =
+    sum over tokens of min(count_cand, count_ref), which is what the
+    reading-comprehension eval actually computes and what
+    eval_rouge1_f1's distinct-set intersection deliberately is not.
+    Per-pair token counts fold in one hash aggregate each, the
+    overlap is an equi-join on (pair, token) + a sum, and the
+    zero-overlap pairs are restored by a left join against the pair
+    spine — every stage map-combinable, keyed on (pair, token), no
+    per-pair quadratic work anywhere. At 100 TB the token-count
+    aggregates dominate and they partial-aggregate map-side."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull()
+                 & (F.length(F.trim("text")) > 0)))
+    a = (d.filter(F.col("doc_id") % 10 == 0)
+         .select(F.col("doc_id").alias("cand_id"),
+                 F.split(F.trim("text"), r"\s+").alias("ca")))
+    b = d.select(F.col("doc_id").alias("ref_id"),
+                 F.split(F.trim("text"), r"\s+").alias("rf"))
+    pairs = a.join(b, F.col("ref_id") == F.col("cand_id") + 1)
+    ct = (pairs.select("cand_id", F.explode("ca").alias("t"))
+          .groupBy("cand_id", "t")
+          .agg(F.count("*").cast("bigint").alias("cc")))
+    rt = (pairs.select("cand_id", F.explode("rf").alias("t"))
+          .groupBy("cand_id", "t")
+          .agg(F.count("*").cast("bigint").alias("cr")))
+    ov = (ct.join(rt, ["cand_id", "t"])
+          .groupBy("cand_id")
+          .agg(F.sum(F.least("cc", "cr")).cast("bigint").alias("overlap")))
+    spine = pairs.select("cand_id", "ref_id",
+                         F.size("ca").cast("bigint").alias("nc"),
+                         F.size("rf").cast("bigint").alias("nr"))
+    jo = (spine.join(ov, "cand_id", "left")
+          .withColumn("overlap",
+                      F.coalesce("overlap", F.lit(0)).cast("bigint")))
+    return jo.select(
+        "cand_id", "ref_id", "overlap", "nc", "nr",
+        F.round(F.col("overlap").cast("double") / F.col("nc"), 6).alias("p"),
+        F.round(F.col("overlap").cast("double") / F.col("nr"), 6).alias("r"),
+        F.round(F.when(F.col("overlap") == 0, F.lit(0.0))
+                .otherwise(F.lit(2.0) * F.col("overlap")
+                           / (F.col("nc") + F.col("nr"))), 6).alias("f1"))
+
+
+@q("eval_bleu2", r"""
+WITH pairs AS (
+  SELECT a.doc_id AS cand_id,
+         regexp_replace(trim(a.text), '\s+', ' ', 'g') AS ct,
+         regexp_replace(trim(b.text), '\s+', ' ', 'g') AS rt
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 = 0 AND a.text IS NOT NULL AND b.text IS NOT NULL
+    AND length(trim(a.text)) > 0 AND length(trim(b.text)) > 0
+), cu AS (
+  SELECT cand_id, t, CAST(count(*) AS BIGINT) AS cc
+  FROM (SELECT cand_id, unnest(regexp_split_to_array(ct, ' ')) AS t
+        FROM pairs) GROUP BY 1, 2
+), ru AS (
+  SELECT cand_id, t, CAST(count(*) AS BIGINT) AS cr
+  FROM (SELECT cand_id, unnest(regexp_split_to_array(rt, ' ')) AS t
+        FROM pairs) GROUP BY 1, 2
+), cb AS (
+  SELECT cand_id, g, CAST(count(*) AS BIGINT) AS cc
+  FROM (SELECT cand_id,
+               unnest(list_transform(
+                   range(1, len(string_split(ct, ' '))),
+                   i -> string_split(ct, ' ')[i] || ' '
+                        || string_split(ct, ' ')[i+1])) AS g
+        FROM pairs) GROUP BY 1, 2
+), rb AS (
+  SELECT cand_id, g, CAST(count(*) AS BIGINT) AS cr
+  FROM (SELECT cand_id,
+               unnest(list_transform(
+                   range(1, len(string_split(rt, ' '))),
+                   i -> string_split(rt, ' ')[i] || ' '
+                        || string_split(rt, ' ')[i+1])) AS g
+        FROM pairs) GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(len(regexp_split_to_array(ct, ' '))) AS BIGINT) AS c_len,
+         CAST(sum(len(regexp_split_to_array(rt, ' '))) AS BIGINT) AS r_len,
+         CAST(sum(greatest(len(regexp_split_to_array(ct, ' ')) - 1, 0))
+              AS BIGINT) AS c_bg
+  FROM pairs
+), m1 AS (
+  SELECT CAST(sum(least(cc, cr)) AS BIGINT) AS hit1
+  FROM cu JOIN ru USING (cand_id, t)
+), m2 AS (
+  SELECT CAST(sum(least(cc, cr)) AS BIGINT) AS hit2
+  FROM cb JOIN rb USING (cand_id, g)
+)
+SELECT c_len, r_len, hit1, hit2,
+       ROUND(CAST(hit1 AS DOUBLE) / c_len, 6) AS p1,
+       ROUND(CAST(hit2 AS DOUBLE) / c_bg, 6) AS p2,
+       ROUND(CASE WHEN c_len >= r_len THEN 1.0
+             ELSE exp(1.0 - CAST(r_len AS DOUBLE) / c_len) END, 6) AS bp,
+       ROUND(CASE WHEN hit1 = 0 OR hit2 = 0 THEN 0.0
+             ELSE (CASE WHEN c_len >= r_len THEN 1.0
+                   ELSE exp(1.0 - CAST(r_len AS DOUBLE) / c_len) END)
+                  * exp(0.5 * (ln(CAST(hit1 AS DOUBLE) / c_len)
+                               + ln(CAST(hit2 AS DOUBLE) / c_bg)))
+             END, 6) AS bleu2
+FROM tot, m1, m2
+""")
+def eval_bleu2(spark, sf):
+    """Corpus-level BLEU-2 (Papineni et al. 2002): clipped modified
+    precision for unigrams and bigrams summed over the whole corpus,
+    geometric mean, brevity penalty exp(1 - r/c) when the candidate
+    corpus is shorter. Pairing is the adjacent-doc_id convention the
+    rest of the eval family uses. Bigrams come from the zero-width-
+    lookahead regex (the decontaminate_fuzzy lesson — no interpreted
+    lambda), clip counts fold in per-(pair, gram) hash aggregates,
+    and the corpus totals are three scalar aggregates — at 100 TB
+    everything partial-aggregates map-side and the final reduce is a
+    handful of scalars. exp/ln on identical IEEE doubles computed
+    from exact bigint ratios, written in the same expression order in
+    both engines, so the rounded strings agree."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull()
+                 & (F.length(F.trim("text")) > 0))
+         .select("doc_id",
+                 F.regexp_replace(F.trim("text"), r"\s+", " ").alias("nt")))
+    pairs = (d.filter(F.col("doc_id") % 10 == 0)
+             .select(F.col("doc_id").alias("cand_id"),
+                     F.col("nt").alias("ct"))
+             .join(d.select((F.col("doc_id") - 1).alias("cand_id"),
+                            F.col("nt").alias("rt")), "cand_id"))
+    bg = " (?=([^ ]+ [^ ]+))"
+    cu = (pairs.select("cand_id", F.explode(F.split("ct", " ")).alias("t"))
+          .groupBy("cand_id", "t")
+          .agg(F.count("*").cast("bigint").alias("cc")))
+    ru = (pairs.select("cand_id", F.explode(F.split("rt", " ")).alias("t"))
+          .groupBy("cand_id", "t")
+          .agg(F.count("*").cast("bigint").alias("cr")))
+    cb = (pairs.select("cand_id", F.explode(F.expr(
+              f"regexp_extract_all(concat(' ', ct), '{bg}', 1)")).alias("g"))
+          .groupBy("cand_id", "g")
+          .agg(F.count("*").cast("bigint").alias("cc")))
+    rb = (pairs.select("cand_id", F.explode(F.expr(
+              f"regexp_extract_all(concat(' ', rt), '{bg}', 1)")).alias("g"))
+          .groupBy("cand_id", "g")
+          .agg(F.count("*").cast("bigint").alias("cr")))
+    tot = pairs.agg(
+        F.sum(F.size(F.split("ct", " "))).cast("bigint").alias("c_len"),
+        F.sum(F.size(F.split("rt", " "))).cast("bigint").alias("r_len"),
+        F.sum(F.greatest(F.size(F.split("ct", " ")) - 1, F.lit(0)))
+        .cast("bigint").alias("c_bg"))
+    m1 = (cu.join(ru, ["cand_id", "t"])
+          .agg(F.sum(F.least("cc", "cr")).cast("bigint").alias("hit1")))
+    m2 = (cb.join(rb, ["cand_id", "g"])
+          .agg(F.sum(F.least("cc", "cr")).cast("bigint").alias("hit2")))
+    j = tot.crossJoin(m1).crossJoin(m2)
+    c_len, r_len = F.col("c_len"), F.col("r_len")
+    hit1, hit2, c_bg = F.col("hit1"), F.col("hit2"), F.col("c_bg")
+    bp = F.when(c_len >= r_len, F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - r_len.cast("double") / c_len))
+    bleu = F.when((hit1 == 0) | (hit2 == 0), F.lit(0.0)).otherwise(
+        bp * F.exp(F.lit(0.5) * (F.log(hit1.cast("double") / c_len)
+                                 + F.log(hit2.cast("double") / c_bg))))
+    return j.select(
+        "c_len", "r_len", "hit1", "hit2",
+        F.round(hit1.cast("double") / c_len, 6).alias("p1"),
+        F.round(hit2.cast("double") / c_bg, 6).alias("p2"),
+        F.round(bp, 6).alias("bp"), F.round(bleu, 6).alias("bleu2"))
+
+
+@q("text_ocr_confusion_dedup", r"""
+WITH base AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+), allv AS (
+  SELECT doc_id, nt FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, translate(nt, 'olsb', '0158') AS nt
+  FROM base WHERE doc_id % 7 = 0
+), canon AS (
+  SELECT doc_id, nt,
+         replace(replace(translate(nt, '0158|', 'olsbl'),
+                 'rn', 'm'), 'vv', 'w') AS ct
+  FROM allv
+)
+SELECT md5(ct) AS canon_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT nt) AS BIGINT) AS n_variants,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM canon
+GROUP BY md5(ct)
+HAVING count(*) >= 2 AND count(DISTINCT nt) >= 2
+""")
+def text_ocr_confusion_dedup(spark, sf):
+    """OCR-confusion-aware near-dedup: canonicalize the classic
+    glyph confusions (0/o, 1/l, 5/s, 8/b, pipe/l via one translate;
+    the two-char confusions rn/m and vv/w via ordered replace — both
+    engines substitute non-overlapping matches left-to-right, so the
+    canonical form is engine-identical), then cluster by md5 of the
+    canonical text and keep clusters whose members differ in the
+    RAW (case/space-normalized) text — i.e. genuine OCR-variant
+    groups, not exact duplicates. The synthetic corpus has no real
+    OCR variants, so the op plants its own evidence: every 7th doc
+    gets a corrupted twin (o/l/s/b -> 0/1/5/8, the inverse of the
+    canonical map, doc_id offset +1e6) unioned in on BOTH engines,
+    and the canonicalizer must recover exactly those clusters — a
+    planted-pair harness, same discipline as the benchmark-copy
+    behavioral test. This is the deterministic cousin of
+    dedup_edit_scanner for the single-substitution error class OCR
+    actually produces, and it costs ONE hash aggregate: at 100 TB it
+    is exactly as scalable as dedup_exact (map-side partial agg on
+    the canonical hash), with no candidate generation at all."""
+    base = (t(spark, sf, "documents")
+            .filter(F.col("text").isNotNull()
+                    & (F.length(F.trim("text")) > 0))
+            .select("doc_id",
+                    F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+                    .alias("nt")))
+    planted = (base.filter(F.col("doc_id") % 7 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.translate("nt", "olsb", "0158").alias("nt")))
+    allv = base.unionByName(planted)
+    ct = F.regexp_replace(
+        F.regexp_replace(
+            F.translate("nt", "0158|", "olsbl"), "rn", "m"), "vv", "w")
+    return (allv.select(F.md5(ct).alias("canon_hash"), "nt", "doc_id")
+            .groupBy("canon_hash")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.countDistinct("nt").cast("bigint").alias("n_variants"),
+                 F.min("doc_id").cast("bigint").alias("min_doc_id"))
+            .filter((F.col("n_docs") >= 2) & (F.col("n_variants") >= 2)))
