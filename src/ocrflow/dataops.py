@@ -8433,3 +8433,462 @@ def text_ocr_confusion_dedup(spark, sf):
                  F.countDistinct("nt").cast("bigint").alias("n_variants"),
                  F.min("doc_id").cast("bigint").alias("min_doc_id"))
             .filter((F.col("n_docs") >= 2) & (F.col("n_variants") >= 2)))
+
+
+@q("eval_wer_hashed", r"""
+WITH norm AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+             regexp_split_to_array(trim(text), '\s+'), t ->
+             chr(CAST(33 + (strpos('0123456789abcdef',
+                                   substring(md5(t), 1, 1)) * 16
+                          + strpos('0123456789abcdef',
+                                   substring(md5(t), 2, 1))
+                          - 17) % 94 AS INTEGER))), '') AS enc
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+)
+SELECT a.doc_id AS cand_id, b.doc_id AS ref_id,
+       CAST(levenshtein(a.enc, b.enc) AS BIGINT) AS dist,
+       CAST(length(b.enc) AS BIGINT) AS ref_tokens,
+       ROUND(CAST(levenshtein(a.enc, b.enc) AS DOUBLE) / length(b.enc), 6)
+           AS wer
+FROM norm a JOIN norm b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 10 = 0
+""")
+def eval_wer_hashed(spark, sf):
+    """Word Error Rate — eval_cer's token-level sibling and the other
+    half of the OCR/ASR metric pair. Token-level edit distance has no
+    built-in in either engine, so each token is hash-encoded to ONE
+    printable ASCII char (first two md5 hex digits -> 33 + v % 94) and
+    the string levenshtein runs on the encodings: insertions/deletions
+    map 1:1, and a substitution is missed only when two DIFFERENT
+    tokens collide into the same symbol (~1/94 per substituted
+    position), so the hashed WER is a deterministic lower bound that
+    is string-exact across engines (ASCII-only encodings make Spark's
+    UTF-16-unit and DuckDB's byte-level levenshtein coincide — the
+    same boundary eval_cer documents). md5 needs per-token evaluation,
+    hence the JVM transform() lambda rather than a regexp — the
+    lambda runs inside codegen on an array bounded by doc length, not
+    per-row Python. Pairing is the family's adjacent-doc_id
+    convention. At 100 TB each pair is independent after the
+    id-adjacency equi-join: embarrassingly parallel."""
+    enc = F.expr(r"""array_join(transform(split(trim(text), '\\s+'), t ->
+        char(33 + (instr('0123456789abcdef', substring(md5(t), 1, 1)) * 16
+                 + instr('0123456789abcdef', substring(md5(t), 2, 1))
+                 - 17) % 94)), '')""")
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull()
+                 & (F.length(F.trim("text")) > 0))
+         .select("doc_id", enc.alias("enc")))
+    a = d.select(F.col("doc_id").alias("cand_id"), F.col("enc").alias("ca"))
+    b = d.select(F.col("doc_id").alias("ref_id"), F.col("enc").alias("rf"))
+    j = (a.filter(F.col("cand_id") % 10 == 0)
+         .join(b, F.col("ref_id") == F.col("cand_id") + 1))
+    dist = F.levenshtein("ca", "rf").cast("bigint")
+    return j.select(
+        "cand_id", "ref_id", dist.alias("dist"),
+        F.length("rf").cast("bigint").alias("ref_tokens"),
+        F.round(dist.cast("double") / F.length("rf"), 6).alias("wer"))
+
+
+@q("privacy_t_closeness", """
+WITH c AS (
+  SELECT c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b
+  FROM customer
+), n AS (SELECT count(*) AS n FROM c),
+gt AS (SELECT seg, count(*) AS ng FROM c GROUP BY seg),
+bt AS (SELECT b, count(*) AS nb FROM c GROUP BY b),
+m  AS (SELECT count(*) AS m FROM bt),
+gb AS (SELECT seg, b, count(*) AS o FROM c GROUP BY seg, b),
+cells AS (
+  SELECT g.seg, g.ng, t.b,
+         t.nb * g.ng - coalesce(gb.o, 0) * n.n AS num
+  FROM gt g CROSS JOIN bt t
+  LEFT JOIN gb ON gb.seg = g.seg AND gb.b = t.b
+  CROSS JOIN n
+), cum AS (
+  SELECT seg, ng,
+         abs(sum(num) OVER (PARTITION BY seg ORDER BY b)) AS a
+  FROM cells
+)
+SELECT seg, CAST(max(ng) AS BIGINT) AS group_n,
+       CAST((SELECT m FROM m) AS BIGINT) AS n_buckets,
+       ROUND(CAST(sum(a) AS DOUBLE) / (SELECT n FROM n) / max(ng)
+             / ((SELECT m FROM m) - 1), 6) AS emd
+FROM cum GROUP BY seg
+""")
+def privacy_t_closeness(spark, sf):
+    """t-closeness (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third rung of the governance ladder after k_anonymity_check and
+    l_diversity_check: per quasi-identifier group (mktsegment), the
+    Earth Mover's Distance between the group's distribution of the
+    ordered sensitive attribute (acctbal in 1000-unit buckets) and
+    the global distribution, EMD = sum_i |cumsum(P_i - Q_i)|/(m-1).
+    EXACTNESS TRICK: P_i - Q_i = nb_i/n - o_i/ng is put over the
+    common denominator n*ng, so the cumulative sums are EXACT
+    BIGINTs (window sum order cannot perturb them — DuckDB's
+    segment-tree window sum and Spark's running fold would disagree
+    on doubles) and floating point enters only in the single final
+    division chain, written in the same order on both engines. At
+    100 TB: two hash aggregates sized |groups| and |buckets|, a
+    broadcastable marginal cross join, and a window over m rows per
+    group — the bigint products hold to ~3e9 rows per cell; past
+    that, switch the numerator to decimal(38,0) (documented, not
+    needed at any realistic group size)."""
+    c = t(spark, sf, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("b"))
+    n = c.agg(F.count("*").alias("n"))
+    gt = c.groupBy("seg").agg(F.count("*").alias("ng"))
+    bt = c.groupBy("b").agg(F.count("*").alias("nb"))
+    m = bt.agg(F.count("*").alias("m"))
+    gb = c.groupBy("seg", "b").agg(F.count("*").alias("o"))
+    cells = (gt.crossJoin(F.broadcast(bt))
+             .join(gb, ["seg", "b"], "left")
+             .crossJoin(F.broadcast(n))
+             .select("seg", "ng", "b",
+                     (F.col("nb") * F.col("ng")
+                      - F.coalesce("o", F.lit(0)) * F.col("n"))
+                     .alias("num"), "n"))
+    w = W.partitionBy("seg").orderBy("b")
+    cum = cells.select(
+        "seg", "ng", "n", F.abs(F.sum("num").over(w)).alias("a"))
+    return (cum.groupBy("seg")
+            .agg(F.max("ng").cast("bigint").alias("group_n"),
+                 F.max("n").alias("_n"), F.sum("a").alias("_sa"))
+            .crossJoin(F.broadcast(m))
+            .select("seg", "group_n",
+                    F.col("m").cast("bigint").alias("n_buckets"),
+                    F.round(F.col("_sa").cast("double") / F.col("_n")
+                            / F.col("group_n") / (F.col("m") - 1), 6)
+                    .alias("emd")))
+
+
+@q("corpus_dsir_weights", r"""
+WITH toks AS (
+  SELECT doc_id, lower(t) AS w, (doc_id % 13 = 0) AS is_tgt
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents
+        WHERE text IS NOT NULL AND length(trim(text)) > 0)
+), vocab AS (
+  SELECT w,
+         CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+         CAST(sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS BIGINT) AS rc
+  FROM toks GROUP BY w
+), tot AS (
+  SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS tr,
+         CAST(count(*) AS BIGINT) AS v
+  FROM vocab
+), lr AS (
+  SELECT w, ln((tc + 1.0) / (tt + v)) - ln((rc + 1.0) / (tr + v)) AS lr
+  FROM vocab CROSS JOIN tot
+), dt AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE NOT is_tgt GROUP BY doc_id, w
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       ROUND(sum(CAST(ROUND(c * lr * 1000000, 0) AS BIGINT)) / 1000000.0, 6)
+           AS dsir_logw
+FROM dt JOIN lr USING (w)
+GROUP BY doc_id
+""")
+def corpus_dsir_weights(spark, sf):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-pool
+    doc by the log-likelihood ratio of a target-domain unigram model
+    over a raw-pool unigram model, log w(d) = sum_t c_d(t) *
+    [ln p_tgt(t) - ln p_raw(t)], with add-one smoothing over the
+    shared vocabulary. Target = docs with doc_id % 13 == 0 (the
+    benchmark-proxy convention decontaminate_overlap uses); raw = the
+    rest. One token explode feeds BOTH model counts (a single hash
+    aggregate keyed on token, map-combinable), the log-ratio table is
+    vocabulary-sized — Heaps-bounded, broadcastable at any corpus
+    size — and each doc's score is a sum of per-(doc, token) terms
+    rounded to integer micro-units so the final aggregation is an
+    order-independent bigint sum (the stat_chi_square discipline;
+    ln/* on identical exact-integer ratios is IEEE-identical across
+    engines). The final ROUND is to 6 decimals — the micro scale
+    itself — so it merely reconstructs the exact bigint and cannot
+    hit a half-tie; rounding COARSER than the term scale (first form
+    used 4) makes engines disagree on sums landing exactly on a
+    .00005 boundary (2 of 461 docs at sf0.01 did). At 100 TB: two shuffles (token counts, per-doc terms),
+    both partial-aggregating map-side, plus one broadcast join."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull()
+                 & (F.length(F.trim("text")) > 0)))
+    toks = (d.select("doc_id",
+                     F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+            .select("doc_id", F.lower("t").alias("w"),
+                    (F.col("doc_id") % 13 == 0).alias("is_tgt")))
+    vocab = (toks.groupBy("w")
+             .agg(F.sum(F.when(F.col("is_tgt"), 1).otherwise(0))
+                  .cast("bigint").alias("tc"),
+                  F.sum(F.when(F.col("is_tgt"), 0).otherwise(1))
+                  .cast("bigint").alias("rc")))
+    tot = vocab.agg(F.sum("tc").cast("bigint").alias("tt"),
+                    F.sum("rc").cast("bigint").alias("tr"),
+                    F.count("*").cast("bigint").alias("v"))
+    lr = (vocab.crossJoin(F.broadcast(tot))
+          .select("w", (F.log((F.col("tc") + 1.0) / (F.col("tt") + F.col("v")))
+                        - F.log((F.col("rc") + 1.0)
+                                / (F.col("tr") + F.col("v")))).alias("lr")))
+    dt = (toks.filter(~F.col("is_tgt"))
+          .groupBy("doc_id", "w")
+          .agg(F.count("*").cast("bigint").alias("c")))
+    return (dt.join(lr, "w")
+            .groupBy("doc_id")
+            .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.round(F.sum(F.round(F.col("c") * F.col("lr") * 1000000, 0)
+                               .cast("bigint")) / 1000000.0, 6)
+                 .alias("dsir_logw")))
+
+
+@q("event_pattern_detect", """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), ''
+                    ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(length(s) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, 'v[^p]*p')) AS BIGINT)
+           AS n_conversions,
+       CAST(CASE WHEN regexp_matches(s, 's.*v.*p') THEN 1 ELSE 0 END
+            AS BIGINT) AS has_signup_view_purchase
+FROM seq
+""")
+def event_pattern_detect(spark, sf):
+    """MATCH_RECOGNIZE-class event-sequence pattern matching, the
+    regex-over-rows operator Spark lacks as SQL syntax: encode each
+    user's time-ordered event stream as a string of type initials
+    (click/error/purchase/signup/view -> c/e/p/s/v, distinct by
+    construction) and run ordinary regexps over it — 'v[^p]*p'
+    non-overlapping matches count view->purchase conversion runs
+    (leftmost-greedy semantics agree across engines), 's.*v.*p'
+    detects the signup->view->purchase funnel with arbitrary noise
+    between steps. The encoding is ONE hash aggregate: collect_list
+    of (ts, event_id, initial) structs, array_sort (unique tie-break
+    on event_id), transform+array_join — the A8 stable-ordering
+    idiom, no window, no second shuffle, and the regex scan is
+    per-user independent. At 100 TB this is the cheap screener run
+    BEFORE an exact automaton: sequences are session-bounded in
+    practice, and a user's string lives on one partition."""
+    e = t(spark, sf, "events").select(
+        "user_id", F.struct("ts", "event_id",
+                            F.substring("event_type", 1, 1).alias("ch"))
+        .alias("st"))
+    seq = (e.groupBy("user_id")
+           .agg(F.array_join(
+               F.transform(F.array_sort(F.collect_list("st")),
+                           lambda x: x["ch"]), "").alias("s")))
+    return seq.select(
+        "user_id", F.length("s").cast("bigint").alias("n_events"),
+        F.expr("regexp_count(s, 'v[^p]*p')").cast("bigint")
+        .alias("n_conversions"),
+        F.when(F.col("s").rlike("s.*v.*p"), 1).otherwise(0).cast("bigint")
+        .alias("has_signup_view_purchase"))
+
+
+@q("conv_agent_loop_detect", """
+WITH tr AS (
+  SELECT CAST(user_id % 200 AS BIGINT) AS conv_id, event_type AS tool,
+         row_number() OVER (PARTITION BY user_id % 200
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), isl AS (
+  SELECT conv_id, tool, rn,
+         rn - row_number() OVER (PARTITION BY conv_id, tool
+                                 ORDER BY rn) AS grp
+  FROM tr
+), runs AS (
+  SELECT conv_id, tool, CAST(count(*) AS BIGINT) AS run_len,
+         CAST(min(rn) AS BIGINT) AS run_start
+  FROM isl GROUP BY conv_id, tool, grp
+)
+SELECT conv_id,
+       CAST(max(run_len) AS BIGINT) AS max_run_len,
+       min(CASE WHEN run_len = (SELECT max(r2.run_len) FROM runs r2
+                                WHERE r2.conv_id = runs.conv_id)
+                THEN tool END) AS loop_tool,
+       CAST(count(*) FILTER (run_len >= 3) AS BIGINT) AS n_runs_ge3
+FROM runs GROUP BY conv_id
+""")
+def conv_agent_loop_detect(spark, sf):
+    """Degenerate agent-loop detector over the north-rule transcript
+    shape: an agent stuck calling the SAME tool on consecutive turns
+    is the classic runaway-trace failure an extraction pipeline must
+    quarantine before the transcript poisons training data. Classic
+    gaps-and-islands — rn minus a per-(conv, tool) rank is constant
+    exactly on maximal same-tool runs — then one aggregate per run
+    and one per conversation: longest run, which tool it repeated
+    (deterministic min-name tie-break, window-max instead of the
+    oracle's correlated subquery), and how many runs crossed the
+    loop threshold of 3. Purely integer outputs.
+
+    At 100 TB: both row_numbers and both aggregates ride ONE hash
+    exchange on conv_id (the window partition keys are conv-prefixed
+    throughout, so Catalyst plans a single Exchange + two Window
+    nodes + partial-aggregated groupBys); a conversation's turns are
+    co-located by the A10 salting rule only when monster convs
+    appear, and run detection is salt-safe because rn is assigned
+    before any salt split."""
+    e = t(spark, sf, "events")
+    tr = e.select(
+        (F.col("user_id") % 200).cast("bigint").alias("conv_id"),
+        F.col("event_type").alias("tool"),
+        F.row_number().over(
+            W.partitionBy(F.col("user_id") % 200)
+            .orderBy("ts", "event_id")).alias("rn"))
+    isl = tr.withColumn(
+        "grp", F.col("rn") - F.row_number().over(
+            W.partitionBy("conv_id", "tool").orderBy("rn")))
+    runs = (isl.groupBy("conv_id", "tool", "grp")
+            .agg(F.count("*").cast("bigint").alias("run_len"),
+                 F.min("rn").cast("bigint").alias("run_start")))
+    mx = runs.withColumn(
+        "mx", F.max("run_len").over(W.partitionBy("conv_id")))
+    return (mx.groupBy("conv_id").agg(
+        F.max("run_len").cast("bigint").alias("max_run_len"),
+        F.min(F.when(F.col("run_len") == F.col("mx"), F.col("tool")))
+        .alias("loop_tool"),
+        F.count_if(F.col("run_len") >= 3).cast("bigint")
+        .alias("n_runs_ge3")))
+
+
+@q("conv_turn_latency", """
+WITH tr AS (
+  SELECT CAST(user_id % 100 AS BIGINT) AS conv_id, ts, event_id,
+         CASE CAST(event_id % 4 AS INT)
+              WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              WHEN 2 THEN 'assistant' ELSE 'tool' END AS role
+  FROM events
+), lagged AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY ts, event_id)
+             AS prev_role,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY conv_id
+                                         ORDER BY ts, event_id)) AS gap
+  FROM tr
+)
+SELECT conv_id,
+       CAST(count(*) FILTER (prev_role = 'user'
+                             AND role = 'assistant') AS BIGINT)
+           AS n_responses,
+       ROUND(avg(gap) FILTER (prev_role = 'user'
+                              AND role = 'assistant'), 4)
+           AS mean_response_s,
+       ROUND(max(gap) FILTER (prev_role = 'user'
+                              AND role = 'assistant'), 4)
+           AS max_response_s,
+       ROUND(avg(gap) FILTER (role = 'tool'), 4) AS mean_tool_gap_s
+FROM lagged GROUP BY conv_id
+""")
+def conv_turn_latency(spark, sf):
+    """Role-transition latency profile per conversation: how long the
+    assistant takes to answer a user turn (user->assistant adjacent
+    gap) vs how fast tool turns land — the agent-trace timing features
+    an SFT pipeline uses to drop stalled or replayed conversations.
+    Gaps are epoch-second doubles of exact micros (the NTZ
+    TIMESTAMP-cast rule), filtered aggregates keep one pass; roles
+    derive deterministically from event_id, the transcript mapping the
+    flagship shares. One window + one aggregate on the same conv_id
+    exchange.
+
+    At 100 TB: identical plan shape to win_turn_order/A8 — ONE hash
+    exchange, per-conv window, partial-agg rollup; the FILTER clauses
+    are flags inside a single aggregation buffer, not extra passes."""
+    e = t(spark, sf, "events")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"),
+                F.lit("assistant"), F.lit("tool")),
+        (F.col("event_id") % 4 + 1).cast("int"))
+    tr = e.select((F.col("user_id") % 100).cast("bigint").alias("conv_id"),
+                  "ts", "event_id", role.alias("role"))
+    w = W.partitionBy("conv_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    lagged = tr.select(
+        "conv_id", "role",
+        F.lag("role").over(w).alias("prev_role"),
+        (sec - F.lag(sec).over(w)).alias("gap"))
+    is_resp = (F.col("prev_role") == "user") & (F.col("role") == "assistant")
+    return (lagged.groupBy("conv_id").agg(
+        F.count_if(is_resp).cast("bigint").alias("n_responses"),
+        F.round(F.avg(F.when(is_resp, F.col("gap"))), 4)
+        .alias("mean_response_s"),
+        F.round(F.max(F.when(is_resp, F.col("gap"))), 4)
+        .alias("max_response_s"),
+        F.round(F.avg(F.when(F.col("role") == "tool", F.col("gap"))), 4)
+        .alias("mean_tool_gap_s")))
+
+
+@q("conv_role_alternation_dq", """
+WITH tr AS (
+  SELECT CAST(user_id % 100 AS BIGINT) AS conv_id,
+         row_number() OVER (PARTITION BY user_id % 100
+                            ORDER BY ts, event_id) AS rn,
+         CASE CAST(event_id % 4 AS INT)
+              WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              WHEN 2 THEN 'assistant' ELSE 'tool' END AS role
+  FROM events
+), lagged AS (
+  SELECT conv_id, rn, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY rn) AS prev_role
+  FROM tr
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (role = 'user' AND prev_role = 'user')
+            AS BIGINT) AS n_double_user,
+       CAST(count(*) FILTER (role = 'assistant'
+                             AND prev_role = 'assistant') AS BIGINT)
+           AS n_double_assistant,
+       CAST(min(CASE WHEN role = prev_role AND role <> 'tool'
+                     THEN rn END) AS BIGINT) AS first_violation_rn,
+       CAST(count(*) FILTER (rn = 1 AND role <> 'user') AS BIGINT)
+           AS bad_opening
+FROM lagged GROUP BY conv_id
+""")
+def conv_role_alternation_dq(spark, sf):
+    """Transcript-structure data-quality gate: conversations are
+    supposed to open with a user turn and alternate user/assistant
+    (tool turns exempt); doubled user turns mean a dropped assistant
+    reply, doubled assistant turns mean a truncated stitch — both
+    A7/A8 reassembly defects this check surfaces BEFORE extraction
+    feeds training data. One rank + one lag on the same conv window,
+    filtered counts and a min-position witness per conversation, all
+    integers.
+
+    At 100 TB: the two window functions share one (conv_id) sort
+    spec, so Catalyst stacks them in a single Window node after ONE
+    exchange; the DQ rollup partial-aggregates on the same keys. The
+    witness rn gives a reproducible drill-down handle (conv_id, rn)
+    without carrying payloads."""
+    e = t(spark, sf, "events")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"),
+                F.lit("assistant"), F.lit("tool")),
+        (F.col("event_id") % 4 + 1).cast("int"))
+    tr = e.select(
+        (F.col("user_id") % 100).cast("bigint").alias("conv_id"),
+        F.row_number().over(
+            W.partitionBy(F.col("user_id") % 100)
+            .orderBy("ts", "event_id")).alias("rn"),
+        role.alias("role"))
+    lagged = tr.withColumn(
+        "prev_role",
+        F.lag("role").over(W.partitionBy("conv_id").orderBy("rn")))
+    viol = (F.col("role") == F.col("prev_role")) & (F.col("role") != "tool")
+    return (lagged.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.count_if((F.col("role") == "user")
+                   & (F.col("prev_role") == "user"))
+        .cast("bigint").alias("n_double_user"),
+        F.count_if((F.col("role") == "assistant")
+                   & (F.col("prev_role") == "assistant"))
+        .cast("bigint").alias("n_double_assistant"),
+        F.min(F.when(viol, F.col("rn"))).cast("bigint")
+        .alias("first_violation_rn"),
+        F.count_if((F.col("rn") == 1) & (F.col("role") != "user"))
+        .cast("bigint").alias("bad_opening")))

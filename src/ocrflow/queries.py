@@ -4482,6 +4482,48 @@ def tpch_q17_shape(spark, sf):
                 .cast("double") / 7.0, 2).alias("avg_yearly"))
 
 
+@q("tpch_q18_shape", """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(b.sum_qty AS BIGINT) AS sum_qty
+FROM big b
+JOIN orders o   ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100
+""")
+def tpch_q18_shape(spark, sf):
+    """TPC-H Q18 (large-volume customer) — completes the full 22-shape
+    suite. The classic IN (SELECT ... HAVING sum > 300) subquery
+    decorrelates to one lineitem aggregate; because TPC-H's final
+    GROUP BY keys are unique per order, the re-aggregation collapses
+    and sum_qty IS the HAVING aggregate — no second pass over
+    lineitem. Quantities are integral so the double sum is exact and
+    the >300 predicate and BIGINT cast are cross-engine-deterministic.
+    At 100 TB: the qualifying-order set is tiny (46 orders at sf0.01),
+    so both joins broadcast and lineitem is touched exactly once; the
+    ORDER BY+LIMIT plans as TakeOrderedAndProject with the unique
+    o_orderkey tie-break making the top-100 set deterministic."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 300))
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = t(spark, sf, "customer").select("c_custkey", "c_name")
+    j = (o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(c, "c_custkey"))
+    return (j.select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice",
+                     F.col("sum_qty").cast("bigint").alias("sum_qty"))
+            .orderBy(F.col("o_totalprice").desc(), "o_orderdate",
+                     "o_orderkey")
+            .limit(100))
+
+
 @q("tpch_q21_shape", """
 SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
 FROM supplier s
