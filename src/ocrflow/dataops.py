@@ -8697,15 +8697,21 @@ WITH tr AS (
          row_number() OVER (PARTITION BY user_id % 200
                             ORDER BY ts, event_id) AS rn
   FROM events
+), flagged AS (
+  SELECT conv_id, tool, rn,
+         CASE WHEN tool IS DISTINCT FROM
+                   lag(tool) OVER (PARTITION BY conv_id ORDER BY rn)
+              THEN 1 ELSE 0 END AS boundary
+  FROM tr
 ), isl AS (
   SELECT conv_id, tool, rn,
-         rn - row_number() OVER (PARTITION BY conv_id, tool
-                                 ORDER BY rn) AS grp
-  FROM tr
+         sum(boundary) OVER (PARTITION BY conv_id ORDER BY rn
+                             ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
 ), runs AS (
-  SELECT conv_id, tool, CAST(count(*) AS BIGINT) AS run_len,
+  SELECT conv_id, min(tool) AS tool, CAST(count(*) AS BIGINT) AS run_len,
          CAST(min(rn) AS BIGINT) AS run_start
-  FROM isl GROUP BY conv_id, tool, grp
+  FROM isl GROUP BY conv_id, grp
 )
 SELECT conv_id,
        CAST(max(run_len) AS BIGINT) AS max_run_len,
@@ -8719,33 +8725,48 @@ def conv_agent_loop_detect(spark, sf):
     """Degenerate agent-loop detector over the north-rule transcript
     shape: an agent stuck calling the SAME tool on consecutive turns
     is the classic runaway-trace failure an extraction pipeline must
-    quarantine before the transcript poisons training data. Classic
-    gaps-and-islands — rn minus a per-(conv, tool) rank is constant
-    exactly on maximal same-tool runs — then one aggregate per run
-    and one per conversation: longest run, which tool it repeated
-    (deterministic min-name tie-break, window-max instead of the
-    oracle's correlated subquery), and how many runs crossed the
-    loop threshold of 3. Purely integer outputs.
+    quarantine before the transcript poisons training data. Islands
+    come from a running sum of change-boundaries (lag(tool) IS
+    DISTINCT FROM tool) — NOT the textbook rn-minus-rank form, whose
+    per-(conv, tool) rank would force a second hash exchange on the
+    wider key; the boundary-sum keeps every window on the SAME
+    conv_id partitioning. Then one aggregate per run and one per
+    conversation: longest run, which tool it repeated (deterministic
+    min-name tie-break, window-max instead of the oracle's correlated
+    subquery), and how many runs crossed the loop threshold of 3.
+    Purely integer outputs; tool is constant within a run so
+    min(tool) is exact, not a choice.
 
-    At 100 TB: both row_numbers and both aggregates ride ONE hash
-    exchange on conv_id (the window partition keys are conv-prefixed
-    throughout, so Catalyst plans a single Exchange + two Window
-    nodes + partial-aggregated groupBys); a conversation's turns are
-    co-located by the A10 salting rule only when monster convs
+    At 100 TB: the row_number, the lag, and the running sum all
+    partition by conv_id, so Catalyst plans ONE hash exchange with
+    stacked Window nodes, and both groupBys partial-aggregate on
+    conv-prefixed keys with no further shuffle (plan-audited: 2
+    exchanges total incl. the final rollup); a conversation's turns
+    are co-located by the A10 salting rule only when monster convs
     appear, and run detection is salt-safe because rn is assigned
     before any salt split."""
     e = t(spark, sf, "events")
-    tr = e.select(
+    cw = W.partitionBy("conv_id").orderBy("rn")
+    # alias conv_id FIRST, then window on the alias: partitioning by
+    # the raw (user_id % 200) expression mints a fresh _w0 attribute
+    # Catalyst won't unify with conv_id, costing a second exchange
+    tr = (e.select(
         (F.col("user_id") % 200).cast("bigint").alias("conv_id"),
-        F.col("event_type").alias("tool"),
-        F.row_number().over(
-            W.partitionBy(F.col("user_id") % 200)
-            .orderBy("ts", "event_id")).alias("rn"))
-    isl = tr.withColumn(
-        "grp", F.col("rn") - F.row_number().over(
-            W.partitionBy("conv_id", "tool").orderBy("rn")))
-    runs = (isl.groupBy("conv_id", "tool", "grp")
-            .agg(F.count("*").cast("bigint").alias("run_len"),
+        F.col("event_type").alias("tool"), "ts", "event_id")
+        .select("conv_id", "tool",
+                F.row_number().over(
+                    W.partitionBy("conv_id").orderBy("ts", "event_id"))
+                .alias("rn")))
+    flagged = tr.withColumn(
+        "boundary",
+        F.when(~F.col("tool").eqNullSafe(F.lag("tool").over(cw)), 1)
+        .otherwise(0))
+    isl = flagged.withColumn(
+        "grp", F.sum("boundary").over(cw.rowsBetween(
+            W.unboundedPreceding, W.currentRow)))
+    runs = (isl.groupBy("conv_id", "grp")
+            .agg(F.min("tool").alias("tool"),
+                 F.count("*").cast("bigint").alias("run_len"),
                  F.min("rn").cast("bigint").alias("run_start")))
     mx = runs.withColumn(
         "mx", F.max("run_len").over(W.partitionBy("conv_id")))
@@ -8870,12 +8891,15 @@ def conv_role_alternation_dq(spark, sf):
         F.array(F.lit("user"), F.lit("assistant"),
                 F.lit("assistant"), F.lit("tool")),
         (F.col("event_id") % 4 + 1).cast("int"))
-    tr = e.select(
+    # alias-first so every window shares the conv_id partitioning
+    # (raw-expression partition keys mint un-unified _w0 attributes)
+    tr = (e.select(
         (F.col("user_id") % 100).cast("bigint").alias("conv_id"),
-        F.row_number().over(
-            W.partitionBy(F.col("user_id") % 100)
-            .orderBy("ts", "event_id")).alias("rn"),
-        role.alias("role"))
+        "ts", "event_id", role.alias("role"))
+        .select("conv_id", "role",
+                F.row_number().over(
+                    W.partitionBy("conv_id").orderBy("ts", "event_id"))
+                .alias("rn")))
     lagged = tr.withColumn(
         "prev_role",
         F.lag("role").over(W.partitionBy("conv_id").orderBy("rn")))
@@ -8892,3 +8916,215 @@ def conv_role_alternation_dq(spark, sf):
         .alias("first_violation_rn"),
         F.count_if((F.col("rn") == 1) & (F.col("role") != "user"))
         .cast("bigint").alias("bad_opening")))
+
+
+@q("stat_anova_oneway", """
+WITH s AS (
+  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq
+  FROM s GROUP BY event_type
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nt,
+         CAST(sum(sq) AS BIGINT) AS st, CAST(sum(sqq) AS BIGINT) AS sqqt,
+         list_reduce(list(CAST(sq AS DOUBLE) * sq / n
+                          ORDER BY event_type),
+                     (a, x) -> a + x) AS t_term
+  FROM m
+)
+SELECT k, nt AS n_total,
+       ROUND((t_term - CAST(st AS DOUBLE) * st / nt) / 10000.0, 4) + 0.0
+           AS ss_between,
+       ROUND((sqqt - t_term) / 10000.0, 4) + 0.0 AS ss_within,
+       ROUND(((t_term - CAST(st AS DOUBLE) * st / nt) / (k - 1))
+             / ((sqqt - t_term) / (nt - k)), 4) + 0.0 AS f_stat
+FROM one
+""")
+def stat_anova_oneway(spark, sf):
+    """One-way ANOVA F statistic across event-type groups on value —
+    the k-group generalization of stat_welch_ttest. Values are
+    cent-quantized so per-group (n, Σq, Σq²) are EXACT bigints; the
+    single float quantity T = Σ_g (Σq_g)²/n_g is folded LEFT-TO-RIGHT
+    over the groups sorted by event_type (Spark aggregate() over
+    array_sort(collect_list), DuckDB list_reduce over an ORDER BY
+    list) so both engines perform the identical addition sequence —
+    the determinism trick global_prefix_sums pioneered, applied to
+    aggregation instead of ranking. SSB = T − S²/N and SSW = ΣΣq² − T
+    then assemble in double once; /10000 unscales cents².
+
+    At 100 TB: one partial-aggregated exchange on event_type (k ≤
+    vocabulary), then a k-row fold on the driver side of a 1-row
+    aggregate — constant memory, no window, no second scan."""
+    s = (t(spark, sf, "events").filter(F.col("value").isNotNull())
+         .select("event_type",
+                 F.round(F.col("value") * 100, 0).cast("bigint")
+                 .alias("q")))
+    m = s.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"))
+    terms = m.select(
+        "n", "sq", "sqq",
+        F.struct("event_type",
+                 (F.col("sq").cast("double") * F.col("sq") / F.col("n"))
+                 .alias("term")).alias("st"))
+    one = terms.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("sq").cast("bigint").alias("st_sum"),
+        F.sum("sqq").cast("bigint").alias("sqqt"),
+        F.aggregate(F.array_sort(F.collect_list("st")), F.lit(0.0),
+                    lambda a, x: a + x["term"]).alias("t_term"))
+    ssb = F.col("t_term") - F.col("st_sum").cast("double") \
+        * F.col("st_sum") / F.col("nt")
+    ssw = F.col("sqqt") - F.col("t_term")
+    return one.select(
+        "k", F.col("nt").alias("n_total"),
+        (F.round(ssb / 10000.0, 4) + 0.0).alias("ss_between"),
+        (F.round(ssw / 10000.0, 4) + 0.0).alias("ss_within"),
+        (F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("nt")
+                                                    - F.col("k"))), 4)
+         + 0.0).alias("f_stat"))
+
+
+@q("stat_kendall_tau", """
+WITH s AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
+         epoch_us(ts) AS y
+  FROM events WHERE value IS NOT NULL AND event_id % 20 = 0
+), p AS (
+  SELECT a.event_type,
+         CASE WHEN a.x > b.x THEN 1 WHEN a.x < b.x THEN -1 ELSE 0 END
+             AS sx,
+         CASE WHEN a.y > b.y THEN 1 WHEN a.y < b.y THEN -1 ELSE 0 END
+             AS sy
+  FROM s a JOIN s b ON a.event_type = b.event_type
+                   AND a.event_id < b.event_id
+), c AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (sx * sy > 0) AS BIGINT) AS conc,
+         CAST(count(*) FILTER (sx * sy < 0) AS BIGINT) AS disc,
+         CAST(count(*) FILTER (sx = 0 AND sy <> 0) AS BIGINT) AS tie_x,
+         CAST(count(*) FILTER (sy = 0 AND sx <> 0) AS BIGINT) AS tie_y,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM p GROUP BY event_type
+)
+SELECT event_type, n_pairs, conc, disc,
+       ROUND((conc - disc) / sqrt(CAST(conc + disc + tie_x AS DOUBLE)
+                                  * (conc + disc + tie_y)), 6) + 0.0
+           AS tau_b
+FROM c
+""")
+def stat_kendall_tau(spark, sf):
+    """Kendall tau-b rank correlation between value and event time per
+    event type (is the metric drifting monotonically?) on a
+    deterministic 1-in-20 systematic sample (event_id % 20 — the
+    engine-portable sampling rule sample_deterministic established).
+    Pair signs are pure integer comparisons of cent-quantized values
+    and epoch micros, so concordant/discordant/tie counts are EXACT;
+    tau-b assembles once in double. Tau on a uniform sample is an
+    unbiased estimator of population tau — the statistical contract.
+
+    At 100 TB: the all-pairs form is O((n/20)²) per group, so the
+    sample rate is the knob — a 1-in-10⁴ sample of 10¹² rows still
+    yields 10⁸ rows → 10⁸-ish pairs per dominant group, which the
+    sort-merge join on (event_type) + event_id range predicate
+    shuffles once; for exact full-data tau swap in the O(n log n)
+    inversion count built on global_rank (the repo's deterministic
+    ranking primitive). Sampling keeps this a screener, the same
+    role event_pattern_detect plays for sequence automata."""
+    s = (t(spark, sf, "events")
+         .filter(F.col("value").isNotNull() & (F.col("event_id") % 20 == 0))
+         .select("event_type", "event_id",
+                 F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+                 F.unix_micros(F.col("ts").cast("timestamp")).alias("y")))
+    a, b = s.alias("a"), s.alias("b")
+    sgn = lambda l, r: F.when(l > r, 1).when(l < r, -1).otherwise(0)
+    p = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                & (F.col("a.event_id") < F.col("b.event_id")))
+         .select(F.col("a.event_type").alias("event_type"),
+                 sgn(F.col("a.x"), F.col("b.x")).alias("sx"),
+                 sgn(F.col("a.y"), F.col("b.y")).alias("sy")))
+    c = p.groupBy("event_type").agg(
+        F.count_if(F.col("sx") * F.col("sy") > 0).cast("bigint")
+        .alias("conc"),
+        F.count_if(F.col("sx") * F.col("sy") < 0).cast("bigint")
+        .alias("disc"),
+        F.count_if((F.col("sx") == 0) & (F.col("sy") != 0)).cast("bigint")
+        .alias("tie_x"),
+        F.count_if((F.col("sy") == 0) & (F.col("sx") != 0)).cast("bigint")
+        .alias("tie_y"),
+        F.count("*").cast("bigint").alias("n_pairs"))
+    denom = F.sqrt((F.col("conc") + F.col("disc") + F.col("tie_x"))
+                   .cast("double")
+                   * (F.col("conc") + F.col("disc") + F.col("tie_y")))
+    return c.select(
+        "event_type", "n_pairs", "conc", "disc",
+        (F.round((F.col("conc") - F.col("disc")) / denom, 6) + 0.0)
+        .alias("tau_b"))
+
+
+@q("text_pmi_collocations", """
+WITH bg AS (
+  SELECT u.p[1] AS w1, u.p[2] AS w2 FROM (
+    SELECT unnest(list_zip(toks[1:length(toks) - 1],
+                           toks[2:length(toks)])) AS p
+    FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents WHERE text IS NOT NULL)
+  ) u
+), xy AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+  FROM bg GROUP BY w1, w2
+), mx AS (SELECT w1, CAST(sum(n_xy) AS BIGINT) AS n_x FROM xy GROUP BY w1),
+my AS (SELECT w2, CAST(sum(n_xy) AS BIGINT) AS n_y FROM xy GROUP BY w2),
+tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS nn FROM xy)
+SELECT xy.w1, xy.w2, n_xy, n_x, n_y,
+       ROUND(ln(n_xy * 1.0 * nn / (n_x * 1.0 * n_y)), 6) + 0.0 AS pmi
+FROM xy, tot JOIN mx ON xy.w1 = mx.w1 JOIN my ON xy.w2 = my.w2
+WHERE n_xy >= 5
+ORDER BY pmi DESC, xy.w1, xy.w2 LIMIT 100
+""")
+def text_pmi_collocations(spark, sf):
+    """Pointwise-mutual-information collocation mining over document
+    bigrams — the phrase detector (word2phrase / Mikolov-style) a
+    tokenizer-training pipeline runs to decide which adjacent pairs
+    deserve a merged token. Bigrams come from one regexp token pass
+    (lookahead-free: zip the token array against itself shifted by
+    one — Spark transform-with-index over a slice, DuckDB list_zip of
+    two slices); marginals and the grand total all derive from the
+    ONE bigram count table so the probability space is consistent by
+    construction. PMI = ln(n_xy·N / (n_x·n_y)) on exact integer
+    counts, ROUND 6 + 0.0 per the entropy/zipf libm precedent; the
+    min-support 5 filter kills the unstable singleton tail before
+    the join, and (pmi DESC, w1, w2) makes the top-100 deterministic.
+
+    At 100 TB: token explode → one hash exchange on (w1, w2); the
+    marginals are vocabulary-sized re-aggregations of the ALREADY
+    REDUCED count table (not the raw bigram stream) and broadcast
+    back onto it, so the raw corpus is shuffled once; the final
+    top-100 is TakeOrderedAndProject. Min-support would rise with
+    corpus size (support ∝ N) to keep the survivor set bounded."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    pairs = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1),"
+        " (w, i) -> struct(w AS w1, toks[i + 1] AS w2))")
+    bg = (d.select(toks.alias("toks"))
+          .select(F.explode(pairs).alias("p"))
+          .select("p.w1", "p.w2"))
+    xy = bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("n_xy"))
+    mx = xy.groupBy("w1").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
+    my = xy.groupBy("w2").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+    tot = xy.agg(F.sum("n_xy").cast("bigint").alias("nn"))
+    j = (xy.filter(F.col("n_xy") >= 5)
+         .join(F.broadcast(mx), "w1")
+         .join(F.broadcast(my), "w2")
+         .crossJoin(F.broadcast(tot)))
+    pmi = F.round(F.log(F.col("n_xy") * 1.0 * F.col("nn")
+                        / (F.col("n_x") * 1.0 * F.col("n_y"))), 6) + 0.0
+    return (j.select("w1", "w2", "n_xy", "n_x", "n_y", pmi.alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "w1", "w2").limit(100))
