@@ -9128,3 +9128,318 @@ def text_pmi_collocations(spark, sf):
                         / (F.col("n_x") * 1.0 * F.col("n_y"))), 6) + 0.0
     return (j.select("w1", "w2", "n_xy", "n_x", "n_y", pmi.alias("pmi"))
             .orderBy(F.col("pmi").desc(), "w1", "w2").limit(100))
+
+
+@q("eval_cohens_kappa", """
+WITH r AS (
+  SELECT CAST(doc_id % 3 AS BIGINT) AS ra,
+         CAST((doc_id * 7 + n_chars) % 3 AS BIGINT) AS rb
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (ra = rb) AS BIGINT) AS agree,
+         CAST(count(*) FILTER (ra = 0) AS BIGINT) AS a0,
+         CAST(count(*) FILTER (ra = 1) AS BIGINT) AS a1,
+         CAST(count(*) FILTER (ra = 2) AS BIGINT) AS a2,
+         CAST(count(*) FILTER (rb = 0) AS BIGINT) AS b0,
+         CAST(count(*) FILTER (rb = 1) AS BIGINT) AS b1,
+         CAST(count(*) FILTER (rb = 2) AS BIGINT) AS b2
+  FROM r
+)
+SELECT n, agree,
+       ROUND(CAST(agree AS DOUBLE) / n, 6) + 0.0 AS po,
+       ROUND(CAST(a0 * b0 + a1 * b1 + a2 * b2 AS DOUBLE) / n / n, 6)
+           + 0.0 AS pe,
+       ROUND((CAST(agree AS DOUBLE) / n
+              - CAST(a0 * b0 + a1 * b1 + a2 * b2 AS DOUBLE) / n / n)
+             / (1.0 - CAST(a0 * b0 + a1 * b1 + a2 * b2 AS DOUBLE)
+                / n / n), 6) + 0.0 AS kappa
+FROM c
+""")
+def eval_cohens_kappa(spark, sf):
+    """Cohen's kappa inter-annotator agreement over two deterministic
+    synthetic raters (3-class labels derived from doc_id / n_chars) —
+    the chance-corrected agreement metric an annotation-QA pipeline
+    computes before trusting human labels for SFT data. Observed and
+    marginal counts are EXACT integers out of ONE aggregation pass
+    (FILTER-clause flags in a single buffer, the conv_tool_stats
+    idiom); po, pe, and kappa assemble in double once each. The
+    marginal products a_i·b_i stay in bigint (≤ n² ≈ 10²⁴ overflows
+    at 10¹² rows — there, divide each marginal by n in double first;
+    at any testable scale the exact product is preferable).
+
+    At 100 TB: a single combinable aggregate, no shuffle beyond the
+    1-row reduce — the cheapest query family in the registry."""
+    r = (t(spark, sf, "documents").filter(F.col("text").isNotNull())
+         .select((F.col("doc_id") % 3).cast("bigint").alias("ra"),
+                 ((F.col("doc_id") * 7 + F.col("n_chars")) % 3)
+                 .cast("bigint").alias("rb")))
+    c = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_if(F.col("ra") == F.col("rb")).cast("bigint")
+        .alias("agree"),
+        *[F.count_if(F.col("ra") == i).cast("bigint").alias(f"a{i}")
+          for i in range(3)],
+        *[F.count_if(F.col("rb") == i).cast("bigint").alias(f"b{i}")
+          for i in range(3)])
+    po = F.col("agree").cast("double") / F.col("n")
+    pe = (F.col("a0") * F.col("b0") + F.col("a1") * F.col("b1")
+          + F.col("a2") * F.col("b2")).cast("double") \
+        / F.col("n") / F.col("n")
+    return c.select(
+        "n", "agree",
+        (F.round(po, 6) + 0.0).alias("po"),
+        (F.round(pe, 6) + 0.0).alias("pe"),
+        (F.round((po - pe) / (1.0 - pe), 6) + 0.0).alias("kappa"))
+
+
+@q("eval_brier_score", """
+WITH s AS (
+  SELECT lang,
+         CAST((doc_id * 37) % 1000 AS BIGINT) AS p_milli,
+         CASE WHEN (doc_id * 37) % 1000 + (doc_id * 13) % 700 > 850
+              THEN 1 ELSE 0 END AS y
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       ROUND(CAST(sum((p_milli - y * 1000)
+                      * (p_milli - y * 1000)) AS DOUBLE)
+             / count(*) / 1000000.0, 6) + 0.0 AS brier
+FROM s GROUP BY lang
+""")
+def eval_brier_score(spark, sf):
+    """Brier score (mean squared error of probabilistic predictions)
+    per language over a deterministic synthetic classifier whose
+    outcome depends on the predicted probability — the calibration
+    companion to eval_ece_calibration and eval_auc_roc. Probabilities
+    live in integer MILLI units so each squared residual
+    (p_milli − 1000·y)² is an EXACT bigint; the only float op is the
+    final divide-by-n-and-unscale — zero summation-order sensitivity,
+    the stat_welch_ttest quantization discipline applied to a scoring
+    rule.
+
+    At 100 TB: one partial-aggregated hash exchange on lang; the
+    residual sum is bounded by n·10⁶ so bigint holds to ~9·10¹²
+    rows — past that, pre-aggregate per (lang, shard) and sum doubles
+    of exact shard sums."""
+    s = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+         .select("lang",
+                 ((F.col("doc_id") * 37) % 1000).cast("bigint")
+                 .alias("p_milli"),
+                 F.when((F.col("doc_id") * 37) % 1000
+                        + (F.col("doc_id") * 13) % 700 > 850, 1)
+                 .otherwise(0).alias("y")))
+    resid = F.col("p_milli") - F.col("y") * 1000
+    return (s.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.round(F.sum(resid * resid).cast("double")
+                 / F.count("*") / 1000000.0, 6) + 0.0).alias("brier")))
+
+
+@q("feat_zscore_scale", """
+WITH s AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq
+  FROM s GROUP BY event_type
+)
+SELECT s.event_id, s.event_type,
+       ROUND((s.q - CAST(m.sq AS DOUBLE) / m.n)
+             / sqrt((CAST(m.n AS DOUBLE) * m.sqq
+                     - CAST(m.sq AS DOUBLE) * m.sq)
+                    / (CAST(m.n AS DOUBLE) * (m.n - 1))), 6) + 0.0
+           AS z
+FROM s JOIN m ON s.event_type = m.event_type
+WHERE s.event_id % 50 = 0
+""")
+def feat_zscore_scale(spark, sf):
+    """Per-group z-score standardization — the feature-scaling pass
+    every numeric ML pipeline runs before linear models. Group mean
+    and sample variance assemble from EXACT cent-quantized integer
+    sums (n, Σq, Σq² — the welch/anova discipline), so the per-row z
+    is ONE double expression over exact inputs and identical across
+    engines; the cent scale cancels in z. Output row set is bounded
+    by the deterministic 1-in-50 systematic sample (the z-map itself
+    would be |input|-sized; emitting a sample keeps the key
+    gate-friendly while exercising the full plan).
+
+    At 100 TB: the stats table is |event_type|-sized and BROADCAST
+    back onto the fact stream — zero shuffle of the big side, the
+    same shape as feat_target_encode; the sample filter pushes into
+    the scan."""
+    s = (t(spark, sf, "events").filter(F.col("value").isNotNull())
+         .select("event_type", "event_id",
+                 F.round(F.col("value") * 100, 0).cast("bigint")
+                 .alias("q")))
+    m = s.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"))
+    mean = F.col("sq").cast("double") / F.col("n")
+    var = (F.col("n").cast("double") * F.col("sqq")
+           - F.col("sq").cast("double") * F.col("sq")) \
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    return (s.filter(F.col("event_id") % 50 == 0)
+            .join(F.broadcast(m), "event_type")
+            .select("event_id", "event_type",
+                    (F.round((F.col("q") - mean) / F.sqrt(var), 6) + 0.0)
+                    .alias("z")))
+
+
+@q("feat_hashing_trick", """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents WHERE text IS NOT NULL
+), h AS (
+  SELECT CAST((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+              * 16
+              + strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1
+              AS BIGINT) AS bucket
+  FROM tok
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+FROM h GROUP BY bucket
+""")
+def feat_hashing_trick(spark, sf):
+    """The hashing trick (Weinberger et al.): project an unbounded
+    token vocabulary onto 256 fixed feature buckets via a hash of the
+    token — the dimensionality cap that lets a linear model train on
+    raw text without a vocabulary pass. The bucket id is the first
+    md5 hex byte decoded via strpos arithmetic on a hex alphabet —
+    md5 and strpos agree across engines where a native murmur/xxhash
+    would not (the engine-portability rule behind every md5 idiom in
+    this repo; in production Spark, swap in pmod(xxhash64(w), 256)
+    for ~4× hash throughput — same plan shape). Output is the bucket
+    histogram: the exact row a trainer's feature-frequency clipping
+    consumes.
+
+    At 100 TB: explode → ONE hash exchange on a key with EXACTLY 256
+    values — partial aggregation collapses each partition to ≤256
+    rows before the shuffle, so the exchange moves ~256·partitions
+    rows regardless of corpus size; no skew concern because the map
+    side already reduced."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(F.explode(
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .alias("w"))
+    hexd = "0123456789abcdef"
+    h1 = F.expr(f"position(substr(md5(w), 1, 1) IN '{hexd}')") - 1
+    h2 = F.expr(f"position(substr(md5(w), 2, 1) IN '{hexd}')") - 1
+    return (tok.select((h1 * 16 + h2).cast("bigint").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("bigint").alias("n_tokens")))
+
+
+@q("text_link_density", """
+WITH aug AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' see https://ex.org/p/' || doc_id
+                   || ' and https://cdn.ex.org/a' || doc_id % 7
+              ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), d AS (
+  SELECT doc_id, lang, length(text) AS total_chars,
+         regexp_extract_all(text, 'https?://[^ ]+') AS links
+  FROM aug
+)
+SELECT doc_id, lang,
+       CAST(length(links) AS BIGINT) AS n_links,
+       CAST(coalesce(list_sum(list_transform(links, x -> length(x))), 0)
+            AS BIGINT) AS link_chars,
+       ROUND(CAST(coalesce(list_sum(list_transform(links,
+                                                   x -> length(x))), 0)
+                  AS DOUBLE) / total_chars, 6) + 0.0 AS link_density
+FROM d WHERE length(links) > 0
+""")
+def text_link_density(spark, sf):
+    """Link density per document — THE boilerplate heuristic
+    (Boilerpipe/jusText class): content blocks have low link-char
+    ratios, navigation and footer chrome have high ones. This is the
+    relational twin of the A2 extraction kernel's per-block
+    link-density feature (reference.py computes it inside the Arrow
+    UDF; this key exposes the same signal as a corpus-level SQL
+    screener for ranking documents BEFORE full extraction). The
+    synthetic corpus carries no URLs, so every 5th document gets two
+    deterministic planted links on BOTH engines (the self-evidencing
+    pattern text_ocr_confusion_dedup established) — the extractor is
+    then provably exercised, not vacuously green. One regexp pass
+    extracts URL spans; counts and char sums fold JVM-side
+    (aggregate over the match array — no explode, no second pass);
+    density is a ratio of exact ints rounded once.
+
+    At 100 TB: embarrassingly parallel scan→project with zero
+    shuffle (the output is per-doc); the regexp is RE2-safe (no
+    backtracking: negated-class quantifier), and only docs that
+    contain links survive, so the output is filter-pruned at the
+    map side."""
+    base = (t(spark, sf, "documents")
+            .filter(F.col("text").isNotNull() & (F.length("text") > 0)))
+    aug = base.select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" see https://ex.org/p/"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" and https://cdn.ex.org/a"),
+                        (F.col("doc_id") % 7).cast("string")))
+        .otherwise(F.col("text")).alias("text"))
+    d = aug.select(
+        "doc_id", "lang", F.length("text").alias("total_chars"),
+        F.expr("regexp_extract_all(text, 'https?://[^ ]+', 0)")
+        .alias("links"))
+    link_chars = F.coalesce(
+        F.aggregate(F.transform("links", F.length),
+                    F.lit(0), lambda a, x: a + x), F.lit(0))
+    return (d.select(
+        "doc_id", "lang",
+        F.size("links").cast("bigint").alias("n_links"),
+        link_chars.cast("bigint").alias("link_chars"),
+        (F.round(link_chars.cast("double") / F.col("total_chars"), 6)
+         + 0.0).alias("link_density"))
+        .filter(F.col("n_links") > 0))
+
+
+@q("doc_structure_stats", """
+SELECT doc_id, lang,
+       CAST(length(regexp_extract_all(text, '(?m)^#{1,6} ')) AS BIGINT)
+           AS n_headers,
+       CAST(length(regexp_extract_all(text, '```')) // 2 AS BIGINT)
+           AS n_code_blocks,
+       CAST(length(regexp_extract_all(text, '(?m)^ *[-*] ')) AS BIGINT)
+           AS n_list_items,
+       CAST(length(regexp_extract_all(text, '(?m)^ *[0-9]+\\. '))
+            AS BIGINT) AS n_numbered_items,
+       CASE WHEN regexp_matches(text, '(?m)^\\|.*\\|$') THEN 1 ELSE 0 END
+           AS has_table
+FROM documents WHERE text IS NOT NULL
+""")
+def doc_structure_stats(spark, sf):
+    """Markdown structure census per document: header, fenced-code,
+    bulleted and numbered list counts plus a table flag — the
+    document-structure features a training-data curator uses to
+    stratify corpora (prose vs docs vs code-heavy) and that the A3
+    block segmenter consumes as priors. All counts are single-pass
+    RE2-safe regexp_count/extract_all calls with (?m) anchors that
+    Java regex and RE2 interpret identically; code blocks are fence
+    PAIRS (count // 2 — both engines floor-divide exact ints).
+
+    At 100 TB: zero-shuffle scan→project, each regex linear in doc
+    length; the five patterns share one read of the text column and
+    whole-stage codegen fuses them into a single pass over the
+    UTF-8 bytes."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    rc = lambda pat: F.expr(f"regexp_count(text, '{pat}')")
+    return d.select(
+        "doc_id", "lang",
+        rc("(?m)^#{1,6} ").cast("bigint").alias("n_headers"),
+        F.floor(rc("```") / 2).cast("bigint").alias("n_code_blocks"),
+        rc("(?m)^ *[-*] ").cast("bigint").alias("n_list_items"),
+        rc(r"(?m)^ *[0-9]+\\. ").cast("bigint").alias("n_numbered_items"),
+        F.when(F.col("text").rlike(r"(?m)^\|.*\|$"), 1).otherwise(0)
+        .cast("bigint").alias("has_table"))
