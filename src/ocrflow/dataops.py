@@ -9443,3 +9443,456 @@ def doc_structure_stats(spark, sf):
         rc(r"(?m)^ *[0-9]+\\. ").cast("bigint").alias("n_numbered_items"),
         F.when(F.col("text").rlike(r"(?m)^\|.*\|$"), 1).otherwise(0)
         .cast("bigint").alias("has_table"))
+
+
+@q("stat_mcnemar", """
+WITH r AS (
+  SELECT CASE WHEN (doc_id * 11 + n_chars) % 5 > 0 THEN 1 ELSE 0 END AS a_ok,
+         CASE WHEN (doc_id * 3) % 4 > 0 THEN 1 ELSE 0 END AS b_ok
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(count(*) FILTER (a_ok = 0 AND b_ok = 1) AS BIGINT) AS b,
+       CAST(count(*) FILTER (a_ok = 1 AND b_ok = 0) AS BIGINT) AS c,
+       ROUND(CAST((abs(count(*) FILTER (a_ok = 0 AND b_ok = 1)
+                       - count(*) FILTER (a_ok = 1 AND b_ok = 0)) - 1)
+                  * (abs(count(*) FILTER (a_ok = 0 AND b_ok = 1)
+                         - count(*) FILTER (a_ok = 1 AND b_ok = 0)) - 1)
+                  AS DOUBLE)
+             / (count(*) FILTER (a_ok = 0 AND b_ok = 1)
+                + count(*) FILTER (a_ok = 1 AND b_ok = 0)), 6) + 0.0
+           AS chi2_mcnemar
+FROM r
+""")
+def stat_mcnemar(spark, sf):
+    """McNemar's test for PAIRED binary classifiers — the correct
+    significance test when comparing two models scored on the SAME
+    examples (a curation pipeline swapping its quality classifier
+    must run this, not an unpaired proportion test, because the
+    per-doc outcomes are correlated). Only the discordant counts
+    matter: b = A wrong/B right, c = A right/B wrong; the
+    continuity-corrected statistic (|b-c|-1)^2/(b+c) is chi-square
+    with 1 dof under H0. Classifier outcomes are the deterministic
+    synthetic pair convention (eval_cohens_kappa's raters); a real
+    harness supplies the two correctness columns and the identical
+    plan runs. b and c are EXACT integers out of ONE FILTER-clause
+    aggregation pass; the statistic is a single double expression.
+
+    At 100 TB: one combinable aggregate, 1-row reduce — nothing
+    shuffles but two longs per partition."""
+    r = (t(spark, sf, "documents").filter(F.col("text").isNotNull())
+         .select(
+             F.when((F.col("doc_id") * 11 + F.col("n_chars")) % 5 > 0, 1)
+             .otherwise(0).alias("a_ok"),
+             F.when((F.col("doc_id") * 3) % 4 > 0, 1)
+             .otherwise(0).alias("b_ok")))
+    b = F.count_if((F.col("a_ok") == 0) & (F.col("b_ok") == 1))
+    c = F.count_if((F.col("a_ok") == 1) & (F.col("b_ok") == 0))
+    agg = r.agg(b.cast("bigint").alias("b"), c.cast("bigint").alias("c"))
+    d = F.abs(F.col("b") - F.col("c")) - 1
+    return agg.select(
+        "b", "c",
+        (F.round((d * d).cast("double") / (F.col("b") + F.col("c")), 6)
+         + 0.0).alias("chi2_mcnemar"))
+
+
+@q("stat_benjamini_hochberg", """
+WITH g AS (
+  SELECT lang, source,
+         CAST(((sum(n_chars) % 1000003) * 7919) % 1000000 AS BIGINT)
+             AS p_milli
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source
+), ranked AS (
+  SELECT lang, source, p_milli,
+         CAST(row_number() OVER (ORDER BY p_milli, lang, source)
+              AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM g
+), kstar AS (
+  SELECT coalesce(max(rk) FILTER (p_milli * m <= rk * 100000), 0) AS ks
+  FROM ranked
+)
+SELECT lang, source,
+       ROUND(p_milli / 1000000.0, 6) + 0.0 AS p_value,
+       rk, m,
+       ROUND(rk * 0.1 / m, 6) + 0.0 AS bh_critical,
+       CASE WHEN rk <= ks THEN 1 ELSE 0 END AS rejected
+FROM ranked CROSS JOIN kstar
+""")
+def stat_benjamini_hochberg(spark, sf):
+    """Benjamini-Hochberg FDR correction over a FAMILY of hypotheses
+    (one per (lang, source) corpus cell, alpha = 0.10) — the
+    multiple-testing step every per-slice drift/quality monitor needs
+    before alerting on "significant" cells, because at 10^4 slices a
+    per-test alpha fires hundreds of false alarms. Procedure: sort
+    p-values ascending, find k* = max{k: p_(k) <= k*alpha/m}, reject
+    hypotheses ranked <= k* (including non-step-wise ones below the
+    crossing — the textbook step-up rule, which a naive
+    per-row-threshold WHERE gets wrong). The acceptance test
+    p_(k) <= k*alpha/m runs in EXACT integers (p_milli * m <=
+    rk * 100000) so the cutoff is engine-identical; p-values are
+    deterministic milli-unit functions of the REAL per-cell n_chars
+    sums (a live monitor supplies its own p column and the identical
+    plan runs). Ties in p break on (lang, source) so ranks agree
+    cross-engine.
+
+    At 100 TB: the hypothesis table is |cells|-sized (one combinable
+    aggregate collapses the corpus), so the rank window and the k*
+    reduce run over a dimension-sized frame — the single-partition
+    window is BY CONSTRUCTION bounded by the slice count, never by
+    corpus rows; document the global_rank() escape hatch if the
+    family ever reaches fact scale."""
+    g = (t(spark, sf, "documents")
+         .filter(F.col("lang").isNotNull() & F.col("source").isNotNull())
+         .groupBy("lang", "source")
+         .agg((((F.sum("n_chars") % 1000003) * 7919) % 1000000)
+              .cast("bigint").alias("p_milli")))
+    w = W.orderBy("p_milli", "lang", "source")
+    ranked = (g.withColumn("rk", F.row_number().over(w).cast("bigint"))
+              .withColumn("m", F.count("*").over(
+                  W.partitionBy()).cast("bigint")))
+    kstar = ranked.agg(F.coalesce(
+        F.max(F.when(F.col("p_milli") * F.col("m")
+                     <= F.col("rk") * 100000, F.col("rk"))),
+        F.lit(0)).alias("ks"))
+    return (ranked.crossJoin(F.broadcast(kstar))
+            .select("lang", "source",
+                    (F.round(F.col("p_milli") / 1000000.0, 6) + 0.0)
+                    .alias("p_value"),
+                    "rk", "m",
+                    (F.round(F.col("rk") * 0.1 / F.col("m"), 6) + 0.0)
+                    .alias("bh_critical"),
+                    F.when(F.col("rk") <= F.col("ks"), 1).otherwise(0)
+                    .alias("rejected")))
+
+
+@q("text_char_entropy", """
+WITH c AS (
+  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n,
+         CAST(length(text)
+              - length(regexp_replace(text, '[a-z]', '', 'g'))
+              AS BIGINT) AS c_lower,
+         CAST(length(text)
+              - length(regexp_replace(text, '[A-Z]', '', 'g'))
+              AS BIGINT) AS c_upper,
+         CAST(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS c_digit,
+         CAST(length(text)
+              - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g'))
+              AS BIGINT) AS c_space
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), k AS (
+  SELECT doc_id, lang, n, c_lower, c_upper, c_digit, c_space,
+         n - c_lower - c_upper - c_digit - c_space AS c_other
+  FROM c
+)
+SELECT doc_id, lang, n, c_lower, c_upper, c_digit, c_space, c_other,
+       ROUND(-(
+         CASE WHEN c_lower > 0 THEN (c_lower / CAST(n AS DOUBLE))
+              * ln(c_lower / CAST(n AS DOUBLE)) ELSE 0 END
+       + CASE WHEN c_upper > 0 THEN (c_upper / CAST(n AS DOUBLE))
+              * ln(c_upper / CAST(n AS DOUBLE)) ELSE 0 END
+       + CASE WHEN c_digit > 0 THEN (c_digit / CAST(n AS DOUBLE))
+              * ln(c_digit / CAST(n AS DOUBLE)) ELSE 0 END
+       + CASE WHEN c_space > 0 THEN (c_space / CAST(n AS DOUBLE))
+              * ln(c_space / CAST(n AS DOUBLE)) ELSE 0 END
+       + CASE WHEN c_other > 0 THEN (c_other / CAST(n AS DOUBLE))
+              * ln(c_other / CAST(n AS DOUBLE)) ELSE 0 END), 6) + 0.0
+           AS entropy_nats
+FROM k
+""")
+def text_char_entropy(spark, sf):
+    """Character-class Shannon entropy per document — the gibberish /
+    degenerate-text screen (CCNet- and Gopher-style corpus filters):
+    near-zero entropy flags single-class runs (raw digit dumps,
+    aaaaaa padding), while prose sits in a stable band per language.
+    The alphabet is the FIXED 5-class partition lower/upper/digit/
+    whitespace/other, so the histogram is five strip-and-measure
+    regexp_replace passes (JVM codegen, one scan of the bytes each)
+    instead of a per-character explode — at 100 TB the explode form
+    would shuffle 10^14 single-char rows; this form shuffles nothing
+    at all (pure scan -> project). Each -(p ln p) term is computed
+    identically on both engines from exact integer counts and one
+    division; terms sum in a FIXED textual order and round once
+    (libm ln agrees to well under the 6th decimal on both JVMs and
+    DuckDB — the text_pmi_collocations precedent)."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.length("text") > 0)))
+    n = F.length("text").cast("bigint")
+    strip = lambda pat: (F.length("text")
+                         - F.length(F.regexp_replace("text", pat, "")))
+    k = d.select(
+        "doc_id", "lang", n.alias("n"),
+        strip("[a-z]").cast("bigint").alias("c_lower"),
+        strip("[A-Z]").cast("bigint").alias("c_upper"),
+        strip("[0-9]").cast("bigint").alias("c_digit"),
+        strip("[ \\t\\n\\r]").cast("bigint").alias("c_space"))
+    k = k.withColumn("c_other",
+                     F.col("n") - F.col("c_lower") - F.col("c_upper")
+                     - F.col("c_digit") - F.col("c_space"))
+    def term(c):
+        p = F.col(c) / F.col("n").cast("double")
+        return F.when(F.col(c) > 0, p * F.log(p)).otherwise(F.lit(0.0))
+    h = -(term("c_lower") + term("c_upper") + term("c_digit")
+          + term("c_space") + term("c_other"))
+    return k.select("doc_id", "lang", "n", "c_lower", "c_upper",
+                    "c_digit", "c_space", "c_other",
+                    (F.round(h, 6) + 0.0).alias("entropy_nats"))
+
+
+@q("win_rolling_slope", """
+WITH d AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE))
+              AS BIGINT) AS x,
+         CAST(sum(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type, day
+), w AS (
+  SELECT event_type, day,
+         count(*) OVER f AS cnt,
+         sum(x) OVER f AS sx, sum(y) OVER f AS sy,
+         sum(x * y) OVER f AS sxy, sum(x * x) OVER f AS sxx
+  FROM d
+  WINDOW f AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, CAST(cnt AS BIGINT) AS n_days,
+       CASE WHEN cnt >= 2
+            THEN ROUND(CAST(cnt * sxy - sx * sy AS DOUBLE)
+                       / (cnt * sxx - sx * sx), 6) + 0.0
+            ELSE NULL END AS slope_cents_per_day
+FROM w
+""")
+def win_rolling_slope(spark, sf):
+    """Rolling 7-day OLS trend slope of daily metric volume per event
+    type — the drift-DIRECTION detector that complements ts_cusum_drift
+    (which flags that a shift happened) by reporting how fast the
+    metric is moving. Every frame moment (n, Σx, Σy, Σxy, Σx²) is an
+    EXACT bigint window sum over exact per-day inputs (x = epoch days,
+    y = cent-quantized daily sums), so the closed-form slope
+    (nΣxy - ΣxΣy)/(nΣx² - (Σx)²) is ONE double division over exact
+    integers — engine-identical, no float accumulation anywhere.
+    Frames with a single day emit NULL (denominator is provably 0
+    exactly then, since days within a frame are distinct).
+
+    At 100 TB: the day-grain pre-aggregation collapses the fact to
+    |types| x |days| rows BEFORE the window (the nation_share rule:
+    never window the raw fact), so the per-type ordered window runs
+    over a few thousand rows no matter the corpus size; one hash
+    exchange for the rollup + one dimension-sized window exchange."""
+    e = (t(spark, sf, "events")
+         .filter(F.col("value").isNotNull() & F.col("ts").isNotNull()))
+    d = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+         .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+              .cast("bigint").alias("y"))
+         .withColumn("x", F.datediff(F.col("day"),
+                                     F.lit("1970-01-01").cast("date"))
+                     .cast("bigint")))
+    f = (W.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-6, W.currentRow))
+    w = (d.select(
+        "event_type", "day",
+        F.count("*").over(f).alias("cnt"),
+        F.sum("x").over(f).alias("sx"), F.sum("y").over(f).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(f).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(f).alias("sxx")))
+    num = F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return w.select(
+        "event_type", "day", F.col("cnt").cast("bigint").alias("n_days"),
+        F.when(F.col("cnt") >= 2,
+               F.round(num.cast("double") / den, 6) + 0.0)
+        .alias("slope_cents_per_day"))
+
+
+@q("stat_bootstrap_poisson_ci", """
+WITH s AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL
+), rep AS (
+  SELECT event_type, q,
+         (strpos('0123456789abcdef',
+                 substr(md5(event_id || '_' || b), 1, 1)) - 1) * 256
+       + (strpos('0123456789abcdef',
+                 substr(md5(event_id || '_' || b), 2, 1)) - 1) * 16
+       + (strpos('0123456789abcdef',
+                 substr(md5(event_id || '_' || b), 3, 1)) - 1) AS u,
+         b
+  FROM s CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+), wt AS (
+  SELECT event_type, b, q,
+         CASE WHEN u < 1507 THEN 0 WHEN u < 3014 THEN 1
+              WHEN u < 3768 THEN 2 WHEN u < 4019 THEN 3
+              WHEN u < 4081 THEN 4 WHEN u < 4094 THEN 5
+              ELSE 6 END AS w
+  FROM rep
+), bm AS (
+  SELECT event_type, b,
+         CAST(sum(w * q) AS BIGINT) AS swq,
+         CAST(sum(w) AS BIGINT) AS sw
+  FROM wt GROUP BY event_type, b
+), means AS (
+  SELECT event_type, swq / CAST(sw AS DOUBLE) AS mb
+  FROM bm WHERE sw > 0
+), full_m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sq
+  FROM s GROUP BY event_type
+)
+SELECT m.event_type,
+       f.n AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_reps,
+       ROUND(f.sq / CAST(f.n AS DOUBLE) / 100.0, 6) + 0.0 AS mean_value,
+       ROUND(list_sort(list(m.mb))[2] / 100.0, 6) + 0.0 AS ci_lo,
+       ROUND(list_sort(list(m.mb))[31] / 100.0, 6) + 0.0 AS ci_hi
+FROM means m JOIN full_m f ON m.event_type = f.event_type
+GROUP BY m.event_type, f.n, f.sq
+""")
+def stat_bootstrap_poisson_ci(spark, sf):
+    """Poisson-bootstrap confidence interval for the per-type mean —
+    THE distributed bootstrap: classical resampling needs sampling
+    WITH replacement from the whole dataset (impossible without a
+    global pass per replicate), but Binomial(n, 1/n) -> Poisson(1)
+    as n grows, so each row independently draws a per-replicate
+    weight w ~ Poisson(1) and replicate means are weighted means —
+    one pass, all B=32 replicates at once, embarrassingly parallel
+    (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", the production form at web scale). Weights are
+    DETERMINISTIC: u = first 3 md5 hex digits of (event_id, b) as an
+    integer in [0,4096), inverse-CDF thresholds 1507/3014/3768/4019/
+    4081/4094 (floor(4096*P(X<=k)) for Poisson(1), documented
+    approximation, identical constants both engines), so every
+    replicate weight — hence every replicate mean, an exact-bigint
+    ratio — is engine-identical and the run is reproducible. CI is
+    the 2nd/31st order statistic of the 32 replicate means
+    (~94% coverage), taken from a sorted 32-element array.
+
+    At 100 TB: the 32x explode is MAP-LOCAL — partial aggregation
+    collapses it to |types| x 32 partial sums inside each task before
+    the one hash exchange, so the shuffle carries dimension-sized
+    data and the blowup never materializes; the order-statistic step
+    sorts 32-element arrays per type. The md5-per-(row, replicate)
+    cost is the price of determinism; swap xxhash64 in production for
+    ~4x hash throughput (feat_hashing_trick note)."""
+    s = (t(spark, sf, "events").filter(F.col("value").isNotNull())
+         .select("event_type", "event_id",
+                 F.round(F.col("value") * 100, 0).cast("bigint")
+                 .alias("q")))
+    rep = s.select(
+        "event_type", "q",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        F.col("event_id"))
+    hexd = "0123456789abcdef"
+    key = F.md5(F.concat(F.col("event_id").cast("string"), F.lit("_"),
+                         F.col("b").cast("string")))
+    u = ((F.expr(f"position(substr(md5(concat(cast(event_id as string),"
+                 f" '_', cast(b as string))), 1, 1) IN '{hexd}')") - 1)
+         * 256
+         + (F.expr(f"position(substr(md5(concat(cast(event_id as string),"
+                   f" '_', cast(b as string))), 2, 1) IN '{hexd}')") - 1)
+         * 16
+         + (F.expr(f"position(substr(md5(concat(cast(event_id as string),"
+                   f" '_', cast(b as string))), 3, 1) IN '{hexd}')") - 1))
+    w = (F.when(u < 1507, 0).when(u < 3014, 1).when(u < 3768, 2)
+         .when(u < 4019, 3).when(u < 4081, 4).when(u < 4094, 5)
+         .otherwise(6))
+    bm = (rep.select("event_type", "b", "q", w.alias("w"))
+          .groupBy("event_type", "b")
+          .agg(F.sum(F.col("w") * F.col("q")).cast("bigint").alias("swq"),
+               F.sum("w").cast("bigint").alias("sw"))
+          .filter(F.col("sw") > 0)
+          .select("event_type",
+                  (F.col("swq") / F.col("sw").cast("double")).alias("mb")))
+    full = s.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("q").cast("bigint").alias("sq"))
+    ci = (bm.groupBy("event_type")
+          .agg(F.count("*").cast("bigint").alias("n_reps"),
+               F.array_sort(F.collect_list("mb")).alias("ms")))
+    return (ci.join(F.broadcast(full), "event_type")
+            .select("event_type", "n_rows", "n_reps",
+                    (F.round(F.col("sq") / F.col("n_rows").cast("double")
+                             / 100.0, 6) + 0.0).alias("mean_value"),
+                    (F.round(F.element_at("ms", 2) / 100.0, 6) + 0.0)
+                    .alias("ci_lo"),
+                    (F.round(F.element_at("ms", 31) / 100.0, 6) + 0.0)
+                    .alias("ci_hi")))
+
+
+@q("text_html_tag_census", """
+WITH aug AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 4 = 0
+              THEN '<div class="nav"><a href="/x">home</a> '
+                   || '<a href="/y">about</a></div><p>' || text
+                   || '</p><script>var a=1;</script>'
+              ELSE text END AS html
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), c AS (
+  SELECT doc_id, lang, CAST(length(html) AS BIGINT) AS total_chars,
+         CAST(length(regexp_extract_all(html, '<a ')) AS BIGINT) AS n_a,
+         CAST(length(regexp_extract_all(html, '<div')) AS BIGINT)
+             AS n_div,
+         CAST(length(regexp_extract_all(html, '<p>')) AS BIGINT) AS n_p,
+         CAST(length(regexp_extract_all(html, '<script')) AS BIGINT)
+             AS n_script,
+         CAST(length(regexp_replace(html, '<[^>]*>', '', 'g'))
+              AS BIGINT) AS visible_chars
+  FROM aug
+)
+SELECT doc_id, lang, n_a, n_div, n_p, n_script,
+       visible_chars, total_chars,
+       ROUND(1.0 - visible_chars / CAST(total_chars AS DOUBLE), 6) + 0.0
+           AS markup_ratio
+FROM c WHERE n_a + n_div + n_p + n_script > 0
+""")
+def text_html_tag_census(spark, sf):
+    """HTML tag census + markup ratio per document — the other half of
+    the A2 boilerplate-strip signal pair (text_link_density measures
+    link chars; this measures structural chrome: nav containers,
+    anchors, script blocks, and how much of the byte budget is markup
+    vs visible text). Every 4th document gets a deterministic planted
+    wrapper (nav div, two anchors, a script tag) on BOTH engines —
+    the self-evidencing pattern text_link_density uses, so the
+    stripper is provably exercised on a corpus that carries no
+    natural HTML. Tag counts are literal-pattern regexp passes;
+    visible text is one '<[^>]*>' strip (RE2-safe, no backtracking:
+    negated-class body), and both engines strip identical spans
+    because the pattern is anchored per tag, not nested.
+
+    At 100 TB: zero-shuffle scan -> project -> filter; the docs that
+    carry no markup die at the map side, and every regex is linear in
+    doc length. markup_ratio > ~0.3 is the classic pre-extraction
+    drop rule — cheap screening BEFORE the full A2 DOM-heuristic
+    kernel runs."""
+    base = (t(spark, sf, "documents")
+            .filter(F.col("text").isNotNull() & (F.length("text") > 0)))
+    aug = base.select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit('<div class="nav"><a href="/x">home</a> '
+                              '<a href="/y">about</a></div><p>'),
+                        F.col("text"),
+                        F.lit("</p><script>var a=1;</script>")))
+        .otherwise(F.col("text")).alias("html"))
+    rc = lambda pat: F.expr(f"regexp_count(html, '{pat}')").cast("bigint")
+    c = aug.select(
+        "doc_id", "lang",
+        F.length("html").cast("bigint").alias("total_chars"),
+        rc("<a ").alias("n_a"), rc("<div").alias("n_div"),
+        rc("<p>").alias("n_p"), rc("<script").alias("n_script"),
+        F.length(F.regexp_replace("html", "<[^>]*>", ""))
+        .cast("bigint").alias("visible_chars"))
+    return (c.select(
+        "doc_id", "lang", "n_a", "n_div", "n_p", "n_script",
+        "visible_chars", "total_chars",
+        (F.round(1.0 - F.col("visible_chars")
+                 / F.col("total_chars").cast("double"), 6) + 0.0)
+        .alias("markup_ratio"))
+        .filter(F.col("n_a") + F.col("n_div") + F.col("n_p")
+                + F.col("n_script") > 0))
