@@ -9896,3 +9896,203 @@ def text_html_tag_census(spark, sf):
         .alias("markup_ratio"))
         .filter(F.col("n_a") + F.col("n_div") + F.col("n_p")
                 + F.col("n_script") > 0))
+
+
+@q("conv_template_turn_dedup", """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0
+              THEN 'You are a helpful assistant. Follow the'
+                   || ' instructions carefully.'
+              ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), tr AS (
+  SELECT doc_id,
+         'conv-' || lpad(CAST(doc_id % 50 AS VARCHAR), 8, '0') AS conv_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+  FROM aug
+)
+SELECT h AS template_hash,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+FROM tr GROUP BY h HAVING count(DISTINCT conv_id) >= 2
+""")
+def conv_template_turn_dedup(spark, sf):
+    """Cross-conversation TEMPLATE-TURN detection over the north-rule
+    transcript shape: a turn whose normalized text recurs in >= 2
+    distinct conversations is boilerplate (system prompts, canned
+    greetings, tool headers) — exactly the content an SFT pipeline
+    must de-weight, because template turns otherwise dominate the
+    loss the way duplicated web pages dominate a crawl. Normalization
+    is lowercase + whitespace collapse (the dedup_exact rule), the
+    cluster key is an md5 over it, and the conversation spread uses a
+    REAL count-distinct (not collect_set: conv cardinality is
+    unbounded at production scale, so the bounded-set shortcut
+    conv_tool_stats uses would OOM here; the distinct-aggregate
+    expand is the correct price). Same documents->transcripts mapping
+    the flagship entry() uses, so both engines construct identical
+    input. The synthetic corpus carries few natural cross-conv
+    duplicates, so every 17th turn is REPLACED with a fixed system
+    prompt on BOTH engines (the text_link_density self-evidencing
+    pattern): the detector is provably exercised, and natural
+    duplicate texts still count.
+
+    At 100 TB: one hash exchange on the md5 key (uniform by
+    construction — no skew), map-side partial counts; the HAVING
+    prunes singleton hashes, which are the overwhelming majority, so
+    the output is template-sized, not corpus-sized."""
+    base = (t(spark, sf, "documents")
+            .filter(F.col("text").isNotNull()
+                    & (F.length(F.trim("text")) > 0)))
+    d = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0,
+               F.lit("You are a helpful assistant. Follow the"
+                     " instructions carefully."))
+        .otherwise(F.col("text")).alias("text"))
+    tr = d.select(
+        "doc_id",
+        F.concat(F.lit("conv-"),
+                 F.lpad((F.col("doc_id") % 50).cast("string"), 8, "0"))
+        .alias("conv_id"),
+        F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+        .alias("h"))
+    return (tr.groupBy(F.col("h").alias("template_hash"))
+            .agg(F.count("*").cast("bigint").alias("n_occurrences"),
+                 F.countDistinct("conv_id").cast("bigint")
+                 .alias("n_convs"),
+                 F.min("doc_id").cast("bigint").alias("rep_doc_id"))
+            .filter(F.col("n_convs") >= 2))
+
+
+@q("conv_context_overflow", """
+WITH tr AS (
+  SELECT 'conv-' || lpad(CAST(doc_id % 50 AS VARCHAR), 8, '0') AS conv_id,
+         CAST(doc_id // 50 AS BIGINT) AS turn_idx,
+         CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+              AS BIGINT) AS tok
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), c AS (
+  SELECT conv_id, turn_idx, tok,
+         sum(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS cum
+  FROM tr
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(min(CASE WHEN cum > 512 THEN turn_idx END) AS BIGINT)
+           AS overflow_turn,
+       CAST(count(*) FILTER (cum <= 512) AS BIGINT) AS kept_turns
+FROM c GROUP BY conv_id
+""")
+def conv_context_overflow(spark, sf):
+    """Context-window budget audit per conversation: running token
+    count over the A8-ordered turns, the first turn where the
+    cumulative count exceeds the budget (512 here; the model's
+    context length in production), and how many whole turns fit — the
+    numbers a packing/truncation stage needs BEFORE deciding whether
+    to drop, split, or sliding-window each conversation
+    (conv_context_window consumes exactly this decision). Token
+    counts are whitespace-split sizes (the text_token_count rule,
+    portable across engines); the running sum is the same
+    (conv_id, turn_idx) window every A8 key uses, so the cumsum
+    shuffles once on conv_id and the final per-conv aggregate rides
+    the SAME partitioning — Catalyst reuses the exchange.
+
+    At 100 TB: one hash exchange on conv_id (salting available via
+    the A10 path if monster conversations skew it); per-conv frames
+    are conversation-sized, never corpus-sized."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull()
+                 & (F.length(F.trim("text")) > 0)))
+    tr = d.select(
+        F.concat(F.lit("conv-"),
+                 F.lpad((F.col("doc_id") % 50).cast("string"), 8, "0"))
+        .alias("conv_id"),
+        (F.col("doc_id") / 50).cast("bigint").alias("turn_idx"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+        .alias("tok"))
+    w = (W.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = tr.withColumn("cum", F.sum("tok").over(w))
+    return (c.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        F.min(F.when(F.col("cum") > 512, F.col("turn_idx")))
+        .cast("bigint").alias("overflow_turn"),
+        F.count_if(F.col("cum") <= 512).cast("bigint")
+        .alias("kept_turns")))
+
+
+@q("conv_trajectory_dedup", """
+WITH tr AS (
+  SELECT 'conv-' || lpad(CAST(doc_id % 50 AS VARCHAR), 8, '0') AS conv_id,
+         CAST(doc_id // 50 AS BIGINT) AS turn_idx,
+         ['user', 'assistant', 'assistant', 'tool'][(doc_id % 4) + 1]
+           || ':' ||
+           CASE WHEN doc_id % 4 = 3
+                THEN 'tool-' || CAST(doc_id % 5 AS VARCHAR)
+                ELSE '' END AS step
+  FROM documents WHERE text IS NOT NULL
+), sig AS (
+  SELECT conv_id,
+         md5(string_agg(step, '|' ORDER BY turn_idx)) AS traj_sig,
+         CAST(count(*) AS BIGINT) AS n_turns
+  FROM tr GROUP BY conv_id
+)
+SELECT traj_sig,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       min(conv_id) AS rep_conv_id,
+       CAST(min(n_turns) AS BIGINT) AS n_turns
+FROM sig GROUP BY traj_sig HAVING count(*) >= 2
+""")
+def conv_trajectory_dedup(spark, sf):
+    """Agent-TRAJECTORY dedup: fingerprint each conversation by its
+    ordered (role, tool) step sequence and cluster conversations that
+    share the exact trajectory — near-identical agent runs (same tool
+    chain, same turn structure) carry almost no marginal training
+    signal, and trajectory-level dedup is the transcript analog of
+    document dedup_exact (the text may differ per run; the BEHAVIOR
+    is the duplicate). The signature is an md5 over the turn-ordered
+    'role:tool' strings — ordered portably via Spark's sorted-struct
+    reassembly (array_sort(collect_list(struct(turn_idx, step)))
+    then join, the conv_reassembly_order trick) vs DuckDB's
+    string_agg(... ORDER BY), both reducing to the identical byte
+    string. Roles/tools derive deterministically from doc_id (the
+    conv_tool_stats mapping).
+
+    At 100 TB: two hash exchanges — conv_id (signature build; per-conv
+    arrays are conversation-sized) then the md5 signature (uniform,
+    no skew); the HAVING keeps only clustered trajectories so output
+    is cluster-count-sized. The per-conv transform lambda runs once
+    per conversation over a turns-length array — never per-token
+    (the decontaminate_fuzzy hot-path rule does not apply at this
+    granularity)."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    tr = d.select(
+        F.concat(F.lit("conv-"),
+                 F.lpad((F.col("doc_id") % 50).cast("string"), 8, "0"))
+        .alias("conv_id"),
+        (F.col("doc_id") / 50).cast("bigint").alias("turn_idx"),
+        F.concat(
+            F.element_at(F.array(F.lit("user"), F.lit("assistant"),
+                                 F.lit("assistant"), F.lit("tool")),
+                         (F.col("doc_id") % 4 + 1).cast("int")),
+            F.lit(":"),
+            F.when(F.col("doc_id") % 4 == 3,
+                   F.concat(F.lit("tool-"),
+                            (F.col("doc_id") % 5).cast("string")))
+            .otherwise("")).alias("step"))
+    sig = (tr.groupBy("conv_id")
+           .agg(F.md5(F.array_join(
+               F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct("turn_idx", "step"))),
+                   lambda x: x["step"]), "|")).alias("traj_sig"),
+               F.count("*").cast("bigint").alias("n_turns")))
+    return (sig.groupBy("traj_sig")
+            .agg(F.count("*").cast("bigint").alias("n_convs"),
+                 F.min("conv_id").alias("rep_conv_id"),
+                 F.min("n_turns").cast("bigint").alias("n_turns"))
+            .filter(F.col("n_convs") >= 2))
