@@ -1221,3 +1221,66 @@ def test_text_nb_classifier_separable_corpus_is_perfect(spark):
         for (df1, w1), (df2, w2) in zip(pairs, pairs[1:]):
             if df2 > df1:
                 assert w2 > w1, (lang, pairs)
+
+
+def test_bh_step_up_rejects_below_crossing(spark):
+    """The BH rule is STEP-UP: with m=3, alpha=0.1 the thresholds are
+    (0.0333, 0.0667, 0.1); p = (0.05, 0.06, 0.5) has p_(1) ABOVE its
+    own threshold but p_(2) below its — so k* = 2 and BOTH rank 1 and
+    rank 2 are rejected. A naive per-row p <= rank*alpha/m filter
+    would keep rank 1; this pins the difference. n_chars values are
+    the modular inverses that make the op's deterministic p_milli
+    land exactly on 50000/60000/500000."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a", "b", "c"],
+        "lang": ["en", "de", "fr"],
+        "source": ["s1", "s2", "s3"],
+        "n_chars": [950000, 740000, 500000],  # p = .05, .06, .50
+    })
+    tmp = tempfile.mkdtemp(prefix="ocrflow_bh_")
+    spark.createDataFrame(pdf).write.parquet(
+        os.path.join(tmp, "documents.parquet"))
+    rows = {(r.lang, r.source): r
+            for r in D.stat_benjamini_hochberg(spark, tmp).collect()}
+    assert rows[("en", "s1")].p_value == 0.05
+    assert rows[("en", "s1")].rk == 1 and rows[("en", "s1")].rejected == 1
+    assert rows[("de", "s2")].rk == 2 and rows[("de", "s2")].rejected == 1
+    assert rows[("fr", "s3")].rejected == 0
+    # rank 1 is NOT individually significant: p > 1*alpha/m
+    assert rows[("en", "s1")].p_value > rows[("en", "s1")].bh_critical
+
+
+def test_bootstrap_ci_brackets_mean_with_full_reps(spark):
+    """Poisson-bootstrap sanity on the real sf0.001 events: every
+    type runs all 32 replicates, the CI is a proper interval, and it
+    brackets the full-sample mean (resampling the same data cannot
+    systematically exclude its own mean at these sizes)."""
+    out = D.stat_bootstrap_poisson_ci(spark, SF_DIR).collect()
+    assert out, "no event types"
+    for r in out:
+        assert r.n_reps == 32, r
+        assert r.ci_lo < r.ci_hi, r
+        assert r.ci_lo <= r.mean_value <= r.ci_hi, r
+
+
+def test_context_overflow_hand_case(spark):
+    """One conv, four turns of 200 whitespace tokens each: cumsum
+    200/400/600/800 against budget 512 -> overflow at turn_idx 2,
+    two whole turns kept."""
+    import pandas as pd
+    text = " ".join(["tok"] * 200)
+    pdf = pd.DataFrame({
+        "doc_id": [0, 50, 100, 150],
+        "text": [text] * 4,
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": [len(text)] * 4,
+    })
+    tmp = tempfile.mkdtemp(prefix="ocrflow_ctx_")
+    spark.createDataFrame(pdf).write.parquet(
+        os.path.join(tmp, "documents.parquet"))
+    row = D.conv_context_overflow(spark, tmp).collect()[0]
+    assert (row.n_turns, row.total_tokens) == (4, 800)
+    assert row.overflow_turn == 2 and row.kept_turns == 2
