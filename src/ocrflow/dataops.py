@@ -10096,3 +10096,190 @@ def conv_trajectory_dedup(spark, sf):
                  F.min("conv_id").alias("rep_conv_id"),
                  F.min("n_turns").cast("bigint").alias("n_turns"))
             .filter(F.col("n_convs") >= 2))
+
+
+@q("corpus_boilerplate_lines", """
+WITH aug AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || '(c) example corp - all rights reserved'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'unsubscribe: reply stop'
+                 ELSE '' END AS txt
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+), ln AS (
+  SELECT DISTINCT doc_id, source,
+         lower(trim(unnest(string_split(txt, chr(10))))) AS line
+  FROM aug
+), f AS (
+  SELECT source, line, CAST(count(*) AS BIGINT) AS n_docs
+  FROM ln WHERE length(line) > 0 GROUP BY source, line
+), tot AS (
+  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS total_docs
+  FROM aug GROUP BY source
+)
+SELECT f.source, f.line, f.n_docs, t.total_docs,
+       ROUND(f.n_docs / CAST(t.total_docs AS DOUBLE), 6) + 0.0
+           AS doc_share
+FROM f JOIN tot t ON f.source = t.source
+WHERE f.n_docs >= 5
+""")
+def corpus_boilerplate_lines(spark, sf):
+    """CCNet-style boilerplate-LINE census: lines that recur across
+    many documents of the same source (copyright footers, unsubscribe
+    strings, cookie banners) are chrome, not content — the per-source
+    frequent-line list is exactly the strip table a crawl-extraction
+    pipeline applies before dedup, and the line-frequency idea is the
+    core of CCNet's paragraph-level dedup. The corpus is single-line
+    synthetic, so deterministic footer lines are planted on every 3rd
+    and 7th document on BOTH engines (the text_link_density
+    self-evidencing rule); natural full-text duplicates inside a
+    source still count. Lines are DISTINCT per doc before counting
+    (a doc repeating its own footer counts once), so n_docs is a
+    plain count after the per-doc dedup — no count-distinct expand
+    on the big aggregation.
+
+    At 100 TB: the explode is line-grain but the (source, line) hash
+    aggregate is map-side combinable and boilerplate lines are
+    exactly the ones that collapse hardest; the >= 5 doc-frequency
+    cut prunes the long unique-line tail before the dimension-sized
+    totals join (broadcast). Hot-line skew is absorbed by partial
+    aggregation — the combiner sees each line once per partition."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & F.col("source").isNotNull()))
+    aug = d.select(
+        "doc_id", "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\n(c) example corp - all rights reserved"))
+            .otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("\nunsubscribe: reply stop")).otherwise(""))
+        .alias("txt"))
+    ln = (aug.select("doc_id", "source",
+                     F.explode(F.split("txt", "\n")).alias("raw"))
+          .select("doc_id", "source",
+                  F.lower(F.trim("raw")).alias("line"))
+          .filter(F.length("line") > 0)
+          .distinct())
+    f = ln.groupBy("source", "line").agg(
+        F.count("*").cast("bigint").alias("n_docs"))
+    tot = aug.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("total_docs"))
+    return (f.filter(F.col("n_docs") >= 5)
+            .join(F.broadcast(tot), "source")
+            .select("source", "line", "n_docs", "total_docs",
+                    (F.round(F.col("n_docs")
+                             / F.col("total_docs").cast("double"), 6)
+                     + 0.0).alias("doc_share")))
+
+
+@q("eval_recall_at_k", """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+), r AS (
+  SELECT user_id, rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM e
+), pu AS (
+  SELECT user_id,
+         CAST(sum(rel) AS BIGINT) AS n_rel,
+         CAST(sum(CASE WHEN rnk <= 5 THEN rel ELSE 0 END) AS BIGINT)
+             AS hits5
+  FROM r GROUP BY user_id HAVING sum(rel) > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(hits5) AS BIGINT) AS total_hits,
+       ROUND(sum(CAST(ROUND(hits5 * 1000000.0 / n_rel, 0) AS BIGINT))
+             / 1000000.0 / count(*), 4) + 0.0 AS recall_at_5
+FROM pu
+""")
+def eval_recall_at_k(spark, sf):
+    """Macro-averaged recall@5 — the retrieval family's third leg
+    beside eval_mrr (first hit) and eval_ndcg_at_k (graded order):
+    what fraction of each user's relevant items the top-5 ranking
+    recovers, averaged over users that have any relevant item. The
+    ranking key (value DESC, event_id) is the family's
+    bit-deterministic sort; each per-user recall is rounded to
+    integer MICRO-units so the corpus mean is an order-independent
+    bigint sum (the eval_mrr discipline).
+
+    At 100 TB: one window partitioned by user (fully parallel), one
+    hash aggregate on user, one 1-row reduce — no join anywhere; the
+    HAVING drops no-relevant users at the combiner."""
+    e = (t(spark, sf, "events")
+         .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+         .select("user_id", "event_id",
+                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                 .alias("rel"), "value"))
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    r = e.withColumn("rnk", F.row_number().over(w))
+    pu = (r.groupBy("user_id")
+          .agg(F.sum("rel").cast("bigint").alias("n_rel"),
+               F.sum(F.when(F.col("rnk") <= 5, F.col("rel"))
+                     .otherwise(0)).cast("bigint").alias("hits5"))
+          .filter(F.col("n_rel") > 0))
+    ru = pu.select(
+        "hits5",
+        F.round(F.col("hits5") * 1000000.0 / F.col("n_rel"), 0)
+        .cast("long").alias("ri"))
+    return ru.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("hits5").cast("bigint").alias("total_hits"),
+        (F.round(F.sum("ri") / 1000000.0 / F.count("*"), 4) + 0.0)
+        .alias("recall_at_5"))
+
+
+@q("graph_degree_distribution", """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem
+), e AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+   AND a.l_suppkey < b.l_suppkey
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY node
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY degree
+""")
+def graph_degree_distribution(spark, sf):
+    """Degree distribution of the supplier co-occurrence graph (same
+    edge derivation as graph_triangle_count: suppliers sharing an
+    order, deduped, oriented u<v) — the first diagnostic a graph
+    pipeline runs, because the distribution's tail DICTATES the
+    algorithm choice downstream: a power-law tail means triangle
+    counting must orient by degree and CC must pointer-jump, while a
+    bounded-degree graph can use naive wedge joins. Undirected degree
+    = appearances on either side of the oriented edge set (union-all
+    then count — no self-join). Output is the degree histogram,
+    |distinct degrees| rows.
+
+    At 100 TB: the order-key self-join is the heavy step (same cost
+    class as triangle counting's pair-gen); the union-all degree
+    count and the histogram are both map-side combinable hash
+    aggregates over edge- then vertex-sized data. No skew trap: the
+    histogram key (degree) is small-cardinality but arrives already
+    collapsed to one row per vertex."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+         .select(F.col("a.l_suppkey").alias("u"),
+                 F.col("b.l_suppkey").alias("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("node"))
+           .unionAll(e.select(F.col("v").alias("node")))
+           .groupBy("node")
+           .agg(F.count("*").cast("bigint").alias("degree")))
+    return (deg.groupBy("degree")
+            .agg(F.count("*").cast("bigint").alias("n_vertices")))
