@@ -1284,3 +1284,52 @@ def test_context_overflow_hand_case(spark):
     row = D.conv_context_overflow(spark, tmp).collect()[0]
     assert (row.n_turns, row.total_tokens) == (4, 800)
     assert row.overflow_turn == 2 and row.kept_turns == 2
+
+
+def test_power_iteration_matches_numpy_simulation(spark):
+    """The distributed quantized power iteration must track the float
+    simulation of the same update to 4+ decimals in cosine — pins the
+    implementation (dot folds, contributions, normalize) without
+    requiring spectral convergence on the isotropic test embeddings."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    out = D.emb_power_iteration_top1(spark, SF_DIR).collect()
+    v_op = np.array([r.loading for r in sorted(out, key=lambda r: r.pos)])
+    tb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    X = np.round(np.stack(tb.column("embedding").to_pylist()) * 256)
+    v = np.ones(64) / 8.0
+    for _ in range(12):
+        v2 = X.T @ (X @ v)
+        v = v2 / np.linalg.norm(v2)
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    cos = float(v_op @ v) / (np.linalg.norm(v_op) * np.linalg.norm(v))
+    assert cos >= 0.9999, cos
+
+
+def test_power_iteration_converges_on_planted_direction(spark):
+    """A rank-1-dominant matrix (planted direction + small noise) has
+    a wide spectral gap, so 12 iterations must recover the direction:
+    |cos| >= 0.999 vs numpy's top eigenvector."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.RandomState(7)
+    u = rng.randn(64); u /= np.linalg.norm(u)
+    a = rng.randn(400)
+    X = np.outer(a, u) * 0.4 + rng.randn(400, 64) * 0.02
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(400),
+        "embedding": [row.astype("float32").tolist() for row in X],
+        "label": np.zeros(400, dtype="int32"),
+    })
+    tmp = tempfile.mkdtemp(prefix="ocrflow_pi_")
+    spark.createDataFrame(pdf).write.parquet(
+        os.path.join(tmp, "embeddings.parquet"))
+    out = D.emb_power_iteration_top1(spark, tmp).collect()
+    v_op = np.array([r.loading for r in sorted(out, key=lambda r: r.pos)])
+    Q = np.round(X * 256)
+    w, V = np.linalg.eigh(Q.T @ Q)
+    top = V[:, -1]
+    cos = abs(float(v_op @ top)) / (np.linalg.norm(v_op)
+                                    * np.linalg.norm(top))
+    assert cos >= 0.999, cos
