@@ -10353,3 +10353,189 @@ def emb_power_iteration_top1(spark, sf, iters=12):
     rows = [(i, v[i], v[i] / 1_000_000.0) for i in range(d)]
     return spark.createDataFrame(
         rows, "pos int, loading_micro long, loading double")
+
+
+@q("ts_theilsen_slope", """
+WITH d AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE))
+              AS BIGINT) AS x,
+         CAST(sum(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type, date_trunc('day', ts)
+), p AS (
+  SELECT a.event_type,
+         CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+  FROM d a JOIN d b ON a.event_type = b.event_type AND b.x > a.x
+)
+SELECT event_type,
+       CAST((SELECT count(*) FROM d WHERE d.event_type = p.event_type)
+            AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       ROUND(list_sort(list(slope))[CAST((count(*) + 1) // 2 AS BIGINT)],
+             6) + 0.0 AS theilsen_slope
+FROM p GROUP BY event_type
+""")
+def ts_theilsen_slope(spark, sf):
+    """Theil-Sen slope estimator per event type — the ROBUST trend
+    line (median of all pairwise slopes, 29% breakdown point) that
+    survives the outlier days a least-squares fit (win_rolling_slope)
+    chases; the standard drift estimator when ops metrics contain
+    incident spikes. Pairs are generated at DAY grain after the same
+    fact-collapsing rollup the window keys use, so the quadratic pair
+    join is |days|^2 per type (~500 pairs/month) — never fact-sized;
+    each slope is one double division of exact integers (cent-sum
+    deltas over day deltas), and the median is the LOWER-MIDDLE order
+    statistic taken explicitly from a sorted slope array (element
+    (n+1)//2) so both engines pick the identical element rather than
+    trusting engine-specific quantile interpolation.
+
+    At 100 TB: one rollup exchange, one dimension-sized self-join,
+    per-type slope arrays bounded by days^2; for decade-long series
+    switch to the repeated-median or random-pair-sample variant
+    (documented trade: exactness vs pair count)."""
+    e = (t(spark, sf, "events")
+         .filter(F.col("value").isNotNull() & F.col("ts").isNotNull()))
+    d = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+         .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+              .cast("bigint").alias("y"))
+         .select("event_type",
+                 F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+                 .cast("bigint").alias("x"), "y"))
+    a, b = d.alias("a"), d.alias("b")
+    p = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                & (F.col("b.x") > F.col("a.x")))
+         .select(F.col("a.event_type").alias("event_type"),
+                 ((F.col("b.y") - F.col("a.y")).cast("double")
+                  / (F.col("b.x") - F.col("a.x"))).alias("slope")))
+    nd = d.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"))
+    agg = (p.groupBy("event_type")
+           .agg(F.count("*").cast("bigint").alias("n_pairs"),
+                F.array_sort(F.collect_list("slope")).alias("ss")))
+    return (agg.join(F.broadcast(nd), "event_type")
+            .select("event_type", "n_days", "n_pairs",
+                    (F.round(F.element_at(
+                        "ss", ((F.col("n_pairs") + 1) / 2)
+                        .cast("int")), 6) + 0.0).alias("theilsen_slope")))
+
+
+@q("feat_woe_encoding", """
+WITH g AS (
+  SELECT c_mktsegment,
+         CAST(count(*) FILTER (c_acctbal > 0) + 1 AS BIGINT) AS pos,
+         CAST(count(*) FILTER (c_acctbal <= 0) + 1 AS BIGINT) AS neg
+  FROM customer GROUP BY c_mktsegment
+), tot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS pt, CAST(sum(neg) AS BIGINT) AS nt
+  FROM g
+)
+SELECT c_mktsegment, pos, neg,
+       ROUND(ln((pos * CAST(nt AS DOUBLE)) / (neg * CAST(pt AS DOUBLE))),
+             6) + 0.0 AS woe,
+       ROUND((pos / CAST(pt AS DOUBLE) - neg / CAST(nt AS DOUBLE))
+             * ln((pos * CAST(nt AS DOUBLE))
+                  / (neg * CAST(pt AS DOUBLE))), 6) + 0.0 AS iv_term
+FROM g CROSS JOIN tot
+""")
+def feat_woe_encoding(spark, sf):
+    """Weight-of-Evidence categorical encoding + per-level Information
+    Value — the credit-scoring-standard supervised encoding
+    (WoE = ln of the level's positive/negative rate ratio) that, like
+    feat_target_encode, replaces a category with a single monotone
+    number, but on a LOG-ODDS scale that plugs directly into logistic
+    models; IV terms sum to the variable's predictive-power screen
+    (<0.02 useless, >0.3 strong). Counts are exact integers with
+    add-one smoothing on BOTH engines (no zero-cell infinities by
+    construction); the single ln runs over an exact integer rational
+    so both engines evaluate the identical double (the
+    text_pmi_collocations ln discipline), rounded once.
+
+    At 100 TB: one map-combinable aggregate to |levels| rows, a 1-row
+    totals reduce broadcast back — the encoder table is
+    dimension-sized and serializes as a training artifact, identical
+    plan shape to feat_target_encode."""
+    c = t(spark, sf, "customer")
+    g = c.groupBy("c_mktsegment").agg(
+        (F.count_if(F.col("c_acctbal") > 0) + 1).cast("bigint")
+        .alias("pos"),
+        (F.count_if(F.col("c_acctbal") <= 0) + 1).cast("bigint")
+        .alias("neg"))
+    tot = g.agg(F.sum("pos").cast("bigint").alias("pt"),
+                F.sum("neg").cast("bigint").alias("nt"))
+    lr = F.log((F.col("pos") * F.col("nt").cast("double"))
+               / (F.col("neg") * F.col("pt").cast("double")))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("c_mktsegment", "pos", "neg",
+                    (F.round(lr, 6) + 0.0).alias("woe"),
+                    (F.round((F.col("pos") / F.col("pt").cast("double")
+                              - F.col("neg") / F.col("nt").cast("double"))
+                             * lr, 6) + 0.0).alias("iv_term")))
+
+
+@q("text_keyword_rake", """
+WITH ph AS (
+  SELECT doc_id, trim(p) AS phrase
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text),
+             '\\b(?:the|and|of|a|an|in|to|is|are|was|were|for|on|with'
+             || '|as|by|at|from|that|this|it|be|or|not|but|we|you|they'
+             || ')\\b|[^a-z ]+')) AS p
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE length(trim(p)) > 0
+), w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(phrase, ' +')) AS word,
+         CAST(length(regexp_split_to_array(phrase, ' +')) AS BIGINT)
+             AS plen
+  FROM ph
+)
+SELECT word,
+       CAST(count(*) AS BIGINT) AS freq,
+       CAST(sum(plen) AS BIGINT) AS degree,
+       ROUND(sum(plen) / CAST(count(*) AS DOUBLE), 6) + 0.0 AS rake_score
+FROM w WHERE length(word) > 0
+GROUP BY word HAVING count(*) >= 5
+""")
+def text_keyword_rake(spark, sf):
+    """RAKE keyword scoring (Rose et al. 2010) at corpus level:
+    candidate phrases are the maximal runs between stopwords and
+    punctuation (one regex split against a broadcast-constant
+    stopword alternation — the list lives IN the pattern, so there is
+    no join at all), and each word scores degree/frequency where
+    degree counts co-occurrence weight (the length of every phrase
+    the word appears in, multiplicity included) — high-degree words
+    are the ones that anchor multi-word technical terms, exactly what
+    a tokenizer-vocabulary or tagging pipeline mines first. The
+    alternation uses a NON-CAPTURING group: with a capturing group
+    both engines would interleave captured delimiters into the split
+    output. freq and degree are exact integer aggregates; the score
+    is one ratio rounded once.
+
+    At 100 TB: two zero-join passes — phrase split (scan-local
+    explode) then word explode into ONE map-combinable hash aggregate
+    on word; the >= 5 frequency cut prunes the unique-word tail at
+    the reducer. Stopword-set changes are a pattern constant, not a
+    data dependency."""
+    stop = ("the|and|of|a|an|in|to|is|are|was|were|for|on|with"
+            "|as|by|at|from|that|this|it|be|or|not|but|we|you|they")
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    ph = (d.select("doc_id",
+                   F.explode(F.split(F.lower("text"),
+                                     rf"\b(?:{stop})\b|[^a-z ]+"))
+                   .alias("p"))
+          .select("doc_id", F.trim("p").alias("phrase"))
+          .filter(F.length("phrase") > 0))
+    words = ph.select(
+        "doc_id",
+        F.explode(F.split("phrase", " +")).alias("word"),
+        F.size(F.split("phrase", " +")).cast("bigint").alias("plen"))
+    return (words.filter(F.length("word") > 0)
+            .groupBy("word")
+            .agg(F.count("*").cast("bigint").alias("freq"),
+                 F.sum("plen").cast("bigint").alias("degree"),
+                 (F.round(F.sum("plen") / F.count("*").cast("double"), 6)
+                  + 0.0).alias("rake_score"))
+            .filter(F.col("freq") >= 5))
