@@ -10539,3 +10539,172 @@ def text_keyword_rake(spark, sf):
                  (F.round(F.sum("plen") / F.count("*").cast("double"), 6)
                   + 0.0).alias("rake_score"))
             .filter(F.col("freq") >= 5))
+
+
+@q("conv_stitch_integrity", """
+WITH tr AS (
+  SELECT 'conv-' || lpad(CAST(doc_id % 50 AS VARCHAR), 8, '0') AS conv_id,
+         CAST(doc_id // 50 AS BIGINT) AS turn_idx
+  FROM documents WHERE text IS NOT NULL AND doc_id % 13 <> 3
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(min(turn_idx) AS BIGINT) AS first_turn,
+       CAST(max(turn_idx) AS BIGINT) AS last_turn,
+       CAST(max(turn_idx) - min(turn_idx) + 1 - count(*) AS BIGINT)
+           AS n_missing,
+       CASE WHEN max(turn_idx) - min(turn_idx) + 1 = count(*)
+            THEN 1 ELSE 0 END AS is_contiguous
+FROM tr GROUP BY conv_id
+""")
+def conv_stitch_integrity(spark, sf):
+    """Turn-contiguity gate for the A7/A8 stitch: a conversation whose
+    turn_idx sequence has HOLES lost turns somewhere between ingest
+    and reassembly (dropped file, failed partition, bad watermark) —
+    exactly the defect a lineage-verified resume must surface before
+    the transcript trains anything. Missing-turn count is the
+    closed-form max-min+1-count over one hash aggregate (no window,
+    no sort): contiguity needs only the three moments, never the
+    sequence itself. A deterministic 1-in-13 turn drop is planted on
+    BOTH engines (self-evidencing: the gate provably fires; turn
+    drops land in specific convs, others stay contiguous).
+
+    At 100 TB: one map-combinable aggregate on conv_id — the cheapest
+    possible structural gate, runs as a side output of any pass that
+    already groups by conversation."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("text").isNotNull() & (F.col("doc_id") % 13 != 3)))
+    tr = d.select(
+        F.concat(F.lit("conv-"),
+                 F.lpad((F.col("doc_id") % 50).cast("string"), 8, "0"))
+        .alias("conv_id"),
+        (F.col("doc_id") / 50).cast("bigint").alias("turn_idx"))
+    span = F.max("turn_idx") - F.min("turn_idx") + 1
+    return (tr.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.min("turn_idx").cast("bigint").alias("first_turn"),
+        F.max("turn_idx").cast("bigint").alias("last_turn"),
+        (span - F.count("*")).cast("bigint").alias("n_missing"),
+        F.when(span == F.count("*"), 1).otherwise(0)
+        .alias("is_contiguous")))
+
+
+@q("dq_rowcount_anomaly", """
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), w AS (
+  SELECT event_type, day, n,
+         list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN 7 PRECEDING
+                                 AND 1 PRECEDING)) AS trail
+  FROM d
+), m AS (
+  SELECT event_type, day, n,
+         CAST(length(trail) AS BIGINT) AS n_trail,
+         trail[(length(trail) + 1) // 2] AS trail_median
+  FROM w WHERE length(trail) >= 4
+)
+SELECT event_type, day, n, n_trail,
+       CAST(trail_median AS BIGINT) AS trail_median,
+       ROUND(CAST(n AS DOUBLE) / trail_median, 6) + 0.0 AS ratio,
+       CASE WHEN n * 2 > trail_median * 3
+              OR n * 2 < trail_median THEN 1 ELSE 0 END AS is_anomaly
+FROM m
+""")
+def dq_rowcount_anomaly(spark, sf):
+    """Ingest-volume anomaly monitor: each (event_type, day) row count
+    against the MEDIAN of its own trailing 7 days — the robust
+    day-over-day freshness/volume gate an ingestion pipeline pages
+    on (median, not mean: one backfill day must not mask the next
+    real outage). The trailing median is the lower-middle element of
+    a sorted 7-element frame array (bounded BY CONSTRUCTION — the
+    win_rolling_median trick), warm-up days with under 4 trailing
+    points are excluded, and the anomaly rule (outside [0.5x, 1.5x])
+    is evaluated in EXACT integer cross-multiplication (n*2 vs
+    median*3) so the flag never hinges on a float boundary.
+
+    At 100 TB: the day rollup collapses the fact first (one
+    combinable exchange); the per-type ordered window runs over
+    |types| x |days| rows with constant-size frames."""
+    e = t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    d = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+         .agg(F.count("*").cast("bigint").alias("n")))
+    f = (W.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1))
+    w = d.withColumn("trail", F.array_sort(F.collect_list("n").over(f)))
+    m = (w.filter(F.size("trail") >= 4)
+         .withColumn("n_trail", F.size("trail").cast("bigint"))
+         .withColumn("trail_median",
+                     F.element_at("trail",
+                                  ((F.size("trail") + 1) / 2).cast("int"))
+                     .cast("bigint")))
+    return m.select(
+        "event_type", "day", "n", "n_trail", "trail_median",
+        (F.round(F.col("n").cast("double") / F.col("trail_median"), 6)
+         + 0.0).alias("ratio"),
+        F.when((F.col("n") * 2 > F.col("trail_median") * 3)
+               | (F.col("n") * 2 < F.col("trail_median")), 1)
+        .otherwise(0).alias("is_anomaly"))
+
+
+@q("corpus_domain_mix_kl", """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY source, lang
+), st AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY source
+), lt AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM c GROUP BY lang
+), g AS (
+  SELECT CAST(sum(n) AS BIGINT) AS ng FROM c
+)
+SELECT c.source,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       CAST(max(st.ns) AS BIGINT) AS n_docs,
+       ROUND(sum((c.n / CAST(st.ns AS DOUBLE))
+                 * ln((c.n * CAST(g.ng AS DOUBLE))
+                      / (CAST(st.ns AS DOUBLE) * lt.nl))), 6) + 0.0
+           AS kl_vs_corpus
+FROM c JOIN st ON c.source = st.source
+       JOIN lt ON c.lang = lt.lang CROSS JOIN g
+GROUP BY c.source
+""")
+def corpus_domain_mix_kl(spark, sf):
+    """Per-source language-mix divergence: KL(source lang distribution
+    || corpus lang distribution) — the domain-shift screen a curation
+    pipeline runs per crawl source to catch a feed that silently
+    changed language mix (the corpus_mix_plan / corpus_dsir_weights
+    family's monitoring face). Every probability is an exact-integer
+    ratio (cell/source and lang/corpus counts), each p*ln(p/q) term
+    is evaluated identically on both engines from one exact rational
+    (c.n * ng) / (ns * nl), and the per-source sum folds inside one
+    hash aggregate whose addend order is fixed by the surrounding
+    GROUP BY... made order-INSENSITIVE by rounding only the final
+    sum: with <=10 langs per source the double sum over a handful of
+    terms is exact to well past 6 dp regardless of order (terms are
+    O(1), not 1e6 of them — the float-fold concern is bounded and
+    documented, unlike corpus-sized float sums which this repo
+    quantizes).
+
+    At 100 TB: (source, lang) cells are one combinable aggregate;
+    marginals are dimension-sized broadcasts; nothing touches the
+    fact twice."""
+    d = (t(spark, sf, "documents")
+         .filter(F.col("source").isNotNull() & F.col("lang").isNotNull()))
+    c = d.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n"))
+    st = c.groupBy("source").agg(F.sum("n").cast("bigint").alias("ns"))
+    lt = c.groupBy("lang").agg(F.sum("n").cast("bigint").alias("nl"))
+    g = c.agg(F.sum("n").cast("bigint").alias("ng"))
+    term = ((F.col("n") / F.col("ns").cast("double"))
+            * F.log((F.col("n") * F.col("ng").cast("double"))
+                    / (F.col("ns").cast("double") * F.col("nl"))))
+    return (c.join(F.broadcast(st), "source")
+            .join(F.broadcast(lt), "lang")
+            .crossJoin(F.broadcast(g))
+            .groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_langs"),
+                 F.max("ns").cast("bigint").alias("n_docs"),
+                 (F.round(F.sum(term), 6) + 0.0).alias("kl_vs_corpus")))
