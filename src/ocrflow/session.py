@@ -67,6 +67,18 @@ def build_session(master: str | None = None, app: str = "ocrflow",
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.session.timeZone", "UTC")
+         # Scan split size (guide §6): parameterised because the right
+         # value is scale-dependent. Local default 32m: the bench
+         # inputs are single files whose row groups (~20 MB) otherwise
+         # pack into one-or-two 128 MB splits, capping scan-stage
+         # parallelism at 1-2 tasks on a 32-core machine (measured:
+         # lineitem 131 MB/6 row groups → 2 tasks at the default).
+         # On a real cluster with thousands of files set
+         # OCRFLOW_MAX_PARTITION_BYTES=512m-1g (guide §6 recommends
+         # large sequential splits to cut task overhead and map-side
+         # shuffle block count).
+         .config("spark.sql.files.maxPartitionBytes",
+                 os.environ.get("OCRFLOW_MAX_PARTITION_BYTES", "32m"))
          # INT96 (Spark's parquet default) carries NO min/max stats and
          # is forbidden by the Iceberg spec; int64 micros restores
          # footer stats so icelite's manifest data-skipping works on

@@ -371,3 +371,71 @@ def test_global_rank_date_leading_key(spark):
            for r in D.global_rank(df, ["d", "id"], partitions=8)
            .select("id", "rn").collect()}
     assert got == truth
+
+
+def test_global_rank_cjk_buckets_spread_and_rank(spark):
+    """Round-6 surrogate fix (round-5 VERDICT #1): a CJK-leading
+    blocking key must SPREAD across width_buckets instead of
+    collapsing into one (the 32768.0 collapse made the per-bucket
+    window a single-partition funnel on the engine's heritage
+    corpus), and ranks must still equal the single-partition window —
+    including supplementary-plane and surrogate-clamped characters."""
+    import ocrflow.dataops as D
+    from pyspark.sql import functions as F, Window as W
+
+    # 1000 rows over 40 distinct CJK lead chars (U+4E00..U+9FFF band)
+    leads = [chr(0x4E00 + 137 * i) for i in range(40)]
+    rows = [(leads[i % 40] + chr(0x4E00 + (i * 31) % 2000), i)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, id long")
+    keys = ["k", "id"]
+    truth = {r["id"]: r["rn"] for r in df.select(
+        "id", F.row_number().over(W.orderBy(*keys)).alias("rn")).collect()}
+    got = {r["id"]: r["rn"]
+           for r in D.global_rank(df, keys, partitions=8)
+           .select("id", "rn").collect()}
+    assert got == truth
+    # bucket-balance: reconstruct the surrogate's bucket histogram the
+    # way global_rank assigns it and require near-uniform spread (the
+    # old collapse put 100% of rows in ONE bucket)
+    c = F.col("k")
+    c1 = F.least(F.ascii(c).cast("double"), F.lit(55296.0))
+    c2 = F.least(F.ascii(F.substring(c, 2, 1)).cast("double"), F.lit(128.0))
+    sur = c1 * 2048.0 + F.coalesce(c2, F.lit(0.0))
+    lo, hi = df.agg(F.min(sur), F.max(sur)).first()
+    hist = (df.withColumn(
+        "b", F.least(F.width_bucket(sur, F.lit(lo), F.lit(hi), F.lit(8)),
+                     F.lit(8)))
+        .groupBy("b").count().collect())
+    assert len(hist) >= 6, hist            # spread over most buckets
+    assert max(r["count"] for r in hist) <= 400, hist  # no mega-bucket
+
+    # supplementary-plane + clamp band: monotone surrogate, exact ranks
+    rows2 = [("\U00010348a", 1), ("x", 2), ("�y", 3),
+             ("中z", 4), ("Az", 5), ("", 6)]
+    df2 = spark.createDataFrame(rows2, "k string, id long")
+    truth2 = {r["id"]: r["rn"] for r in df2.select(
+        "id", F.row_number().over(W.orderBy("k", "id")).alias("rn")
+    ).collect()}
+    got2 = {r["id"]: r["rn"]
+            for r in D.global_rank(df2, ["k", "id"], partitions=4)
+            .select("id", "rn").collect()}
+    assert got2 == truth2
+
+
+def test_emb_jl_literal_signs_match_spark_md5(spark):
+    """emb_jl_projection's round-6 rewrite precomputes the Rademacher
+    matrix with hashlib.md5; it must be bit-identical to the Spark
+    md5('i:j') rule the oracle (and the old per-element form) uses."""
+    import hashlib
+    from pyspark.sql import functions as F
+
+    df = spark.range(1, 129).selectExpr("id AS i")
+    for j in (1, 2, 3, 4):
+        got = {r["i"]: r["h"] for r in df.select(
+            "i", F.substring(F.md5(F.concat_ws(
+                ":", F.col("i").cast("string"), F.lit(str(j)))), 1, 1)
+            .alias("h")).collect()}
+        for i in range(1, 129):
+            exp = hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0]
+            assert (got[i] < "8") == (exp < "8"), (i, j)
