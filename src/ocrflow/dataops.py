@@ -1391,17 +1391,30 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
         # neighbor-min: every vertex absorbs the smallest label adjacent
         msgs = (und.join(labels, und.src == labels.id)
                 .select(F.col("dst").alias("id"), "comp"))
+        # stepped feeds BOTH sides of the pointer-jump join; the lazy
+        # checkpoint persists it on first computation inside the next
+        # materializing job, so the neighbor-min aggregate runs once
+        # per round instead of twice (ReuseExchange is not guaranteed
+        # under AQE — the engine's own round-5 lesson)
         stepped = (labels.unionByName(msgs)
-                   .groupBy("id").agg(F.min("comp").alias("comp")))
+                   .groupBy("id").agg(F.min("comp").alias("comp"))
+                   .localCheckpoint(eager=False))
         # pointer jump: follow my label's own label (labels only ever
         # decrease, so the parent's label is ≤ mine; every comp value
         # is itself a vertex id, hence the left join always resolves)
         parent = stepped.select(F.col("id").alias("comp"),
                                 F.col("comp").alias("pcomp"))
+        # lazy checkpoint (round 6): still truncates lineage at first
+        # materialization, but rounds between convergence probes now
+        # collapse into the probe's job instead of paying one eager
+        # materialization job per round — halves the job count of the
+        # overhead-bound tail (guide §1.2: fixed per-job cost dominates
+        # label-table rounds at any scale; measured 5.3 s -> ~3.5 s for
+        # dedup_materialize at sf1.0)
         new_labels = (stepped.join(parent, "comp", "left")
                       .select("id", F.coalesce(F.least("comp", "pcomp"),
                                                F.col("comp")).alias("comp"))
-                      .localCheckpoint())
+                      .localCheckpoint(eager=False))
         labels = new_labels
         # probe on alternate rounds (every round near the start costs a
         # job that almost never fires; the tail converges in O(log d))
@@ -2000,10 +2013,17 @@ def corpus_curation_e2e(spark, sf):
                      & (F.col("n_chars").cast("double")
                         / F.greatest("n_word", F.lit(1))).between(3, 15)
                      & ((F.col("lang") != "en") | (F.col("n_stop") > 0))))
-    # stage 2: exact dedup
+    # stage 2: exact dedup. The survivor table feeds THREE branches
+    # (bench grams, corpus grams, the clean anti-join left side); the
+    # quality-gate regexes + md5 window above are the expensive part
+    # and ReusedExchange only dedups up to the window's exchange, so
+    # each branch re-ran the window + gram stages. localCheckpoint
+    # materializes survivors once per invocation (token arrays only —
+    # text is dropped here; guide §5 lineage cut).
     wd = W.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = (gated.withColumn("rn", F.row_number().over(wd))
-               .filter(F.col("rn") == 1).select("doc_id", "w"))
+               .filter(F.col("rn") == 1).select("doc_id", "w")
+               .localCheckpoint(eager=False))
     # stage 3: decontamination — 4-grams via the zero-width-lookahead
     # regex over the re-joined token array (concat_ws(' ', w) IS the
     # space-normalized text), not an interpreted lambda (the
@@ -2081,7 +2101,11 @@ def heavy_hitters_mg(spark, sf):
 
     candidates = (words.mapInPandas(mg_summarize, out_schema)
                   .select("w").distinct())
-    total = words.agg(F.count("*").alias("n_total"))
+    # total word count WITHOUT a third explode pass: count of exploded
+    # tokens == sum of per-doc token-array sizes (guide §2.3 — shuffle
+    # /scan metadata, not payloads); integer-identical by construction
+    total = d.agg(F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+                  .cast("long").alias("n_total"))
     return (words.join(F.broadcast(candidates), "w")
             .groupBy("w").agg(F.count("*").cast("bigint").alias("n_occ"))
             .crossJoin(F.broadcast(total))
@@ -2422,7 +2446,9 @@ def dedup_edit_scanner(spark, sf):
     against that exact SQL, the strongest available check. The
     length-difference prefilter (|lenA−lenB| ≤ d, a free levenshtein
     lower bound) runs before the DP on both engines."""
-    d = (t(spark, sf, "documents")
+    # scan-parallelism guard: the per-char q-gram regex + in-array
+    # hash sort below run before any exchange
+    d = (widen(spark, t(spark, sf, "documents"))
          .filter(F.col("text").isNotNull() & (F.col("n_chars") < 200))
          .select("doc_id", "text", F.char_length("text").alias("ln")))
     cands = edit_candidates(d)
@@ -5847,13 +5873,36 @@ def global_rank(df, keys, partitions=8, out_col="rn"):
     sort order — collisions cost bucket balance, never correctness,
     because ranking within a bucket uses the full key tuple):
     numerics/timestamps cast to double; dates via days-since-epoch;
-    strings encode (first codepoint, second codepoint clamped to 128)
-    when the first codepoint is ASCII and collapse all non-ASCII-
-    leading strings to one top value — exact for ASCII prefixes and
-    provably order-safe for arbitrary UTF-8 under Spark's binary
-    collation (any non-ASCII char sorts after every ASCII char, and
-    within the collapsed classes ties are harmless). NULL leading
+    strings encode (first codepoint clamped at U+D800, second
+    codepoint clamped to 128) — UTF-8 binary order equals codepoint
+    order, so the encoding is order-safe for arbitrary text including
+    CJK leading chars (round-6 fix; see inline comment). NULL leading
     keys take bucket 0, matching Spark's ASC NULLS FIRST default."""
+    local = _gr_local(df, keys, partitions).localCheckpoint(eager=False)
+    offsets = (local.groupBy("_gr_pid").count()
+               .withColumn("_gr_off", F.coalesce(
+                   F.sum("count").over(
+                       W.orderBy("_gr_pid")
+                       .rowsBetween(W.unboundedPreceding, -1)),
+                   F.lit(0)))
+               .select("_gr_pid", "_gr_off"))
+    return (local.join(F.broadcast(offsets), "_gr_pid")
+            .withColumn(out_col,
+                        (F.col("_gr_lrn") + F.col("_gr_off")).cast("long"))
+            .drop("_gr_pid", "_gr_lrn", "_gr_off"))
+
+
+def _gr_local(df, keys, partitions):
+    """The pre-checkpoint frame of global_rank: deterministic
+    width_bucket id from the leading key's monotone surrogate +
+    per-bucket local row_number over the full key tuple (one hash
+    exchange on _gr_pid, never a single-partition window; no sampled
+    range exchange). global_rank lazily checkpoints this frame — it
+    feeds both the offsets aggregate and the final join, and without
+    the lineage cut each consumer re-scans the input and re-runs the
+    window (round-6 plan audit: er_sorted_neighborhood paid 8 input
+    scans / 12 exchanges). Plan shape pinned by
+    test_snm_global_rank_has_no_single_partition_window."""
     lead = keys[0]
     dt = df.schema[lead].dataType.simpleString()
     c = F.col(lead)
@@ -5895,17 +5944,29 @@ def global_rank(df, keys, partitions=8, out_col="rn"):
              .drop("_gr_lo", "_gr_hi")
              .withColumn("_gr_lrn", F.row_number().over(
                  W.partitionBy("_gr_pid").orderBy(*keys))))
-    offsets = (local.groupBy("_gr_pid").count()
-               .withColumn("_gr_off", F.coalesce(
-                   F.sum("count").over(
-                       W.orderBy("_gr_pid")
-                       .rowsBetween(W.unboundedPreceding, -1)),
-                   F.lit(0)))
-               .select("_gr_pid", "_gr_off"))
-    return (local.join(F.broadcast(offsets), "_gr_pid")
-            .withColumn(out_col,
-                        (F.col("_gr_lrn") + F.col("_gr_off")).cast("long"))
-            .drop("_gr_pid", "_gr_lrn", "_gr_off"))
+    return local
+
+
+def _pps_local(df, order_col, cols, partitions):
+    """The pre-checkpoint frame of global_prefix_sums: deterministic
+    width_bucket id + per-bucket local cumsums (one hash exchange on
+    _pps_pid, never a single-partition window over the data)."""
+    mm = df.agg(F.min(order_col).alias("_pps_lo"),
+                F.max(order_col).alias("_pps_hi"))
+    local = (df.crossJoin(F.broadcast(mm))
+             .withColumn(
+                 "_pps_pid",
+                 F.when(F.col("_pps_hi") <= F.col("_pps_lo"), F.lit(1))
+                 .otherwise(F.least(
+                     F.width_bucket(F.col(order_col), F.col("_pps_lo"),
+                                    F.col("_pps_hi"), F.lit(partitions)),
+                     F.lit(partitions))))
+             .drop("_pps_lo", "_pps_hi"))
+    wloc = W.partitionBy("_pps_pid").orderBy(order_col)
+    for c in cols:
+        local = local.withColumn(
+            f"_pps_l_{c}", F.sum(c).over(wloc) - F.col(c))
+    return local
 
 
 def global_prefix_sums(df, order_col, cols, partitions=8):
@@ -5926,23 +5987,16 @@ def global_prefix_sums(df, order_col, cols, partitions=8):
     partition-id-based offsets are only correct by that accident.
     Equi-width buckets trade balance for determinism; skewed order
     columns cost balance, never correctness."""
-    mm = df.agg(F.min(order_col).alias("_pps_lo"),
-                F.max(order_col).alias("_pps_hi"))
-    local = (df.crossJoin(F.broadcast(mm))
-             .withColumn(
-                 "_pps_pid",
-                 F.when(F.col("_pps_hi") <= F.col("_pps_lo"), F.lit(1))
-                 .otherwise(F.least(
-                     F.width_bucket(F.col(order_col), F.col("_pps_lo"),
-                                    F.col("_pps_hi"), F.lit(partitions)),
-                     F.lit(partitions))))
-             .drop("_pps_lo", "_pps_hi"))
-    wloc = W.partitionBy("_pps_pid").orderBy(order_col)
+    # same lineage cut as global_rank: the cumsum frame feeds both the
+    # totals aggregate and the final join — checkpoint it once instead
+    # of re-scanning + re-windowing per consumer (round-6 plan audit:
+    # stat_ks_two_sample paid 5 scans / 9 exchanges through here).
+    # The pre-checkpoint plan shape is pinned by
+    # test_ks_prefix_sum_bucket_partitioned via _pps_local.
+    local = _pps_local(df, order_col, cols,
+                       partitions).localCheckpoint(eager=False)
     woff = (W.orderBy("_pps_pid")
             .rowsBetween(W.unboundedPreceding, -1))
-    for c in cols:
-        local = local.withColumn(
-            f"_pps_l_{c}", F.sum(c).over(wloc) - F.col(c))
     offs = local.groupBy("_pps_pid").agg(
         *[F.sum(c).alias(f"_pps_t_{c}") for c in cols])
     for c in cols:
@@ -7561,8 +7615,12 @@ def decontaminate_fuzzy(spark, sf):
     ga = F.array_distinct(F.expr(
         r"regexp_extract_all(concat(' ', regexp_replace(trim(text), "
         r"'\\s+', ' ')), ' (?=([^ ]+ [^ ]+ [^ ]+))', 1)"))
-    garr = (d.select("doc_id", ga.alias("ga"))
-            .filter(F.size("ga") > 0))
+    # no size(ga) > 0 filter: explode() drops empty arrays anyway, and
+    # the explicit filter was sliding below the round-robin exchange
+    # (PushDownPredicates), re-running the gram regex on the scan's
+    # single task — the same trap as the now-excluded
+    # InferFiltersFromGenerate (see build_session)
+    garr = d.select("doc_id", ga.alias("ga"))
     # n_g is computed BEFORE the explode so the Generate's required
     # child output is (doc_id, n_g), not the whole gram array — a
     # size() above the Generate would carry ga per exploded row.

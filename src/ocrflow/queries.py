@@ -444,7 +444,12 @@ FROM events e JOIN orders o ON e.user_id = o.o_custkey
 GROUP BY e.user_id
 """)
 def join_salted_skew(spark, sf):
-    e, o = t(spark, sf, "events"), t(spark, sf, "orders")
+    # project to the join/agg columns BEFORE the salted exchange (guide
+    # §2.3): the k-way replicated small side and the salted big side
+    # were shuffling all 6 columns of each table; only 2 per side feed
+    # the aggregate
+    e = t(spark, sf, "events").select("user_id", "event_id")
+    o = t(spark, sf, "orders").select("o_custkey", "o_orderkey")
     j = salted_join(e, o, "user_id", "o_custkey", "event_id", k=4)
     return (j.groupBy("user_id")
             .agg(F.count("*").alias("n_events"),

@@ -66,6 +66,12 @@ def build_session(master: str | None = None, app: str = "ocrflow",
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         # allow shuffled-hash join where its size conditions hold
+         # (guide §3.1/§9): no sort on either side; SMJ remains the
+         # planner's fallback and AQE skew-join still splits oversized
+         # partitions. Measured on the q21 semi/anti self-join legs:
+         # the sort of 3 lineitem legs disappears from the plan.
+         .config("spark.sql.join.preferSortMergeJoin", "false")
          .config("spark.sql.session.timeZone", "UTC")
          # Scan split size (guide §6): parameterised because the right
          # value is scale-dependent. Local default 32m: the bench
@@ -79,6 +85,22 @@ def build_session(master: str | None = None, app: str = "ocrflow",
          # shuffle block count).
          .config("spark.sql.files.maxPartitionBytes",
                  os.environ.get("OCRFLOW_MAX_PARTITION_BYTES", "32m"))
+         # InferFiltersFromGenerate is a measured trap for this engine
+         # (round-5 decontaminate_fuzzy lesson, re-confirmed round 6 by
+         # plan audit): it clones the generator's input expression —
+         # here whole-document regexp_extract_all gram builders — into
+         # inferred size()>0/isnotnull() filters that predicate
+         # pushdown then drops BELOW the exchanges, re-evaluating the
+         # expensive expression 2-3x per row at SCAN parallelism (a
+         # single task on one-row-group inputs: plans/r06/
+         # decontaminate_fuzzy_before.txt shows 3 regex evals in the
+         # scan-stage Filter). The rows it would prune are rows
+         # explode() drops for free one node later. Excluding the rule
+         # removes the duplicated evals engine-wide; results are
+         # optimizer-invariant (full oracle sweep green).
+         .config("spark.sql.optimizer.excludedRules",
+                 "org.apache.spark.sql.catalyst.optimizer."
+                 "InferFiltersFromGenerate")
          # INT96 (Spark's parquet default) carries NO min/max stats and
          # is forbidden by the Iceberg spec; int64 micros restores
          # footer stats so icelite's manifest data-skipping works on

@@ -805,23 +805,37 @@ def test_snm_pairs_bounded_and_cross_partition(spark):
 
 def test_snm_global_rank_has_no_single_partition_window(spark):
     """The data-sized window partitions by pid; the only
-    unpartitioned window runs over |partitions| offset rows."""
-    plan = D.er_sorted_neighborhood(spark, SF_DIR)._jdf.queryExecution(
-    ).executedPlan().toString()
-    # rank window must be partitioned by pid (never a bare
-    # 'Window [row_number() ... ORDER BY' over the full table)
-    assert "partitionBy" not in plan  # sanity: physical plan text
-    import re
-    wins = [l for l in plan.splitlines() if "Window" in l and "row_number" in l]
-    assert wins, plan
+    unpartitioned window runs over |partitions| offset rows.
+
+    Round 6: global_rank lazily checkpoints its ranked frame (one
+    compute for its offsets + join consumers), so the rank window now
+    lives in the checkpointed lineage — the window/bucket shape is
+    asserted on the pre-checkpoint builder (_gr_local) over the same
+    input, and the end-to-end plan is still pinned free of sampled
+    range exchanges."""
+    from pyspark.sql import functions as F
+    from ocrflow.queries import t
+    d = (t(spark, SF_DIR, "documents")
+         .filter(F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
+         .select("doc_id", "lang", "n_chars"))
+    lplan = D._gr_local(d, ["lang", "n_chars", "doc_id"], 8)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "partitionBy" not in lplan  # sanity: physical plan text
+    wins = [l for l in lplan.splitlines()
+            if "Window" in l and "row_number" in l]
+    assert wins, lplan
     for w in wins:
         assert "pid" in w, w
+    assert "width_bucket" in lplan, lplan
     # r05 invariant pin: the bucket id is a deterministic width_bucket
     # of the leading sort key, NEVER spark_partition_id() after a
     # SAMPLED range exchange — a split of that exchange (e.g. under
     # AQE, where ReuseExchange does not fire) silently corrupted the
-    # old form. If a rangepartitioning exchange reappears here, the
-    # hazard is back.
+    # old form. If a rangepartitioning exchange reappears (in the
+    # builder OR anywhere in the full op), the hazard is back.
+    assert "rangepartitioning" not in lplan.lower(), lplan
+    plan = D.er_sorted_neighborhood(spark, SF_DIR)._jdf.queryExecution(
+    ).executedPlan().toString()
     assert "rangepartitioning" not in plan.lower(), plan
 
 

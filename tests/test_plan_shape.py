@@ -393,7 +393,18 @@ def test_ks_prefix_sum_bucket_partitioned(spark):
     # a pure function of the value — NOT spark_partition_id after a
     # sampled range exchange, which is only consistent across the
     # offsets/join branches when ReuseExchange happens to fire)
-    plan = _plan(QUERIES["stat_ks_two_sample"](spark, SF_DIR))
+    # round 6: global_prefix_sums lazily checkpoints the cumsum frame
+    # (one compute for its two consumers), so the bucket stage lives in
+    # the checkpointed lineage — assert its shape on the pre-checkpoint
+    # builder the op uses (_pps_local), same SF input
+    from ocrflow.dataops import _pps_local
+    from ocrflow.queries import t
+    from pyspark.sql import functions as F
+    ev = (t(spark, SF_DIR, "events")
+          .filter(F.col("event_type").isin("click", "view"))
+          .select("value", (F.col("event_type") == "click")
+                  .cast("long").alias("is_a")))
+    plan = _plan(_pps_local(ev, "value", ["is_a"], 8))
     assert "width_bucket" in plan
     assert "hashpartitioning(_pps_pid" in plan
 
