@@ -1347,7 +1347,7 @@ def iter_pagerank(spark, sf):
 # =========================================================================
 
 def connected_components(edges, src: str = "src", dst: str = "dst",
-                         max_iter: int = 25):
+                         max_iter: int = 25, edges_distinct: bool = False):
     """Connected components over an edge list via iterative min-label
     propagation. Returns (id, comp) where comp is the minimum vertex id
     reachable from ``id``; vertices not in any edge are absent (their
@@ -1371,9 +1371,16 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
     # hashpartitioning(src) already satisfied by the cached exchange
     # and shuffles only the (much smaller) labels side — without this,
     # the full edge list re-exchanges every round.
-    und = (e.unionByName(e.select(F.col("dst").alias("src"),
-                                  F.col("src").alias("dst")))
-           .distinct().repartition("src").persist())
+    und = e.unionByName(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    if not edges_distinct:
+        und = und.distinct()
+    # edges_distinct=True skips the dedup exchange over the (corpus-
+    # pair-sized) edge table when the caller guarantees src < dst
+    # uniqueness — true for both dedup materializations (chain edges /
+    # LSH pairs post-.distinct()); duplicate edges would only duplicate
+    # min-messages, but the exchange they cost is the largest in CC
+    und = und.repartition("src").persist()
     labels = (und.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint())
@@ -1482,8 +1489,11 @@ def materialize_kept(rows, dup_pairs, id_col: str):
     whose id is its component's minimum (or that appears in no pair).
     One left join against the (components-sized, small) label table —
     at 100 TB the labels broadcast and the corpus never reshuffles.
-    """
-    labels = connected_components(dup_pairs)
+
+    Both materialization callers guarantee src < dst uniqueness (chain
+    edges from a lag window; LSH pairs post-.distinct()), so CC skips
+    its defensive dedup exchange over the edge table."""
+    labels = connected_components(dup_pairs, edges_distinct=True)
     return (rows.join(labels, rows[id_col] == labels.id, "left")
             .filter(F.col("comp").isNull() | (F.col("comp") == rows[id_col]))
             .drop("id", "comp"))

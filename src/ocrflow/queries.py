@@ -969,7 +969,10 @@ SELECT doc_id,
 FROM documents WHERE text IS NOT NULL
 """)
 def str_regexp(spark, sf):
-    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    # scan-parallelism guard: three whole-document regex passes, pure
+    # map — a one-row-group input otherwise runs them on one core
+    d = widen(spark, t(spark, sf, "documents")).filter(
+        F.col("text").isNotNull())
     return d.select(
         "doc_id",
         F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
@@ -1228,7 +1231,14 @@ def tpch_q5_shape(spark, sf):
     # end to end; only the fact tables exchange. AQE + CBO reorder the
     # rest — declared, not hand-scheduled.
     c = t(spark, sf, "customer")
-    o = t(spark, sf, "orders")
+    # deliberate join strategy for the fact-fact leg (guide §3.1):
+    # orders is far too big to broadcast at scale, but size ESTIMATES
+    # at bench scale put it under the auto-broadcast threshold and the
+    # single-threaded 1.5M-row broadcast build dominated the query
+    # (measured 2.0 s -> 0.5 s at sf1.0). shuffle_hash pins the
+    # strategy that is right at every scale; results are join-strategy
+    # invariant.
+    o = t(spark, sf, "orders").hint("shuffle_hash")
     li = t(spark, sf, "lineitem")
     s = t(spark, sf, "supplier")
     n = t(spark, sf, "nation")
@@ -4329,7 +4339,11 @@ def tpch_q7_shape(spark, sf):
     li = t(spark, sf, "lineitem").select(
         "l_suppkey", "l_orderkey", "l_shipdate",
         "l_extendedprice", "l_discount")
-    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    # shuffle_hash: orders cannot broadcast at scale, and at bench
+    # scale the 1.5M-row broadcast build was the query's bottleneck
+    # (3.0 s -> 1.2 s at sf1.0; see tpch_q5_shape note)
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey") \
+        .hint("shuffle_hash")
     c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
     n1 = t(spark, sf, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
