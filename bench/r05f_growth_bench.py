@@ -1,16 +1,17 @@
 #!/usr/bin/env python
 """Growth study for the round-5 batch-4 ops (kappa, brier, zscore, hashing trick, link density, md structure): 1x vs 4x.
 
-tpch_q18_shape — one lineitem agg + two broadcast joins + top-100;
-eval_wer_hashed — per-token md5 transform then JVM levenshtein;
-privacy_t_closeness — marginal aggregates + m-row-per-group window;
-corpus_dsir_weights — token-count shuffle + broadcast log-ratio join;
-event_pattern_detect — one collect_list agg + per-user regex scan. Same protocol as bench/r04_growth_bench.py (whose
+eval_cohens_kappa — paired-rater agreement from one FILTER-clause agg;
+eval_brier_score — per-language integer MSE aggregate;
+feat_zscore_scale — exact integer moment aggregate + broadcast z map;
+feat_hashing_trick — md5-bucket feature fold, one hash agg;
+text_link_density — per-doc regex census, zero shuffle;
+doc_structure_stats — per-doc regex census, zero shuffle. Same protocol as bench/r04_growth_bench.py (whose
 replicate() this reuses): pinned local[8], noop-write sink, best-of-2
 per (op, scale), fact tables replicated with key shifts, dims static.
 
 Run pinned at loadavg < ~4, nothing else on Spark:
-    taskset -c 0-7 env PYTHONPATH=src python bench/r05c_growth_bench.py
+    taskset -c 0-7 env PYTHONPATH=src python bench/r05f_growth_bench.py
 Writes BENCH/r05f_growth.json.
 """
 

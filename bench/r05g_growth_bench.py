@@ -1,16 +1,17 @@
 #!/usr/bin/env python
 """Growth study for the round-5 batch-5 ops (mcnemar, BH-FDR, char entropy, rolling slope, poisson bootstrap, html census): 1x vs 4x.
 
-tpch_q18_shape — one lineitem agg + two broadcast joins + top-100;
-eval_wer_hashed — per-token md5 transform then JVM levenshtein;
-privacy_t_closeness — marginal aggregates + m-row-per-group window;
-corpus_dsir_weights — token-count shuffle + broadcast log-ratio join;
-event_pattern_detect — one collect_list agg + per-user regex scan. Same protocol as bench/r04_growth_bench.py (whose
+stat_mcnemar — discordant-pair FILTER-clause aggregate;
+stat_benjamini_hochberg — per-test p-values + rank window in |tests|;
+text_char_entropy — per-doc char histogram fold;
+win_rolling_slope — per-key rolling regression windows;
+stat_bootstrap_poisson_ci — 32-replicate Poisson-weight explode, map-local partial agg;
+text_html_tag_census — per-doc tag regex census. Same protocol as bench/r04_growth_bench.py (whose
 replicate() this reuses): pinned local[8], noop-write sink, best-of-2
 per (op, scale), fact tables replicated with key shifts, dims static.
 
 Run pinned at loadavg < ~4, nothing else on Spark:
-    taskset -c 0-7 env PYTHONPATH=src python bench/r05c_growth_bench.py
+    taskset -c 0-7 env PYTHONPATH=src python bench/r05g_growth_bench.py
 Writes BENCH/r05g_growth.json.
 """
 

@@ -1,16 +1,14 @@
 #!/usr/bin/env python
 """Growth study for the round-5 batch-6 transcript ops (template-turn dedup, context overflow, trajectory dedup): 1x vs 4x.
 
-tpch_q18_shape — one lineitem agg + two broadcast joins + top-100;
-eval_wer_hashed — per-token md5 transform then JVM levenshtein;
-privacy_t_closeness — marginal aggregates + m-row-per-group window;
-corpus_dsir_weights — token-count shuffle + broadcast log-ratio join;
-event_pattern_detect — one collect_list agg + per-user regex scan. Same protocol as bench/r04_growth_bench.py (whose
+conv_template_turn_dedup — turn-hash window dedup;
+conv_context_overflow — running token-sum window + overflow flag;
+conv_trajectory_dedup — per-conv trajectory md5 + keep-min window. Same protocol as bench/r04_growth_bench.py (whose
 replicate() this reuses): pinned local[8], noop-write sink, best-of-2
 per (op, scale), fact tables replicated with key shifts, dims static.
 
 Run pinned at loadavg < ~4, nothing else on Spark:
-    taskset -c 0-7 env PYTHONPATH=src python bench/r05c_growth_bench.py
+    taskset -c 0-7 env PYTHONPATH=src python bench/r05h_growth_bench.py
 Writes BENCH/r05h_growth.json.
 """
 

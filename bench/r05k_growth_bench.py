@@ -1,16 +1,14 @@
 #!/usr/bin/env python
 """Growth study for the round-5 batch-9 ops (Theil-Sen slope, WoE encoding, RAKE keywords): 1x vs 4x.
 
-tpch_q18_shape — one lineitem agg + two broadcast joins + top-100;
-eval_wer_hashed — per-token md5 transform then JVM levenshtein;
-privacy_t_closeness — marginal aggregates + m-row-per-group window;
-corpus_dsir_weights — token-count shuffle + broadcast log-ratio join;
-event_pattern_detect — one collect_list agg + per-user regex scan. Same protocol as bench/r04_growth_bench.py (whose
+ts_theilsen_slope — pairwise-slope median within bounded windows;
+feat_woe_encoding — per-category evidence-weight aggregate + broadcast;
+text_keyword_rake — phrase-split explode + degree/frequency aggs. Same protocol as bench/r04_growth_bench.py (whose
 replicate() this reuses): pinned local[8], noop-write sink, best-of-2
 per (op, scale), fact tables replicated with key shifts, dims static.
 
 Run pinned at loadavg < ~4, nothing else on Spark:
-    taskset -c 0-7 env PYTHONPATH=src python bench/r05c_growth_bench.py
+    taskset -c 0-7 env PYTHONPATH=src python bench/r05k_growth_bench.py
 Writes BENCH/r05k_growth.json.
 """
 

@@ -9955,14 +9955,20 @@ def stat_bootstrap_poisson_ci(spark, sf):
     ci = (bm.groupBy("event_type")
           .agg(F.count("*").cast("bigint").alias("n_reps"),
                F.array_sort(F.collect_list("mb")).alias("ms")))
+    # try_element_at (round-6 ADVICE fix): a low-row event_type can
+    # have all-zero-weight replicates filtered out, leaving < 31 means
+    # — ANSI element_at would throw INVALID_ARRAY_INDEX while DuckDB
+    # list indexing returns NULL. try_element_at degrades to NULL
+    # identically; on every tested SF all 32 replicates exist, so
+    # results are unchanged (sweep-proven).
     return (ci.join(F.broadcast(full), "event_type")
             .select("event_type", "n_rows", "n_reps",
                     (F.round(F.col("sq") / F.col("n_rows").cast("double")
                              / 100.0, 6) + 0.0).alias("mean_value"),
-                    (F.round(F.element_at("ms", 2) / 100.0, 6) + 0.0)
-                    .alias("ci_lo"),
-                    (F.round(F.element_at("ms", 31) / 100.0, 6) + 0.0)
-                    .alias("ci_hi")))
+                    (F.round(F.try_element_at("ms", F.lit(2)) / 100.0, 6)
+                     + 0.0).alias("ci_lo"),
+                    (F.round(F.try_element_at("ms", F.lit(31)) / 100.0, 6)
+                     + 0.0).alias("ci_hi")))
 
 
 @q("text_html_tag_census", """
