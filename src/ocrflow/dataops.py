@@ -276,7 +276,10 @@ def simhash_df(docs, text_col: str = "text"):
 def dedup_simhash(spark, sf):
     """SimHash near-dup buckets: near-dups share the 16-bit prefix
     bucket. The hash itself is all JVM built-ins (see simhash_df)."""
-    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    # scan-parallelism guard: the pack_votes pandas UDF runs before any
+    # exchange — one-row-group inputs would serialize it on one worker
+    d = widen(spark, t(spark, sf, "documents")).filter(
+        F.col("text").isNotNull())
     sh = simhash_df(d.select("doc_id", "text"))
     return (sh.groupBy("bucket")
             .agg(F.count("*").alias("n_docs"),
@@ -410,7 +413,9 @@ def ann_lsh_bucketed_with(spark, sf, n_tables: int = 8, n_bits: int = 3,
     driver-side action to learn the embedding dim and nothing to
     broadcast (the A9 broadcast-state idiom without the broadcast).
     """
-    em = t(spark, sf, "embeddings")
+    # scan-parallelism guard: buckets_of is a pandas UDF directly over
+    # the scan — see dedup_simhash
+    em = widen(spark, t(spark, sf, "embeddings"))
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def buckets_of(embs: pd.Series) -> pd.Series:
@@ -1383,7 +1388,7 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
     und = und.repartition("src").persist()
     labels = (und.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     # Convergence probe WITHOUT the per-round join+count job: labels
     # only ever DECREASE (neighbor-min + least() jump), so
     # sum(comp) is strictly monotone decreasing until fixpoint and
