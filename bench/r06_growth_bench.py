@@ -30,6 +30,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OPS = [
     "er_sorted_neighborhood", "feat_quantile_normalize",
     "stat_ks_two_sample",
+    # round-6 restructured ops: growth must stay linear-ish after the
+    # single-pass/checkpoint/threshold rewrites
+    "search_bm25_topk", "decontaminate_fuzzy", "dedup_kgram_exact",
+    "dedup_edit_scanner", "assoc_pairs_support", "heavy_hitters_mg",
+    "emb_jl_projection",
 ]
 
 STATIC_TABLES = ("region", "nation", "customer", "supplier", "part")
