@@ -1428,9 +1428,12 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
                                                F.col("comp")).alias("comp"))
                       .localCheckpoint(eager=False))
         labels = new_labels
-        # probe on alternate rounds (every round near the start costs a
-        # job that almost never fires; the tail converges in O(log d))
-        if i % 2 == 1 or i == max_iter - 1:
+        # probe on alternate rounds, starting at round 3 (a round-1
+        # probe costs a job and essentially never fires — depth must be
+        # ≤ 2 — while tiny graphs that DO converge that early just run
+        # two cheap extra label rounds before the round-3 probe stops
+        # them; the tail converges in O(log d))
+        if (i % 2 == 1 and i >= 3) or i == max_iter - 1:
             cur_sum = _label_sum(labels)
             if cur_sum == prev_sum:
                 break
