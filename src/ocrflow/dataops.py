@@ -1428,12 +1428,16 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
                                                F.col("comp")).alias("comp"))
                       .localCheckpoint(eager=False))
         labels = new_labels
-        # probe on alternate rounds, starting at round 3 (a round-1
-        # probe costs a job and essentially never fires — depth must be
-        # ≤ 2 — while tiny graphs that DO converge that early just run
-        # two cheap extra label rounds before the round-3 probe stops
-        # them; the tail converges in O(log d))
-        if (i % 2 == 1 and i >= 3) or i == max_iter - 1:
+        # probe EVERY round from round 3 (rounds 1-2 skipped: a probe
+        # there costs a job and essentially never fires — depth must be
+        # ≤ 2). Probing each round stops the loop at fixpoint+1 instead
+        # of fixpoint+2/3 under the old alternate-round cadence; at any
+        # scale a wasted round is a full neighbor-min + jump pass over
+        # the graph while a probe is one map-combinable agg over the
+        # just-checkpointed label table, so per-round probing is the
+        # cheaper side of the trade everywhere (measured at sf0.1:
+        # 6 → 4 rounds, CC wall median 2.26 → 1.52 s interleaved).
+        if i >= 2 or i == max_iter - 1:
             cur_sum = _label_sum(labels)
             if cur_sum == prev_sum:
                 break
