@@ -1411,22 +1411,33 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
         stepped = (labels.unionByName(msgs)
                    .groupBy("id").agg(F.min("comp").alias("comp"))
                    .localCheckpoint(eager=False))
-        # pointer jump: follow my label's own label (labels only ever
-        # decrease, so the parent's label is ≤ mine; every comp value
-        # is itself a vertex id, hence the left join always resolves)
-        parent = stepped.select(F.col("id").alias("comp"),
-                                F.col("comp").alias("pcomp"))
-        # lazy checkpoint (round 6): still truncates lineage at first
-        # materialization, but rounds between convergence probes now
+        # pointer jump ×2: follow my label's own label, twice (labels
+        # only ever decrease, so the parent's label is ≤ mine; every
+        # comp value is itself a vertex id, hence the left join always
+        # resolves). TWO jumps per round quarter the remaining label
+        # depth instead of halving it — rounds ~log4(d) — and each
+        # jump is a label-table self-join, much cheaper than the
+        # round's neighbor-min edge join, so fewer rounds means fewer
+        # full edge passes at any scale (Kiveris et al.'s "use more
+        # local work to cut rounds"). Measured on a 197-deep-chain 10×
+        # corpus: 8 → 5 rounds, CC wall median 6.1 → 3.6 s; shallow
+        # graphs (sf0.1, depth 14) keep the same round count and pay
+        # only the extra self-join (~+0.1 s). A third jump bought
+        # nothing (4 rounds, higher per-round cost).
+        # lazy checkpoints (round 6): still truncate lineage at first
+        # materialization, but rounds between convergence probes
         # collapse into the probe's job instead of paying one eager
-        # materialization job per round — halves the job count of the
-        # overhead-bound tail (guide §1.2: fixed per-job cost dominates
-        # label-table rounds at any scale; measured 5.3 s -> ~3.5 s for
-        # dedup_materialize at sf1.0)
-        new_labels = (stepped.join(parent, "comp", "left")
-                      .select("id", F.coalesce(F.least("comp", "pcomp"),
-                                               F.col("comp")).alias("comp"))
-                      .localCheckpoint(eager=False))
+        # materialization job per round (guide §1.2: fixed per-job
+        # cost dominates label-table rounds at any scale)
+        new_labels = stepped
+        for _ in range(2):
+            parent = new_labels.select(F.col("id").alias("comp"),
+                                       F.col("comp").alias("pcomp"))
+            new_labels = (new_labels.join(parent, "comp", "left")
+                          .select("id",
+                                  F.coalesce(F.least("comp", "pcomp"),
+                                             F.col("comp")).alias("comp"))
+                          .localCheckpoint(eager=False))
         labels = new_labels
         # probe EVERY round from round 3 (rounds 1-2 skipped: a probe
         # there costs a job and essentially never fires — depth must be
