@@ -2036,11 +2036,24 @@ def corpus_curation_e2e(spark, sf):
          .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
          .select("doc_id", "lang", "n_chars", "text",
                  F.split(F.trim("text"), r"\s+").alias("w")))
-    # stage 1: quality gate
-    n_word = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)"))
-    n_stop = F.size(F.expr(
+    # stage 1: quality gate. The gate metrics are wrapped in
+    # when(monotonically_increasing_id() >= 0, ...) — a value-level
+    # no-op (the id is always >= 0) whose nondeterministic flag stops
+    # PushDownPredicates from substituting the gate regexes into a
+    # filter BELOW the widen() exchange. Without it the whole
+    # regex-heavy gate slid to SCAN parallelism (one task on a
+    # one-row-group file) with each regex re-inlined 3x across the
+    # conjuncts — the same pushdown trap as decontaminate_fuzzy's size
+    # filter, but here the filter cannot simply be dropped. With the
+    # barrier each regex evaluates once, post-exchange, cluster-wide
+    # (plan-verified; 10x replica median 3.7 -> 1.67 s). Retry-safe:
+    # the guard's VALUE is deterministic, only the flag is not.
+    nd = F.monotonically_increasing_id() >= 0
+    n_word = F.when(nd, F.size(F.expr(
+        r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)")))
+    n_stop = F.when(nd, F.size(F.expr(
         r"regexp_extract_all(lower(text),"
-        r" '\\b(the|a|an|and|or|of|to|in|is|it)\\b', 0)"))
+        r" '\\b(the|a|an|and|or|of|to|in|is|it)\\b', 0)")))
     gated = (d.withColumn("n_word", n_word).withColumn("n_stop", n_stop)
              .filter((F.col("n_word") >= 5)
                      & (F.col("n_chars").cast("double")
@@ -4465,7 +4478,14 @@ def emb_quantize_int8(spark, sf):
     # a one-row-group scan would run every row on one core
     e = widen(spark, t(spark, sf, "embeddings"))
     xd = F.transform("embedding", lambda x: F.abs(x.cast("double")))
-    e = e.withColumn("scale", F.array_max(xd) / F.lit(127.0)) \
+    # when(mid>=0, ...) barrier: without it PushDownPredicates inlines
+    # the whole array_max(transform(...)) into the scale>0 filter BELOW
+    # the widen() exchange — the lambda runs per row on the scan's
+    # single task AND re-runs above for the scale column. The guard's
+    # value is always true (ids are >= 0); only its nondeterministic
+    # flag matters, pinning one eval post-exchange (plan-verified).
+    e = e.withColumn("scale", F.when(F.monotonically_increasing_id() >= 0,
+                                     F.array_max(xd) / F.lit(127.0))) \
          .filter(F.col("scale") > 0)
     qv = F.transform(
         "embedding",
@@ -7663,8 +7683,17 @@ def decontaminate_fuzzy(spark, sf):
     # n_g is computed BEFORE the explode so the Generate's required
     # child output is (doc_id, n_g), not the whole gram array — a
     # size() above the Generate would carry ga per exploded row.
-    posts = (garr.select("doc_id",
-                         F.size("ga").cast("bigint").alias("n_g"), "ga")
+    # when(mid>=0, ...) barrier on n_g: the final jaccard filter lets
+    # InferFiltersFromConstraints derive isnotnull(n_g), and predicate
+    # pushdown re-inlines the WHOLE gram regex into that filter below
+    # the round-robin exchange (one more whole-document regex pass on
+    # the scan's single task — the surviving sibling of the excluded
+    # InferFiltersFromGenerate trap). The guard's value is always true;
+    # its nondeterministic flag blocks the substitution (plan-verified).
+    posts = (garr.select(
+                 "doc_id",
+                 F.when(F.monotonically_increasing_id() >= 0,
+                        F.size("ga").cast("bigint")).alias("n_g"), "ga")
              .select("doc_id", "n_g", F.explode("ga").alias("g")))
     bench = (posts.filter(F.col("doc_id") % 11 == 0)
              .select(F.col("doc_id").alias("bench_id"),
