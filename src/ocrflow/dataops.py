@@ -1411,34 +1411,37 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
         stepped = (labels.unionByName(msgs)
                    .groupBy("id").agg(F.min("comp").alias("comp"))
                    .localCheckpoint(eager=False))
-        # pointer jump ×2: follow my label's own label, twice (labels
-        # only ever decrease, so the parent's label is ≤ mine; every
-        # comp value is itself a vertex id, hence the left join always
-        # resolves). TWO jumps per round quarter the remaining label
-        # depth instead of halving it — rounds ~log4(d) — and each
-        # jump is a label-table self-join, much cheaper than the
-        # round's neighbor-min edge join, so fewer rounds means fewer
-        # full edge passes at any scale (Kiveris et al.'s "use more
-        # local work to cut rounds"). Measured on a 197-deep-chain 10×
-        # corpus: 8 → 5 rounds, CC wall median 6.1 → 3.6 s; shallow
-        # graphs (sf0.1, depth 14) keep the same round count and pay
-        # only the extra self-join (~+0.1 s). A third jump bought
-        # nothing (4 rounds, higher per-round cost).
+        # pointer jump ×3, all against stepped's OWN parent map:
+        # composing the parent map k times compresses pointer depth to
+        # ~d/4 per round (s∘s∘s∘s — composition is associative, so
+        # three chained applications of stepped's map equal the
+        # classic c₂=c₁[c₁] double jump), making rounds ~log4(d)
+        # instead of log2(d). Fewer rounds = fewer full edge passes at
+        # any scale (Kiveris et al.'s "more local work per round").
+        # Labels only ever decrease, so the parent's label is ≤ mine;
+        # every comp value is itself a vertex id, hence the left join
+        # always resolves. Keeping every jump's parent = the
+        # CHECKPOINTED stepped (not the previous jump's output) makes
+        # the three joins a LINEAR chain over cached scans — no
+        # duplicated subtree, so no per-jump checkpoint and only ONE
+        # plan compilation per round beyond stepped's (the per-round
+        # fixed cost that dominates the loop locally, guide §1.2).
+        # Measured, interleaved: 197-deep-chain 10× corpus 8 → 5
+        # rounds, CC wall median 6.1 → 4.4 s (the per-jump-checkpoint
+        # double-jump variant measured 4.7); sf0.1 median 2.33 → 1.90.
         # lazy checkpoints (round 6): still truncate lineage at first
         # materialization, but rounds between convergence probes
         # collapse into the probe's job instead of paying one eager
-        # materialization job per round (guide §1.2: fixed per-job
-        # cost dominates label-table rounds at any scale)
+        # materialization job per round.
+        parent = stepped.select(F.col("id").alias("comp"),
+                                F.col("comp").alias("pcomp"))
         new_labels = stepped
-        for _ in range(2):
-            parent = new_labels.select(F.col("id").alias("comp"),
-                                       F.col("comp").alias("pcomp"))
+        for _ in range(3):
             new_labels = (new_labels.join(parent, "comp", "left")
                           .select("id",
                                   F.coalesce(F.least("comp", "pcomp"),
-                                             F.col("comp")).alias("comp"))
-                          .localCheckpoint(eager=False))
-        labels = new_labels
+                                             F.col("comp")).alias("comp")))
+        labels = new_labels.localCheckpoint(eager=False)
         # probe EVERY round from round 3 (rounds 1-2 skipped: a probe
         # there costs a job and essentially never fires — depth must be
         # ≤ 2). Probing each round stops the loop at fixpoint+1 instead
