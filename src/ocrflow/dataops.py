@@ -2860,7 +2860,11 @@ def ngram_novelty_curve(spark, sf):
     attributed per source). Distinct grams per source → min-rank per
     gram (one hash agg over the gram key) → rank equality; everything
     linear in total gram volume, join keyed on the gram."""
-    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    # widen BEFORE the cheap null filter (same guard as the old inline
+    # probe, now sharing widen()'s memoized split-count probe; the
+    # isnotnull still reaches the scan via pushdown)
+    d = widen(spark, t(spark, sf, "documents")).filter(
+        F.col("text").isNotNull())
     # Overlapping trigrams via zero-width-lookahead regex (verified
     # set-equal to the transform/slice lambda form): the lambda is
     # interpreted (~0.8 ms/row) AND InferFiltersFromGenerate inlines
@@ -2868,9 +2872,6 @@ def ngram_novelty_curve(spark, sf):
     # ~50x cheaper per eval, 3.75 s -> 0.64 s at sf0.1 (the same
     # lesson as decontaminate_fuzzy; see its docstring). Short docs
     # (<3 tokens) simply yield no matches — no size guard needed.
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
     gram_arr = F.expr(
         r"regexp_extract_all(concat(' ', regexp_replace(trim(text), "
         r"'\\s+', ' ')), ' (?=([^ ]+ [^ ]+ [^ ]+))', 1)")
@@ -7668,12 +7669,12 @@ def decontaminate_fuzzy(spark, sf):
     scale the scan has thousands of splits and the guard never
     fires, keeping the one-exchange plan. Measured: 17.5 s (lambda,
     no guard) -> 9.6 s (lambda + guard) -> 1.09 s (regex + guard)."""
-    d = (t(spark, sf, "documents")
+    # widen BEFORE the cheap null/length filter (same guard as the old
+    # inline probe, now sharing widen()'s memoized split-count probe;
+    # the cheap predicates still reach the scan via pushdown)
+    d = (widen(spark, t(spark, sf, "documents"))
          .filter(F.col("text").isNotNull()
                  & (F.length(F.trim("text")) > 0)))
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
     ga = F.array_distinct(F.expr(
         r"regexp_extract_all(concat(' ', regexp_replace(trim(text), "
         r"'\\s+', ' ')), ' (?=([^ ]+ [^ ]+ [^ ]+))', 1)"))
