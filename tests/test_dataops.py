@@ -1347,3 +1347,16 @@ def test_power_iteration_converges_on_planted_direction(spark):
     cos = abs(float(v_op @ top)) / (np.linalg.norm(v_op)
                                     * np.linalg.norm(top))
     assert cos >= 0.999, cos
+
+
+def test_connected_components_deep_chain_converges_fast(spark):
+    # round-6 continuation: the chained s[s[s[s]]] pointer jump must
+    # label a DEEP path graph well inside max_iter (depth/4 per round
+    # -> a 120-node path needs ~4 label rounds, not 60)
+    from ocrflow.dataops import connected_components
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1120)], "src long, dst long")
+    comp = {r["id"]: r["comp"]
+            for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {1000}
+    assert len(comp) == 121

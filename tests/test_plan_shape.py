@@ -485,3 +485,46 @@ def test_text_nb_train_single_count_agg_broadcast_sizes(spark):
     plan = _plan(QUERIES["text_nb_train"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_widen_barriers_keep_heavy_exprs_above_rr_exchange(spark):
+    # round-6 continuation: the when(monotonically_increasing_id()>=0,
+    # ...) barriers must keep regex/array-lambda work ABOVE the
+    # scan-parallelism guard's round-robin exchange — predicate
+    # pushdown used to substitute the computed columns and run them
+    # per row at scan parallelism (one task on one-row-group inputs)
+    import re
+    for key, needle in (("corpus_curation_e2e", "regexp_extract_all"),
+                        ("emb_quantize_int8", "lambdafunction"),
+                        ("decontaminate_fuzzy", "regexp_extract_all")):
+        plan = _plan(QUERIES[key](spark, SF_DIR))
+        lines = plan.splitlines()
+        rrs = [i for i, l in enumerate(lines)
+               if "RoundRobinPartitioning" in l]
+        if not rrs:  # widen no-op (multi-split input): nothing to pin
+            continue
+        rr = max(rrs)
+        below = [l for l in lines[rr:]
+                 if re.search(needle, l)
+                 and ("Filter" in l or "DataFilters" in l)]
+        assert not below, f"{key}: heavy expr below RR exchange: {below[:1]}"
+
+
+def test_widen_probe_memo_and_decision(spark):
+    # the split-count probe memo must (a) cache per (app, path, conf),
+    # (b) not change widen's repartition decision
+    from ocrflow import queries as Q
+    Q._WIDEN_PROBE_CACHE.clear()
+    df = Q.t(spark, SF_DIR, "documents")
+    par = spark.sparkContext.defaultParallelism
+    out1 = Q.widen(spark, df)
+    assert len(Q._WIDEN_PROBE_CACHE) == 1
+    (key, n), = Q._WIDEN_PROBE_CACHE.items()
+    assert key[0] == spark.sparkContext.applicationId
+    assert n == df.rdd.getNumPartitions()  # memo equals the real probe
+    out2 = Q.widen(spark, Q.t(spark, SF_DIR, "documents"))
+    assert len(Q._WIDEN_PROBE_CACHE) == 1  # second call hit the memo
+    # decision parity: repartitioned iff the real probe says < cores
+    expect_widen = n < par
+    for out in (out1, out2):
+        assert ("RoundRobinPartitioning" in _plan(out)) == expect_widen
