@@ -69,8 +69,12 @@ def widen(spark: SparkSession, df: DataFrame) -> DataFrame:
         # of session-scoped cache as Spark's own InMemoryFileIndex —
         # and never holds data or results. Keyed by applicationId so a
         # new session (or a driver rerun) always re-probes.
+        # no default arg: Spark 4 VALIDATES a passed default against
+        # the conf's type (get(key, "") throws INVALID_CONF_VALUE on a
+        # stock session where the conf is unset); the no-arg form
+        # falls back to the conf's own default ("134217728b")
         key = (spark.sparkContext.applicationId, src,
-               spark.conf.get("spark.sql.files.maxPartitionBytes", ""),
+               spark.conf.get("spark.sql.files.maxPartitionBytes"),
                par)
         n = _WIDEN_PROBE_CACHE.get(key)
         if n is None:

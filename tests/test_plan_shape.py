@@ -528,3 +528,14 @@ def test_widen_probe_memo_and_decision(spark):
     expect_widen = n < par
     for out in (out1, out2):
         assert ("RoundRobinPartitioning" in _plan(out)) == expect_widen
+    # stock-session regression: with maxPartitionBytes UNSET the memo
+    # key must fall back to the conf's own default instead of passing
+    # a typed default (Spark 4 validates get(key, "") and throws
+    # INVALID_CONF_VALUE — caught by the stock oracle sweep)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    try:
+        Q._WIDEN_PROBE_CACHE.clear()
+        Q.widen(spark, Q.t(spark, SF_DIR, "documents"))  # must not raise
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
